@@ -1,0 +1,32 @@
+"""gpboost_tpu — TPU-native gradient boosting with Gaussian process and
+mixed-effects models.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of GPBoost
+(TimGyger/GPBoost v1.6.5): tree boosting combined with Gaussian processes and
+grouped random effects, usable standalone or combined (GPBoost / LaGaBoost
+algorithms).
+
+Double precision is enabled globally to match the reference's numerics
+(``SCORE_T_USE_DOUBLE``, ``type_defs.h:29-62``); pass ``dtype=jnp.float32`` to
+models for TPU-speed single precision.
+"""
+import jax as _jax
+
+_jax.config.update("jax_enable_x64", True)
+# Full-precision matmuls by default: covariance/solve numerics break at TPU's
+# default bf16 matmul precision (non-PSD matrices -> NaN Cholesky). Hot kernels
+# opt into bf16 explicitly where it is provably safe.
+_jax.config.update("jax_default_matmul_precision", "float32")
+
+from gpboost_tpu.models.gp_model import GPModel  # noqa: E402
+
+try:  # boosting engine (built after the GP core in the round-1 plan)
+    from gpboost_tpu.boosting.dataset import Dataset  # noqa: E402
+    from gpboost_tpu.boosting.booster import Booster  # noqa: E402
+    from gpboost_tpu.boosting.engine import train, cv  # noqa: E402
+except ImportError:  # pragma: no cover - during early bootstrap only
+    Dataset = Booster = train = cv = None
+
+__version__ = "0.1.0"
+
+__all__ = ["GPModel", "Dataset", "Booster", "train", "cv", "__version__"]

@@ -1,0 +1,611 @@
+"""User-facing ``GPModel`` — Gaussian process / mixed-effects model facade.
+
+API mirrors the reference Python package's ``gpboost.GPModel``
+(``python-package/gpboost/basic.py:4054-6600``): same constructor arguments,
+``fit`` / ``neg_log_likelihood`` / ``predict`` / ``set_optim_params`` /
+``summary`` / ``model_to_dict`` / ``save_model`` methods, same covariance
+parameter layout and naming. Internally it drives the pure-functional JAX core
+(`gpboost_tpu.models.gaussian`, `.laplace`, `.vecchia`) instead of the
+reference's ``REModel`` C++ facade (``src/GPBoost/re_model.cpp``).
+"""
+from __future__ import annotations
+
+import json
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpboost_tpu.models import gaussian, optimizers
+from gpboost_tpu.models.covariance import split_cov_pars
+from gpboost_tpu.models.spec import (GPRESpec, GroupedRESpec, ModelData,
+                                     ModelSpec, make_model_data)
+from gpboost_tpu.ops.cov_fns import CovFunction, euclidean_distance
+
+SUPPORTED_LIKELIHOODS = (
+    "gaussian", "bernoulli_probit", "bernoulli_logit", "binary", "binary_probit",
+    "binomial_probit", "binomial_logit", "poisson", "gamma", "negative_binomial",
+    "negative_binomial_1", "beta", "t", "t_fix_df", "lognormal",
+)
+
+
+def _canonical_likelihood(lik: str) -> str:
+    aliases = {"binary": "bernoulli_probit", "binary_probit": "bernoulli_probit",
+               "binary_logit": "bernoulli_logit", "regression": "gaussian"}
+    return aliases.get(lik, lik)
+
+
+class GPModel:
+    """Gaussian process and grouped random-effects model.
+
+    Parameters follow ``gpboost.GPModel`` (``basic.py:4054``). Currently
+    implemented model structures: grouped random intercepts/slopes, GPs with
+    the covariance families in :mod:`gpboost_tpu.ops.cov_fns`, GP random
+    coefficients, ``cluster_ids``; likelihoods: gaussian (exact) and the
+    non-Gaussian families via Laplace approximation (see ``laplace.py``).
+    """
+
+    def __init__(self, group_data=None, group_rand_coef_data=None,
+                 ind_effect_group_rand_coef=None,
+                 drop_intercept_group_rand_effect=None,
+                 gp_coords=None, gp_rand_coef_data=None,
+                 cov_function="matern", cov_fct_shape=1.5,
+                 gp_approx="none", cov_fct_taper_range=1.0,
+                 cov_fct_taper_shape=1.0, num_neighbors=None,
+                 vecchia_ordering="random", ind_points_selection="kmeans++",
+                 num_ind_points=500, cover_tree_radius=1.0, matrix_inversion_method="cholesky",
+                 seed=0, cluster_ids=None, likelihood="gaussian",
+                 likelihood_additional_param=None, weights=None,
+                 free_raw_data=False, vecchia_approx=None, num_parallel_threads=None,
+                 dtype=jnp.float64):
+        self.params = {}
+        self.likelihood = _canonical_likelihood(likelihood)
+        self.gp_approx = gp_approx
+        self.matrix_inversion_method = matrix_inversion_method
+        self.num_neighbors = num_neighbors
+        self.vecchia_ordering = vecchia_ordering
+        self.num_ind_points = num_ind_points
+        self.ind_points_selection = ind_points_selection
+        self.seed = seed
+        self.dtype = dtype
+        self.likelihood_additional_param = likelihood_additional_param
+        self._fit_result = None
+        self.cov_pars_ = None
+        self.coefs_ = None
+        self.std_dev_cov_pars_ = None
+        self.num_it_ = 0
+
+        components, data, info = make_model_data(
+            y=None, X=None, group_data=group_data,
+            group_rand_coef_data=group_rand_coef_data,
+            ind_effect_group_rand_coef=ind_effect_group_rand_coef,
+            gp_coords=gp_coords, gp_rand_coef_data=gp_rand_coef_data,
+            weights=weights, dtype=dtype)
+        self._group_maps = info["group_maps"]
+        num_data = info["num_data"]
+
+        # GP components
+        self.cov_function_name = cov_function
+        self.cov_fct_shape = cov_fct_shape
+        if gp_coords is not None:
+            dim = data.coords.shape[1]
+            cf = CovFunction.create(
+                cov_function, shape=cov_fct_shape,
+                taper_range=cov_fct_taper_range, taper_shape=cov_fct_taper_shape,
+                apply_tapering=(gp_approx == "tapering"), dim_coords=dim)
+            components = list(components) + [GPRESpec(cov_fn=cf)]
+            if gp_rand_coef_data is not None:
+                for j in range(data.gp_rand_coef_data.shape[1]):
+                    components.append(GPRESpec(cov_fn=cf, is_random_coef=True,
+                                               rand_coef_data_idx=j))
+            if cf.is_isotropic and gp_approx == "none":
+                data.dists = euclidean_distance(data.coords, data.coords)
+        if cluster_ids is not None:
+            cid = np.asarray(cluster_ids)
+            uniq, inv = np.unique(cid.astype(str), return_inverse=True)
+            data.cluster_codes = jnp.asarray(inv.astype(np.int32))
+            self._cluster_map = uniq
+        else:
+            self._cluster_map = None
+
+        if num_data is None:
+            raise ValueError("Either group_data or gp_coords must be provided")
+        self.num_data = num_data
+        self.spec = ModelSpec(components=tuple(components),
+                              likelihood=self.likelihood, num_data=num_data)
+        self.data = data
+        self.optim_cfg = optimizers.OptimConfig()
+        if not self.spec.is_gaussian:
+            self.optim_cfg.optimizer_cov = "lbfgs"
+        self.num_cov_pars = self.spec.num_cov_par
+
+    # ------------------------------------------------------------------
+    def set_optim_params(self, params: Optional[dict] = None):
+        """Set optimization parameters (``basic.py:5347``)."""
+        if not params:
+            return self
+        cfg = self.optim_cfg
+        mapping = {
+            "optimizer_cov": "optimizer_cov", "optimizer_coef": "optimizer_coef",
+            "maxit": "maxit", "lr_cov": "lr_cov", "lr_coef": "lr_coef",
+            "use_nesterov_acc": "use_nesterov_acc", "acc_rate_cov": "acc_rate_cov",
+            "momentum_offset": "momentum_offset", "delta_rel_conv": "delta_rel_conv",
+            "convergence_criterion": "convergence_criterion",
+            "cg_max_num_it": "cg_max_num_it",
+            "cg_max_num_it_tridiag": "cg_max_num_it_tridiag",
+            "cg_delta_conv": "cg_delta_conv",
+            "num_rand_vec_trace": "num_rand_vec_trace",
+            "reuse_rand_vec_trace": "reuse_rand_vec_trace",
+            "seed_rand_vec_trace": "seed_rand_vec_trace",
+            "cg_preconditioner_type": "cg_preconditioner_type",
+            "trace": "trace", "std_dev": "std_dev",
+        }
+        for k, v in params.items():
+            if k in mapping:
+                setattr(cfg, mapping[k], v)
+            elif k == "init_cov_pars":
+                cfg.init_cov_pars = np.asarray(v, dtype=np.float64)
+            elif k == "init_coef":
+                cfg.init_coef = np.asarray(v, dtype=np.float64)
+        return self
+
+    # ------------------------------------------------------------------
+    def neg_log_likelihood(self, cov_pars, y, fixed_effects=None, aux_pars=None):
+        """Exact negative log-marginal-likelihood at given parameters
+        (``GPB_EvalNegLogLikelihood``; python ``basic.py:5284``)."""
+        cov_pars = jnp.asarray(np.asarray(cov_pars, dtype=np.float64),
+                               dtype=self.dtype)
+        data = self._with_y(y)
+        if self.spec.is_gaussian:
+            fe = None if fixed_effects is None else jnp.asarray(
+                fixed_effects, dtype=self.dtype)
+            return float(gaussian.neg_log_likelihood(
+                self.spec, data, cov_pars, None, fe))
+        from gpboost_tpu.models import laplace
+        fe = None if fixed_effects is None else jnp.asarray(
+            fixed_effects, dtype=self.dtype)
+        ap = self._aux_pars_array(aux_pars)
+        return float(laplace.neg_log_marginal_likelihood(
+            self.spec, data, cov_pars, ap, None, fe))
+
+    def _with_y(self, y) -> ModelData:
+        data = ModelData(**{f: getattr(self.data, f) for f in (
+            "y", "X", "group_codes", "slope_data", "coords", "dists",
+            "gp_rand_coef_data", "weights", "cluster_codes")})
+        data.y = jnp.asarray(np.asarray(y, dtype=np.float64).ravel(),
+                             dtype=self.dtype)
+        return data
+
+    def _aux_pars_array(self, aux_pars=None):
+        from gpboost_tpu import likelihoods as lk
+        fam = lk.get_family(self.likelihood)
+        if fam.num_aux_pars == 0:
+            return None
+        if aux_pars is not None:
+            return jnp.asarray(np.asarray(aux_pars, dtype=np.float64),
+                               dtype=self.dtype)
+        if getattr(self, "aux_pars_", None) is not None:
+            return jnp.asarray(self.aux_pars_, dtype=self.dtype)
+        init = fam.default_aux_pars(self.likelihood_additional_param)
+        return jnp.asarray(init, dtype=self.dtype)
+
+    # ------------------------------------------------------------------
+    def _default_init_cov_pars(self, y: np.ndarray) -> np.ndarray:
+        """Data-driven inits (``REModelTemplate::FindInitCovPar``, :4388):
+        variances var(y)/(2*num_comps), GP ranges mean(dist)/3 heuristic."""
+        var_y = float(np.var(y, ddof=1))
+        ncomp = max(len(self.spec.components), 1)
+        pars = []
+        if self.spec.is_gaussian:
+            pars.append(var_y / 2.0)
+            var_each = var_y / 2.0 / ncomp
+        else:
+            var_each = var_y / ncomp if self.likelihood not in (
+                "bernoulli_probit", "bernoulli_logit") else 1.0
+        for comp in self.spec.components:
+            if isinstance(comp, GroupedRESpec):
+                pars.append(var_each)
+            else:
+                pars.append(var_each)
+                cf = comp.cov_fn
+                extra = cf.num_cov_par - 1
+                if extra > 0:
+                    coords = np.asarray(self.data.coords)
+                    m = min(coords.shape[0], 500)
+                    sub = coords[:m]
+                    d = np.sqrt(((sub[:, None, :] - sub[None, :, :]) ** 2).sum(-1))
+                    mean_dist = float(d[np.triu_indices(m, 1)].mean())
+                    for _ in range(extra):
+                        pars.append(mean_dist / 3.0)
+        return np.asarray(pars, dtype=np.float64)
+
+    def fit(self, y, X=None, params=None, offset=None, fixed_effects=None):
+        """Estimate covariance (and regression) parameters
+        (``GPModel.fit``, ``basic.py:5067`` -> ``GPB_OptimLinRegrCoefCovPar``).
+        """
+        if params:
+            self.set_optim_params(params)
+        cfg = self.optim_cfg
+        y_np = np.asarray(y, dtype=np.float64).ravel()
+        data = self._with_y(y_np)
+        if X is not None:
+            data.X = jnp.asarray(np.asarray(X, dtype=np.float64), dtype=self.dtype)
+        fe = fixed_effects if fixed_effects is not None else offset
+        fe_arr = None if fe is None else jnp.asarray(
+            np.asarray(fe, dtype=np.float64), dtype=self.dtype)
+
+        if not self.spec.is_gaussian:
+            from gpboost_tpu.models import laplace_fit
+            return laplace_fit.fit(self, data, fe_arr)
+
+        init = (cfg.init_cov_pars if cfg.init_cov_pars is not None
+                else self._default_init_cov_pars(y_np))
+        has_coef = data.X is not None
+
+        spec = self.spec
+        if cfg.optimizer_cov in ("gradient_descent", "lbfgs", "nelder_mead",
+                                 "adam", "lbfgs_linesearch_nocedal_wright"):
+            result = self._fit_gaussian_profiled(spec, data, init, cfg, has_coef,
+                                                 fe_arr)
+        else:
+            result = self._fit_gaussian_full(spec, data, init, cfg, has_coef,
+                                             fe_arr)
+        self._fit_result = result
+        self.num_it_ = result.num_it
+        if cfg.std_dev:
+            self.std_dev_cov_pars_ = self._calc_std_dev_cov_pars(data)
+        return self
+
+    # -- profiled-nugget path (gradient_descent / lbfgs / nelder_mead / adam)
+    def _fit_gaussian_profiled(self, spec, data, init, cfg, has_coef, fe_arr):
+        beta = None
+        if has_coef:
+            if cfg.init_coef is not None:
+                beta = jnp.asarray(cfg.init_coef, dtype=self.dtype)
+            else:
+                # start from OLS like FindInitialValues
+                Xn = np.asarray(data.X)
+                beta = jnp.asarray(np.linalg.lstsq(Xn, np.asarray(data.y),
+                                                   rcond=None)[0],
+                                   dtype=self.dtype)
+
+        def ratio_from_full(p):
+            # [sigma2, comp pars...] -> ratio parametrization (variances/sigma2)
+            out = np.array(p[1:], dtype=np.float64)
+            for comp, a, b in spec.cov_par_slices():
+                out[a - 1] = p[a] / p[0] if _is_variance_index(spec, a, a) else out[a - 1]
+            # variances are the first parameter of each component block
+            res = np.array(p[1:], dtype=np.float64)
+            for comp, a, b in spec.cov_par_slices():
+                res[a - 1] = p[a] / p[0]
+            return res
+
+        def full_from_ratio(r, sigma2):
+            full = np.concatenate([[sigma2], np.asarray(r, dtype=np.float64)])
+            for comp, a, b in spec.cov_par_slices():
+                full[a] = r[a - 1] * sigma2
+            return full
+
+        theta0 = np.log(np.maximum(ratio_from_full(init), 1e-300))
+        beta_holder = {"beta": beta}
+
+        def value_fn(theta):
+            r = jnp.exp(jnp.asarray(theta, dtype=self.dtype))
+            nll, s2 = gaussian.nll_profiled(spec, data, r, beta_holder["beta"],
+                                            fe_arr)
+            value_fn.last_sigma2 = float(s2)
+            return nll
+
+        def grad_fn(theta):
+            def f(th):
+                r = jnp.exp(th)
+                nll, _ = gaussian.nll_profiled(spec, data, r,
+                                               beta_holder["beta"], fe_arr)
+                return nll
+            return jax.grad(f)(jnp.asarray(theta, dtype=self.dtype))
+
+        def value_and_grad_fn(theta):
+            def f(th):
+                r = jnp.exp(th)
+                nll, _ = gaussian.nll_profiled(spec, data, r,
+                                               beta_holder["beta"], fe_arr)
+                return nll
+            v, g = jax.value_and_grad(f)(jnp.asarray(theta, dtype=self.dtype))
+            # refresh sigma2 cache
+            value_fn(theta)
+            return v, g
+
+        def coef_update(theta):
+            if not has_coef or cfg.optimizer_coef not in ("wls", "gradient_descent"):
+                return
+            r = jnp.exp(jnp.asarray(theta, dtype=self.dtype))
+            _, s2 = gaussian.nll_profiled(spec, data, r, beta_holder["beta"], fe_arr)
+            full = jnp.asarray(full_from_ratio(np.exp(theta), float(s2)),
+                               dtype=self.dtype)
+            beta_holder["beta"] = gaussian.wls_coefficients(spec, data, full, fe_arr)
+
+        if has_coef:
+            coef_update(theta0)
+
+        if cfg.optimizer_cov == "gradient_descent":
+            def cb(it, theta, nll):
+                coef_update(theta)
+            result = optimizers.gradient_descent(value_fn, grad_fn, theta0, cfg,
+                                                 callback=cb if has_coef else None)
+        elif cfg.optimizer_cov in ("lbfgs", "lbfgs_linesearch_nocedal_wright"):
+            if has_coef:
+                # alternate lbfgs over cov pars with wls coefficient updates
+                theta = theta0
+                for _ in range(3):
+                    result = optimizers.lbfgs(value_and_grad_fn, theta, cfg)
+                    theta = np.log(result.params)
+                    coef_update(theta)
+            else:
+                result = optimizers.lbfgs(value_and_grad_fn, theta0, cfg)
+        elif cfg.optimizer_cov == "nelder_mead":
+            result = optimizers.nelder_mead(value_fn, theta0, cfg)
+            if has_coef:
+                coef_update(np.log(result.params))
+        else:  # adam
+            result = optimizers.adam(value_and_grad_fn, theta0, cfg)
+            if has_coef:
+                coef_update(np.log(result.params))
+
+        final_nll = value_fn(np.log(result.params))
+        sigma2 = value_fn.last_sigma2
+        self.cov_pars_ = full_from_ratio(result.params, sigma2)
+        self.coefs_ = (None if beta_holder["beta"] is None
+                       else np.asarray(beta_holder["beta"]))
+        result.nll = float(final_nll)
+        result.params = self.cov_pars_
+        self.current_nll_ = float(final_nll)
+        return result
+
+    # -- full-parametrization path (fisher_scoring / newton)
+    def _fit_gaussian_full(self, spec, data, init, cfg, has_coef, fe_arr):
+        beta_holder = {"beta": None}
+        if has_coef:
+            Xn = np.asarray(data.X)
+            beta_holder["beta"] = jnp.asarray(
+                cfg.init_coef if cfg.init_coef is not None else
+                np.linalg.lstsq(Xn, np.asarray(data.y), rcond=None)[0],
+                dtype=self.dtype)
+
+        def value_fn(theta):
+            return gaussian.neg_log_likelihood(
+                spec, data, jnp.exp(jnp.asarray(theta, dtype=self.dtype)),
+                beta_holder["beta"], fe_arr)
+
+        def grad_fn(theta):
+            return gaussian.gradient_log_scale(
+                spec, data, jnp.asarray(theta, dtype=self.dtype),
+                beta_holder["beta"], fe_arr)
+
+        def fisher_fn(theta):
+            return gaussian.fisher_information(
+                spec, data, jnp.asarray(theta, dtype=self.dtype))
+
+        def cb(it, theta, nll):
+            if has_coef:
+                full = jnp.exp(jnp.asarray(theta, dtype=self.dtype))
+                beta_holder["beta"] = gaussian.wls_coefficients(spec, data, full,
+                                                                fe_arr)
+
+        if has_coef:
+            cb(0, np.log(init), 0.0)
+        result = optimizers.fisher_scoring(value_fn, grad_fn, fisher_fn,
+                                           np.log(np.maximum(init, 1e-300)),
+                                           cfg, callback=cb)
+        self.cov_pars_ = result.params
+        self.coefs_ = (None if beta_holder["beta"] is None
+                       else np.asarray(beta_holder["beta"]))
+        self.current_nll_ = float(result.nll)
+        return result
+
+    def _calc_std_dev_cov_pars(self, data):
+        """Asymptotic std devs from the inverse Fisher information
+        (``CalcStdDevCovPar``, ``re_model_template.h:9775``)."""
+        lp = jnp.asarray(np.log(self.cov_pars_), dtype=self.dtype)
+        fi = np.asarray(gaussian.fisher_information(self.spec, data, lp))
+        # delta method back to original scale: d par / d log par = par
+        try:
+            inv = np.linalg.inv(fi)
+        except np.linalg.LinAlgError:
+            inv = np.linalg.pinv(fi)
+        return np.sqrt(np.maximum(np.diagonal(inv), 0.0)) * self.cov_pars_
+
+    # ------------------------------------------------------------------
+    def predict(self, y=None, group_data_pred=None, group_rand_coef_data_pred=None,
+                gp_coords_pred=None, gp_rand_coef_data_pred=None,
+                cluster_ids_pred=None, X_pred=None, predict_cov_mat=False,
+                predict_var=False, cov_pars=None, predict_response=True,
+                fixed_effects=None, fixed_effects_pred=None, **kwargs):
+        """Posterior prediction (``GPModel.predict``, ``basic.py:5778``).
+
+        Returns dict with 'mu', 'var', 'cov' like the reference.
+        """
+        cov_pars_arr = jnp.asarray(
+            np.asarray(cov_pars if cov_pars is not None else self.cov_pars_,
+                       dtype=np.float64), dtype=self.dtype)
+        data = self._with_y(y) if y is not None else self.data
+        beta = (None if self.coefs_ is None
+                else jnp.asarray(self.coefs_, dtype=self.dtype))
+
+        data_pred, cross_dists, pred_dists = self._build_pred_data(
+            group_data_pred, group_rand_coef_data_pred, gp_coords_pred,
+            gp_rand_coef_data_pred, cluster_ids_pred, X_pred)
+
+        if not self.spec.is_gaussian:
+            from gpboost_tpu.models import laplace
+            ap = self._aux_pars_array()
+            fe = None if fixed_effects is None else jnp.asarray(
+                fixed_effects, dtype=self.dtype)
+            fep = None if fixed_effects_pred is None else jnp.asarray(
+                fixed_effects_pred, dtype=self.dtype)
+            mean, var, cov = laplace.predict(
+                self.spec, data, cov_pars_arr, ap, data_pred, cross_dists,
+                bool(predict_var or predict_cov_mat), bool(predict_cov_mat),
+                pred_dists, beta, fe, fep, bool(predict_response))
+        else:
+            fe = None if fixed_effects is None else jnp.asarray(
+                fixed_effects, dtype=self.dtype)
+            fep = None if fixed_effects_pred is None else jnp.asarray(
+                fixed_effects_pred, dtype=self.dtype)
+            mean, var, cov = gaussian.predict(
+                self.spec, data, cov_pars_arr, data_pred, cross_dists,
+                bool(predict_var), bool(predict_cov_mat), pred_dists, beta,
+                fe, fep, bool(predict_response))
+        out = {"mu": np.asarray(mean),
+               "var": None if var is None else np.asarray(var),
+               "cov": None if cov is None else np.asarray(cov)}
+        return out
+
+    def _build_pred_data(self, group_data_pred, group_rand_coef_data_pred,
+                         gp_coords_pred, gp_rand_coef_data_pred,
+                         cluster_ids_pred, X_pred):
+        group_codes_p = None
+        slope_p = None
+        if group_data_pred is not None:
+            gd = np.asarray(group_data_pred)
+            if gd.ndim == 1:
+                gd = gd[:, None]
+            ncols_base = len(self._group_maps)
+            codes = np.empty((gd.shape[0], 0), dtype=np.int32)
+            cols = []
+            for j in range(ncols_base):
+                lookup = {g: i for i, g in enumerate(self._group_maps[j])}
+                col = np.asarray([lookup.get(str(v), -1) for v in gd[:, j]],
+                                 dtype=np.int32)
+                cols.append(col)
+            # slope components replicate their base component's codes
+            base_cols = list(cols)
+            for comp in self.spec.components:
+                if isinstance(comp, GroupedRESpec) and comp.is_slope:
+                    # base index: matching non-slope component order
+                    cols.append(base_cols[_slope_base_index(self.spec, comp)])
+            group_codes_p = jnp.asarray(np.stack(cols, axis=1))
+            if group_rand_coef_data_pred is not None:
+                rc = np.asarray(group_rand_coef_data_pred, dtype=np.float64)
+                if rc.ndim == 1:
+                    rc = rc[:, None]
+                slope_p = jnp.asarray(rc, dtype=self.dtype)
+        coords_p = None
+        cross_dists = None
+        pred_dists = None
+        if gp_coords_pred is not None:
+            c = np.asarray(gp_coords_pred, dtype=np.float64)
+            if c.ndim == 1:
+                c = c[:, None]
+            coords_p = jnp.asarray(c, dtype=self.dtype)
+            if self.data.coords is not None:
+                cross_dists = euclidean_distance(coords_p, self.data.coords)
+                pred_dists = euclidean_distance(coords_p, coords_p)
+        gp_rc_p = None
+        if gp_rand_coef_data_pred is not None:
+            rc = np.asarray(gp_rand_coef_data_pred, dtype=np.float64)
+            if rc.ndim == 1:
+                rc = rc[:, None]
+            gp_rc_p = jnp.asarray(rc, dtype=self.dtype)
+        cluster_p = None
+        if cluster_ids_pred is not None and self._cluster_map is not None:
+            lookup = {g: i for i, g in enumerate(self._cluster_map)}
+            cluster_p = jnp.asarray(np.asarray(
+                [lookup.get(str(v), -1) for v in np.asarray(cluster_ids_pred)],
+                dtype=np.int32))
+        elif self.data.cluster_codes is not None:
+            npred = (coords_p.shape[0] if coords_p is not None
+                     else group_codes_p.shape[0])
+            cluster_p = jnp.zeros((npred,), dtype=jnp.int32)
+        X_p = (None if X_pred is None
+               else jnp.asarray(np.asarray(X_pred, dtype=np.float64),
+                                dtype=self.dtype))
+        data_pred = ModelData(y=None, X=X_p, group_codes=group_codes_p,
+                              slope_data=slope_p, coords=coords_p,
+                              dists=None, gp_rand_coef_data=gp_rc_p,
+                              cluster_codes=cluster_p)
+        return data_pred, cross_dists, pred_dists
+
+    # ------------------------------------------------------------------
+    def get_cov_pars(self, format_pandas=False):
+        return np.asarray(self.cov_pars_)
+
+    def get_coef(self):
+        return None if self.coefs_ is None else np.asarray(self.coefs_)
+
+    def get_aux_pars(self):
+        return getattr(self, "aux_pars_", None)
+
+    def get_num_optim_iter(self):
+        return self.num_it_
+
+    def get_current_neg_log_likelihood(self):
+        return getattr(self, "current_nll_", None)
+
+    def summary(self):
+        print("Covariance parameters:")
+        print(dict(zip(self._cov_par_names(), np.asarray(self.cov_pars_))))
+        if self.coefs_ is not None:
+            print("Linear regression coefficients:")
+            print(np.asarray(self.coefs_))
+        if getattr(self, "aux_pars_", None) is not None:
+            print("Additional parameters:")
+            print(np.asarray(self.aux_pars_))
+        return self
+
+    def _cov_par_names(self):
+        names = []
+        if self.spec.is_gaussian:
+            names.append("Error_term")
+        k_group = 0
+        k_gp = 0
+        for comp in self.spec.components:
+            if isinstance(comp, GroupedRESpec):
+                prefix = f"Group_{k_group + 1}"
+                names.append(f"{prefix}" + ("_rand_coef" if comp.is_slope else ""))
+                k_group += 1
+            else:
+                prefix = "GP" + ("_rand_coef" if comp.is_random_coef else "")
+                names.append(f"{prefix}_var")
+                for i in range(comp.num_cov_par - 1):
+                    names.append(f"{prefix}_range" + (f"_{i+1}" if comp.num_cov_par > 2 else ""))
+                k_gp += 1
+        return names
+
+    def model_to_dict(self):
+        """Serialize (``GPModel.model_to_dict``, ``basic.py:6445``)."""
+        d = {
+            "likelihood": self.likelihood,
+            "cov_function": self.cov_function_name,
+            "cov_fct_shape": self.cov_fct_shape,
+            "gp_approx": self.gp_approx,
+            "cov_pars": None if self.cov_pars_ is None else list(
+                np.asarray(self.cov_pars_, dtype=np.float64)),
+            "coefs": None if self.coefs_ is None else list(
+                np.asarray(self.coefs_, dtype=np.float64)),
+            "aux_pars": None if getattr(self, "aux_pars_", None) is None else list(
+                np.asarray(self.aux_pars_, dtype=np.float64)),
+            "num_data": self.num_data,
+        }
+        return d
+
+    def save_model(self, filename):
+        with open(filename, "w") as f:
+            json.dump(self.model_to_dict(), f)
+        return self
+
+
+def _is_variance_index(spec, a, idx):
+    return True
+
+
+def _slope_base_index(spec: ModelSpec, slope_comp: GroupedRESpec) -> int:
+    """Index of the base grouped component whose codes a slope shares."""
+    base_count = 0
+    for comp in spec.components:
+        if isinstance(comp, GroupedRESpec) and not comp.is_slope:
+            base_count += 1
+    # slope's codes were appended after the base columns in declaration order;
+    # with a single base group this is always column 0
+    return 0

@@ -1,0 +1,266 @@
+"""Covariance-parameter optimizers for the random-effects engine.
+
+Host-driven loops around jitted value/gradient kernels — the TPU-native
+equivalent of ``REModelTemplate::OptimLinRegrCoefCovPar``
+(``re_model_template.h:846``, internal loop :1290-1330) and the external
+optimizer bridge (``optim_utils.h:562``). Semantics matched to the reference:
+
+- updates on the log parameter scale (``UpdateCovAuxPars``, exp/log step)
+- Nesterov acceleration version 0 with momentum offset 2
+  (``ApplyMomentumStep``, ``NesterovSchedule``)
+- learning-rate halving (factor 0.5, max 30 steps) when the NLL does not
+  decrease, with the Armijo condition c=1e-4 (``re_model_template.h:5253-5313``)
+- learning-rate capping so one log-scale update changes parameters by at most
+  a factor 100 (``AvoidTooLargeLearningRatesCovAuxPars``, :7539)
+- nugget variance profiled out for gradient_descent / lbfgs / nelder_mead /
+  adam under a Gaussian likelihood (:946)
+- convergence via relative change in NLL or parameters (:1708-1730)
+
+L-BFGS and Nelder-Mead use scipy's implementations driven by jitted
+value-and-grad (the reference links LBFGSpp / OptimLib — external optimizers
+driven by its NLL evals, same architecture).
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MAX_GRADIENT_UPDATE_LOG_SCALE = math.log(100.0)
+LR_SHRINKAGE_FACTOR = 0.5
+MAX_LR_SHRINKAGE_STEPS = 30
+C_ARMIJO = 1e-4
+
+
+@dataclass
+class OptimConfig:
+    """Optimization settings (subset of ``GPB_SetOptimConfig`` /
+    ``gpboost.GPModel.set_optim_params``, ``basic.py:5347-5544``)."""
+    optimizer_cov: str = "gradient_descent"
+    optimizer_coef: str = "wls"
+    maxit: int = 1000
+    lr_cov: float = 0.1
+    lr_coef: float = 0.1
+    use_nesterov_acc: bool = True
+    acc_rate_cov: float = 0.5
+    momentum_offset: int = 2
+    delta_rel_conv: float = 1e-6
+    convergence_criterion: str = "relative_change_in_log_likelihood"
+    armijo_condition: bool = True
+    estimate_aux_pars: bool = True
+    trace: bool = False
+    # iterative-method settings (used by CG-based models)
+    cg_max_num_it: int = 1000
+    cg_max_num_it_tridiag: int = 1000
+    cg_delta_conv: float = 1e-2
+    num_rand_vec_trace: int = 50
+    reuse_rand_vec_trace: bool = True
+    seed_rand_vec_trace: int = 1
+    cg_preconditioner_type: str = ""
+    init_cov_pars: Optional[np.ndarray] = None
+    init_coef: Optional[np.ndarray] = None
+    std_dev: bool = False
+
+
+@dataclass
+class OptimResult:
+    params: np.ndarray          # final parameters on the original scale
+    nll: float
+    num_it: int
+    converged: bool
+    history: list = field(default_factory=list)
+
+
+def nesterov_mu(it: int, acc_rate: float, offset: int) -> float:
+    return 0.0 if it < offset else acc_rate
+
+
+def gradient_descent(value_fn: Callable, grad_fn: Callable,
+                     theta0: np.ndarray, cfg: OptimConfig,
+                     callback: Optional[Callable] = None) -> OptimResult:
+    """Nesterov-accelerated GD on log-scale parameters.
+
+    ``value_fn(theta) -> nll`` and ``grad_fn(theta) -> dnll/dtheta`` take
+    *log-scale* parameters. Mirrors the reference's internal loop with
+    LR halving and Armijo checks.
+    """
+    theta = np.asarray(theta0, dtype=np.float64)
+    theta_after_grad = theta.copy()
+    theta_after_grad_lag1 = theta.copy()
+    lr = cfg.lr_cov
+    acc_rate = cfg.acc_rate_cov
+    nll = float(value_fn(theta))
+    history = [nll]
+    converged = False
+    it = 0
+    for it in range(cfg.maxit):
+        g = np.asarray(grad_fn(theta), dtype=np.float64)
+        if not np.all(np.isfinite(g)):
+            break
+        # permanent LR capping (AvoidTooLargeLearningRatesCovAuxPars)
+        gmax = np.max(np.abs(g))
+        if gmax > 0 and lr > MAX_GRADIENT_UPDATE_LOG_SCALE / gmax:
+            lr = MAX_GRADIENT_UPDATE_LOG_SCALE / gmax
+        dir_deriv = -float(np.dot(g, g))  # directional derivative along -g
+        lr_try = lr
+        acc_try = acc_rate
+        accepted = False
+        nll_new = nll
+        for _ in range(MAX_LR_SHRINKAGE_STEPS):
+            cand_after_grad = theta - lr_try * g
+            mu = nesterov_mu(it, acc_try, cfg.momentum_offset) if cfg.use_nesterov_acc else 0.0
+            cand = (1.0 + mu) * cand_after_grad - mu * theta_after_grad_lag1
+            nll_new = float(value_fn(cand))
+            if cfg.armijo_condition:
+                ok = np.isfinite(nll_new) and (
+                    nll_new <= nll + C_ARMIJO * lr_try * dir_deriv)
+            else:
+                ok = np.isfinite(nll_new) and nll_new <= nll
+            if ok:
+                accepted = True
+                break
+            lr_try *= LR_SHRINKAGE_FACTOR
+            acc_try *= 0.5
+        if not accepted:
+            # could not decrease: keep previous parameters and stop
+            break
+        lr = lr_try
+        theta_after_grad_lag1 = theta_after_grad
+        theta_after_grad = cand_after_grad
+        theta = cand
+        history.append(nll_new)
+        if callback is not None:
+            callback(it, theta, nll_new)
+        if cfg.convergence_criterion == "relative_change_in_log_likelihood":
+            if abs(nll_new - nll) / max(abs(nll), 1e-300) < cfg.delta_rel_conv:
+                nll = nll_new
+                converged = True
+                break
+        else:  # relative_change_in_parameters (on original scale)
+            rel = np.linalg.norm(np.exp(cand) - np.exp(theta_after_grad_lag1))
+            if rel < cfg.delta_rel_conv * max(np.linalg.norm(np.exp(theta)), 1e-300):
+                nll = nll_new
+                converged = True
+                break
+        nll = nll_new
+    return OptimResult(params=np.exp(theta), nll=nll, num_it=it + 1,
+                       converged=converged, history=history)
+
+
+def fisher_scoring(value_fn: Callable, grad_fn: Callable, fisher_fn: Callable,
+                   theta0: np.ndarray, cfg: OptimConfig,
+                   callback: Optional[Callable] = None) -> OptimResult:
+    """Fisher scoring with log-scale step capping and NLL-decrease halving.
+
+    step = FI^-1 grad, clipped elementwise to log(100)
+    (``UpdateCovAuxPars``, ``re_model_template.h:7584-7600``).
+    """
+    theta = np.asarray(theta0, dtype=np.float64)
+    nll = float(value_fn(theta))
+    history = [nll]
+    converged = False
+    it = 0
+    for it in range(cfg.maxit):
+        g = np.asarray(grad_fn(theta), dtype=np.float64)
+        fi = np.asarray(fisher_fn(theta), dtype=np.float64)
+        try:
+            step = np.linalg.solve(fi, g)
+        except np.linalg.LinAlgError:
+            step = g
+        step = np.clip(step, -MAX_GRADIENT_UPDATE_LOG_SCALE,
+                       MAX_GRADIENT_UPDATE_LOG_SCALE)
+        lr_try = 1.0
+        accepted = False
+        for _ in range(MAX_LR_SHRINKAGE_STEPS):
+            cand = theta - lr_try * step
+            nll_new = float(value_fn(cand))
+            if np.isfinite(nll_new) and nll_new <= nll:
+                accepted = True
+                break
+            lr_try *= LR_SHRINKAGE_FACTOR
+        if not accepted:
+            break
+        theta = cand
+        history.append(nll_new)
+        if callback is not None:
+            callback(it, theta, nll_new)
+        if cfg.convergence_criterion == "relative_change_in_log_likelihood":
+            if abs(nll_new - nll) / max(abs(nll), 1e-300) < cfg.delta_rel_conv:
+                nll = nll_new
+                converged = True
+                break
+        nll = nll_new
+    return OptimResult(params=np.exp(theta), nll=nll, num_it=it + 1,
+                       converged=converged, history=history)
+
+
+def lbfgs(value_and_grad_fn: Callable, theta0: np.ndarray,
+          cfg: OptimConfig) -> OptimResult:
+    """L-BFGS on log-scale parameters via scipy (reference: LBFGSpp,
+    ``optim_utils.h:642-676``)."""
+    from scipy.optimize import minimize
+
+    def f(theta):
+        v, g = value_and_grad_fn(theta)
+        v = float(v)
+        g = np.asarray(g, dtype=np.float64)
+        if not np.isfinite(v):
+            return 1e300, np.zeros_like(g)
+        return v, g
+
+    res = minimize(f, np.asarray(theta0, dtype=np.float64), jac=True,
+                   method="L-BFGS-B",
+                   options={"maxiter": cfg.maxit, "ftol": cfg.delta_rel_conv,
+                            "gtol": 1e-10})
+    return OptimResult(params=np.exp(res.x), nll=float(res.fun),
+                       num_it=int(res.nit), converged=bool(res.success),
+                       history=[float(res.fun)])
+
+
+def nelder_mead(value_fn: Callable, theta0: np.ndarray,
+                cfg: OptimConfig) -> OptimResult:
+    """Nelder-Mead on log-scale parameters (reference: OptimLib)."""
+    from scipy.optimize import minimize
+
+    def f(theta):
+        v = float(value_fn(theta))
+        return v if np.isfinite(v) else 1e300
+
+    res = minimize(f, np.asarray(theta0, dtype=np.float64),
+                   method="Nelder-Mead",
+                   options={"maxiter": max(cfg.maxit, 1000), "xatol": 1e-8,
+                            "fatol": cfg.delta_rel_conv})
+    return OptimResult(params=np.exp(res.x), nll=float(res.fun),
+                       num_it=int(res.nit), converged=bool(res.success),
+                       history=[float(res.fun)])
+
+
+def adam(value_and_grad_fn: Callable, theta0: np.ndarray,
+         cfg: OptimConfig) -> OptimResult:
+    """Adam on log-scale parameters (reference: OptimLib adam)."""
+    import optax
+
+    opt = optax.adam(learning_rate=max(cfg.lr_cov, 1e-3))
+    theta = jnp.asarray(theta0, dtype=jnp.float64)
+    state = opt.init(theta)
+    nll_prev = np.inf
+    history = []
+    converged = False
+    it = 0
+    for it in range(cfg.maxit):
+        v, g = value_and_grad_fn(np.asarray(theta))
+        v = float(v)
+        history.append(v)
+        updates, state = opt.update(jnp.asarray(g), state, theta)
+        theta = optax.apply_updates(theta, updates)
+        if abs(v - nll_prev) / max(abs(nll_prev), 1e-300) < cfg.delta_rel_conv:
+            converged = True
+            break
+        nll_prev = v
+    theta = np.asarray(theta)
+    return OptimResult(params=np.exp(theta), nll=float(value_and_grad_fn(theta)[0]),
+                       num_it=it + 1, converged=converged, history=history)

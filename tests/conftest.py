@@ -1,0 +1,56 @@
+"""Test configuration: run on a virtual 8-device CPU mesh with float64.
+
+Sharding/collective tests use the virtual devices
+(``xla_force_host_platform_device_count``, the JAX multi-device test pattern);
+numerical-parity tests need float64 which TPUs lack natively, so all tests run
+on CPU. Env vars must be set before jax initializes.
+"""
+import os
+
+# NB: the machine may export JAX_PLATFORMS=axon (TPU tunnel); tests must run
+# on CPU, so force-assign (setdefault is not enough) AND set the config below.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+assert jax.default_backend() == "cpu"
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from gpboost_tpu.utils.rng import sim_rand_unif, sim_rand_normal  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def gp_fixture_data():
+    """The n=100 simulated dataset of the reference's R test suite
+    (``test_GPModel_gaussian_process.R:38-72``), bit-identical via the LCG."""
+    n = 100
+    d = 2
+    # R fills matrices column-major: matrix(x, ncol=2) -> col j = x[j*n:(j+1)*n]
+    x = sim_rand_unif(n * d, init_c=0.1)
+    coords = np.column_stack([x[:n], x[n:]])
+    D = np.sqrt(((coords[:, None, :] - coords[None, :, :]) ** 2).sum(-1))
+    sigma2_1, rho = 1.0, 0.1
+    Sigma = sigma2_1 * np.exp(-D / rho) + np.eye(n) * 1e-20
+    C = np.linalg.cholesky(Sigma)
+    b_1 = sim_rand_normal(n, init_c=0.8)
+    eps = C @ b_1
+    Z_SVC = sim_rand_unif(n * 2, init_c=0.6)
+    Z_SVC = np.column_stack([Z_SVC[:n], Z_SVC[n:]])
+    b_2 = sim_rand_normal(n, init_c=0.17)
+    b_3 = sim_rand_normal(n, init_c=0.42)
+    eps_svc = C @ b_1 + Z_SVC[:, 0] * (C @ b_2) + Z_SVC[:, 1] * (C @ b_3)
+    xi = sim_rand_normal(n, init_c=0.1) / 5.0
+    X = np.column_stack([np.ones(n),
+                         np.sin((np.arange(1, n + 1) - n / 2) ** 2 * 2 * np.pi / n)])
+    beta = np.array([2.0, 2.0])
+    cluster_ids = np.concatenate([np.ones(40), 2 * np.ones(60)])
+    return dict(n=n, coords=coords, D=D, eps=eps, eps_svc=eps_svc, xi=xi,
+                X=X, beta=beta, cluster_ids=cluster_ids, Z_SVC=Z_SVC)

