@@ -141,6 +141,7 @@ class GPModel:
             "seed_rand_vec_trace": "seed_rand_vec_trace",
             "cg_preconditioner_type": "cg_preconditioner_type",
             "trace": "trace", "std_dev": "std_dev",
+            "estimate_aux_pars": "estimate_aux_pars",
         }
         for k, v in params.items():
             if k in mapping:
@@ -149,6 +150,9 @@ class GPModel:
                 cfg.init_cov_pars = np.asarray(v, dtype=np.float64)
             elif k == "init_coef":
                 cfg.init_coef = np.asarray(v, dtype=np.float64)
+            elif k == "init_aux_pars":
+                self.aux_pars_ = np.atleast_1d(
+                    np.asarray(v, dtype=np.float64))
         return self
 
     # ------------------------------------------------------------------
@@ -174,9 +178,36 @@ class GPModel:
         data = ModelData(**{f: getattr(self.data, f) for f in (
             "y", "X", "group_codes", "slope_data", "coords", "dists",
             "gp_rand_coef_data", "weights", "cluster_codes")})
-        data.y = jnp.asarray(np.asarray(y, dtype=np.float64).ravel(),
-                             dtype=self.dtype)
+        y_np = np.asarray(y, dtype=np.float64).ravel()
+        self._validate_y(y_np)
+        data.y = jnp.asarray(y_np, dtype=self.dtype)
         return data
+
+    def _validate_y(self, y: np.ndarray):
+        """Response checks per likelihood (reference: label format errors in
+        ``likelihoods.h`` / the R tests expect errors for bad labels)."""
+        if y.shape[0] != self.num_data:
+            raise ValueError(
+                f"y has {y.shape[0]} entries but the model was built for "
+                f"{self.num_data} data points")
+        if np.any(~np.isfinite(y)):
+            raise ValueError("NaN or Inf in response variable / label")
+        lik = self.likelihood
+        if lik in ("bernoulli_probit", "bernoulli_logit"):
+            if not np.all((y == 0) | (y == 1)):
+                raise ValueError(
+                    f"Response must be 0 or 1 for likelihood '{lik}'")
+        elif lik in ("poisson", "negative_binomial", "negative_binomial_1"):
+            if np.any(y < 0) or np.any(y != np.floor(y)):
+                raise ValueError(
+                    f"Response must be a non-negative integer for '{lik}'")
+        elif lik in ("gamma", "lognormal"):
+            if np.any(y <= 0):
+                raise ValueError(
+                    f"Response must be strictly positive for '{lik}'")
+        elif lik == "beta":
+            if np.any((y <= 0) | (y >= 1)):
+                raise ValueError("Response must be in (0, 1) for 'beta'")
 
     def _aux_pars_array(self, aux_pars=None):
         from gpboost_tpu import likelihoods as lk
@@ -472,12 +503,24 @@ class GPModel:
             if gd.ndim == 1:
                 gd = gd[:, None]
             ncols_base = len(self._group_maps)
-            codes = np.empty((gd.shape[0], 0), dtype=np.int32)
             cols = []
             for j in range(ncols_base):
                 lookup = {g: i for i, g in enumerate(self._group_maps[j])}
-                col = np.asarray([lookup.get(str(v), -1) for v in gd[:, j]],
-                                 dtype=np.int32)
+                n_tr = len(self._group_maps[j])
+                # unseen groups get fresh distinct codes >= num_groups so they
+                # (a) never match training data and (b) only match prediction
+                # points with the SAME new label (independent new groups,
+                # reference behavior for e.g. group 9999 in the R tests)
+                new_codes: dict = {}
+                col = np.empty(gd.shape[0], dtype=np.int32)
+                for i, v in enumerate(gd[:, j]):
+                    key = str(v)
+                    if key in lookup:
+                        col[i] = lookup[key]
+                    else:
+                        if key not in new_codes:
+                            new_codes[key] = n_tr + len(new_codes)
+                        col[i] = new_codes[key]
                 cols.append(col)
             # slope components replicate their base component's codes
             base_cols = list(cols)
@@ -511,9 +554,18 @@ class GPModel:
         cluster_p = None
         if cluster_ids_pred is not None and self._cluster_map is not None:
             lookup = {g: i for i, g in enumerate(self._cluster_map)}
-            cluster_p = jnp.asarray(np.asarray(
-                [lookup.get(str(v), -1) for v in np.asarray(cluster_ids_pred)],
-                dtype=np.int32))
+            new_codes: dict = {}
+            vals = np.asarray(cluster_ids_pred)
+            col = np.empty(len(vals), dtype=np.int32)
+            for i, v in enumerate(vals):
+                key = str(v)
+                if key in lookup:
+                    col[i] = lookup[key]
+                else:
+                    if key not in new_codes:
+                        new_codes[key] = len(lookup) + len(new_codes)
+                    col[i] = new_codes[key]
+            cluster_p = jnp.asarray(col)
         elif self.data.cluster_codes is not None:
             npred = (coords_p.shape[0] if coords_p is not None
                      else group_codes_p.shape[0])

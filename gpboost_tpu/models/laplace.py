@@ -1,0 +1,303 @@
+"""Laplace-approximation engine for non-Gaussian likelihoods (exact/dense path).
+
+TPU-native replacement for the reference's ``Likelihood`` class mode-finding
+and marginal-likelihood machinery (``include/GPBoost/likelihoods.h``):
+
+- mode finding = Newton iterations with Armijo line search in a
+  ``lax.while_loop`` (reference ``FindModePostRandEffCalcMLL_Stable``,
+  ``likelihoods.h:1843-1935``), in the stable parametrization that tracks
+  ``a = Sigma^-1 b`` so no explicit inverse is formed (Rasmussen & Williams
+  Alg. 3.1).
+- gradients w.r.t. covariance parameters, fixed effects F, and auxiliary
+  likelihood parameters come from *implicit differentiation* of the mode
+  equation (custom_vjp + adjoint solve) composed with plain autodiff of the
+  Laplace objective — this reproduces the reference's hand-derived
+  third-derivative terms (``CalcGradNegMargLikelihoodLaplaceApprox*``,
+  ``likelihoods.h:3261-5560``) exactly, for every model structure.
+- predictions: latent mean/variance via the (I + W Sigma) solve
+  (``PredictLaplaceApprox*`` :5610-7250) and response-scale moments via
+  Gauss-Hermite quadrature (``RespMeanAdaptiveGHQuadrature`` :7857).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.scipy.linalg import solve_triangular
+
+from gpboost_tpu import likelihoods as lk
+from gpboost_tpu.models.covariance import split_cov_pars, total_re_cov
+from gpboost_tpu.models.spec import ModelData, ModelSpec
+
+MAX_NEWTON_IT = 100
+NEWTON_TOL = 1e-8
+ARMIJO_C = 1e-4
+MAX_HALVING = 20
+
+
+# ---------------------------------------------------------------------------
+# mode finding with implicit differentiation
+# ---------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def find_mode(lik_name: str, sigma, y, F, aux):
+    """Posterior mode b* of log p(y|F+b) - 1/2 b' Sigma^-1 b. Differentiable
+    w.r.t. (sigma, F, aux) via the implicit function theorem."""
+    return _find_mode_fwd_impl(lik_name, sigma, y, F, aux)
+
+
+def _find_mode_fwd_impl(lik_name, sigma, y, F, aux):
+    fam = lk.get_family(lik_name)
+    n = y.shape[0]
+    dtype = sigma.dtype
+
+    def loglik_sum(b):
+        return jnp.sum(fam.log_lik(y, F + b, aux))
+
+    def newton_step(state):
+        b, a, psi, it, step_ok = state
+        loc = F + b
+        d1 = fam.d_loc(y, loc, aux)
+        w = -fam.d2_loc(y, loc, aux)
+        w_safe = jnp.maximum(w, 1e-10)  # quasi-Newton safeguard for
+        # non-log-concave families (reference: fisher_laplace variant)
+        sw = jnp.sqrt(w_safe)
+        c = w_safe * b + d1
+        sc = sigma @ c
+        B = jnp.eye(n, dtype=dtype) + sw[:, None] * sigma * sw[None, :]
+        L = jnp.linalg.cholesky(B)
+        t0 = solve_triangular(L, sw * sc, lower=True)
+        t1 = solve_triangular(L.T, t0, lower=False)
+        a_new = c - sw * t1
+        b_new = sigma @ a_new
+
+        # Armijo backtracking on psi(b) = loglik - 1/2 a'b, a = Sigma^-1 b
+        db = b_new - b
+        da = a_new - a
+
+        def psi_at(t):
+            bt = b + t * db
+            at = a + t * da
+            return loglik_sum(bt) - 0.5 * jnp.dot(at, bt)
+
+        def halving_body(hs):
+            t, _, k = hs
+            return (t * 0.5, psi_at(t * 0.5), k + 1)
+
+        def halving_cond(hs):
+            t, val, k = hs
+            return jnp.logical_and(val < psi, k < MAX_HALVING)
+
+        t_fin, psi_fin, _ = jax.lax.while_loop(
+            halving_cond, halving_body, (1.0, psi_at(1.0), 0))
+        b_out = b + t_fin * db
+        a_out = a + t_fin * da
+        converged = jnp.abs(psi_fin - psi) < NEWTON_TOL * (jnp.abs(psi) + 1e-10)
+        return (b_out, a_out, psi_fin, it + 1, converged)
+
+    def cond(state):
+        _, _, _, it, converged = state
+        return jnp.logical_and(it < MAX_NEWTON_IT, jnp.logical_not(converged))
+
+    b0 = jnp.zeros(n, dtype=dtype)
+    psi0 = loglik_sum(b0)
+    b, a, psi, it, _ = jax.lax.while_loop(
+        cond, newton_step, (b0, b0, psi0, 0, False))
+    return b
+
+
+def _find_mode_fwd(lik_name, sigma, y, F, aux):
+    b = _find_mode_fwd_impl(lik_name, sigma, y, F, aux)
+    return b, (sigma, y, F, aux, b)
+
+
+def _find_mode_bwd(lik_name, res, v):
+    """Adjoint: solve (I + W Sigma) lam = v, then pull back through
+    g(b; sigma, F, aux) = b - Sigma d1(y, F+b, aux)."""
+    sigma, y, F, aux, b = res
+    fam = lk.get_family(lik_name)
+    n = b.shape[0]
+    loc = F + b
+    w = -fam.d2_loc(y, loc, aux)
+    # dg/db = I + Sigma W; its transpose is I + W Sigma
+    M_T = jnp.eye(n, dtype=sigma.dtype) + w[:, None] * sigma
+    lam = jnp.linalg.solve(M_T, v)
+
+    def g(sigma_, F_, aux_):
+        d1 = fam.d_loc(y, F_ + b, aux_)
+        return b - sigma_ @ d1
+
+    _, vjp = jax.vjp(g, sigma, F, aux)
+    gs, gF, gaux = vjp(-lam)
+    return gs, jnp.zeros_like(y), gF, gaux
+
+
+find_mode.defvjp(_find_mode_fwd, _find_mode_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Laplace-approximate negative log marginal likelihood
+# ---------------------------------------------------------------------------
+
+def _laplace_nll_from_sigma(lik_name, sigma, y, F, aux):
+    fam = lk.get_family(lik_name)
+    n = y.shape[0]
+    b = find_mode(lik_name, sigma, y, F, aux)
+    loc = F + b
+    d1 = fam.d_loc(y, loc, aux)
+    w = -fam.d2_loc(y, loc, aux)
+    loglik = jnp.sum(fam.log_lik(y, loc, aux))
+    # at the mode Sigma^-1 b = d1, so b' Sigma^-1 b = b . d1
+    quad = jnp.dot(b, d1)
+    # logdet(I + W Sigma) via LU (W may be negative for t/beta likelihoods)
+    M = jnp.eye(n, dtype=sigma.dtype) + w[:, None] * sigma
+    sign, logdet = jnp.linalg.slogdet(M)
+    return -(loglik - 0.5 * quad - 0.5 * logdet)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def neg_log_marginal_likelihood(spec: ModelSpec, data: ModelData,
+                                cov_pars: jnp.ndarray,
+                                aux_pars: Optional[jnp.ndarray],
+                                beta: Optional[jnp.ndarray] = None,
+                                fixed_effects: Optional[jnp.ndarray] = None):
+    """Laplace-approximate NLL (``EvalNegLogLikelihood`` non-Gaussian branch,
+    ``re_model_template.h:2646`` -> ``likelihoods.h`` mode finders)."""
+    _, comp_pars = split_cov_pars(spec, cov_pars)
+    sigma = total_re_cov(spec, data, comp_pars)
+    n = data.y.shape[0]
+    F = jnp.zeros(n, dtype=sigma.dtype)
+    if beta is not None and data.X is not None:
+        F = F + data.X @ beta
+    if fixed_effects is not None:
+        F = F + fixed_effects
+    aux = aux_pars if aux_pars is not None else jnp.zeros((0,), sigma.dtype)
+    return _laplace_nll_from_sigma(spec.likelihood, sigma, data.y, F, aux)
+
+
+# gradient of the NLL w.r.t. the fixed-effects vector F — the boosting
+# pseudo-gradient (``CalcGradientF``, ``re_model_template.h:3021``)
+@partial(jax.jit, static_argnums=(0,))
+def gradient_wrt_F(spec: ModelSpec, data: ModelData, cov_pars: jnp.ndarray,
+                   aux_pars: Optional[jnp.ndarray],
+                   fixed_effects: jnp.ndarray):
+    def f(fe):
+        return neg_log_marginal_likelihood(spec, data, cov_pars, aux_pars,
+                                           None, fe)
+    return jax.grad(f)(fixed_effects)
+
+
+# ---------------------------------------------------------------------------
+# prediction
+# ---------------------------------------------------------------------------
+
+_GH_DEG = 30
+_GH_NODES, _GH_WEIGHTS = np.polynomial.hermite_e.hermegauss(_GH_DEG)
+_GH_W_NORM = _GH_WEIGHTS / math.sqrt(2.0 * math.pi)
+
+
+def _response_moments(lik_name, mu, var, aux):
+    """E[mean(y)|latent ~ N(mu, var)] and Var via Gauss-Hermite quadrature
+    (``PredictResponse``/``RespMeanAdaptiveGHQuadrature``, likelihoods.h:7526).
+    Probit uses the closed form Phi(mu/sqrt(1+var))."""
+    fam = lk.get_family(lik_name)
+    if lik_name in ("bernoulli_probit", "binomial_probit"):
+        from jax.scipy.special import ndtr
+        p = ndtr(mu / jnp.sqrt(1.0 + var))
+        return p, p * (1.0 - p)
+    nodes = jnp.asarray(_GH_NODES, mu.dtype)
+    wts = jnp.asarray(_GH_W_NORM, mu.dtype)
+    sd = jnp.sqrt(jnp.maximum(var, 0.0))
+    locs = mu[:, None] + sd[:, None] * nodes[None, :]
+    m = fam.response_mean(locs, aux)
+    mean = m @ wts
+    if fam.response_var is not None:
+        v_cond = fam.response_var(locs, aux)
+        second = (v_cond + m * m) @ wts
+        varr = jnp.maximum(second - mean * mean, 0.0)
+    else:
+        varr = None
+    return mean, varr
+
+
+@partial(jax.jit, static_argnums=(0, 6, 7, 12))
+def predict(spec: ModelSpec, data: ModelData, cov_pars: jnp.ndarray,
+            aux_pars: Optional[jnp.ndarray], data_pred: ModelData,
+            cross_dists: Optional[jnp.ndarray],
+            predict_var: bool, predict_cov_mat: bool,
+            pred_dists: Optional[jnp.ndarray] = None,
+            beta: Optional[jnp.ndarray] = None,
+            fixed_effects: Optional[jnp.ndarray] = None,
+            fixed_effects_pred: Optional[jnp.ndarray] = None,
+            predict_response: bool = True):
+    """Laplace-approximate posterior prediction.
+
+    latent mean_p = Sigma_po d1(mode);  var_p = Sigma_pp -
+    Sigma_po W (I + Sigma W)^-1 Sigma_op  (RW 3.27-3.29 /
+    ``PredictLaplaceApproxStable``).
+    """
+    fam = lk.get_family(spec.likelihood)
+    _, comp_pars = split_cov_pars(spec, cov_pars)
+    sigma = total_re_cov(spec, data, comp_pars)
+    n = data.y.shape[0]
+    F = jnp.zeros(n, dtype=sigma.dtype)
+    if beta is not None and data.X is not None:
+        F = F + data.X @ beta
+    if fixed_effects is not None:
+        F = F + fixed_effects
+    aux = aux_pars if aux_pars is not None else jnp.zeros((0,), sigma.dtype)
+    b = find_mode(spec.likelihood, sigma, data.y, F, aux)
+    loc = F + b
+    d1 = fam.d_loc(y := data.y, loc, aux)
+    w = -fam.d2_loc(y, loc, aux)
+
+    cross = total_re_cov(spec, data, comp_pars, data2=data_pred,
+                         cross_dists=cross_dists)
+    mean_latent = cross @ d1
+    F_pred = jnp.zeros(mean_latent.shape[0], dtype=sigma.dtype)
+    if beta is not None and data_pred.X is not None:
+        F_pred = F_pred + data_pred.X @ beta
+    if fixed_effects_pred is not None:
+        F_pred = F_pred + fixed_effects_pred
+    mean_latent = mean_latent + F_pred
+
+    var = None
+    cov = None
+    if predict_var or predict_cov_mat:
+        M = jnp.eye(n, dtype=sigma.dtype) + sigma * w[None, :]
+        # quad = Sigma_po W (I + Sigma W)^-1 Sigma_op
+        z = jnp.linalg.solve(M, cross.T)          # [n, np]
+        quad_full = cross @ (w[:, None] * z)
+        from gpboost_tpu.models.gaussian import _prior_var_diag
+        if predict_cov_mat:
+            pred_self = ModelData(
+                y=None, X=None, group_codes=data_pred.group_codes,
+                slope_data=data_pred.slope_data, coords=data_pred.coords,
+                dists=pred_dists, gp_rand_coef_data=data_pred.gp_rand_coef_data,
+                cluster_codes=data_pred.cluster_codes)
+            prior = total_re_cov(spec, pred_self, comp_pars)
+            cov = prior - quad_full
+            var = jnp.diagonal(cov)
+        else:
+            prior_diag = _prior_var_diag(spec, data_pred, comp_pars)
+            var = prior_diag - jnp.diagonal(quad_full)
+
+    if predict_response:
+        if var is None:
+            # response mean still needs latent variance for the expectation
+            M = jnp.eye(n, dtype=sigma.dtype) + sigma * w[None, :]
+            z = jnp.linalg.solve(M, cross.T)
+            from gpboost_tpu.models.gaussian import _prior_var_diag
+            prior_diag = _prior_var_diag(spec, data_pred, comp_pars)
+            var_lat = prior_diag - jnp.sum(cross.T * (w[:, None] * z), axis=0)
+        else:
+            var_lat = var
+        mean_resp, var_resp = _response_moments(
+            spec.likelihood, mean_latent, jnp.maximum(var_lat, 0.0), aux)
+        out_var = var_resp if (predict_var or predict_cov_mat) else None
+        return mean_resp, out_var, cov
+    return mean_latent, var, cov

@@ -97,6 +97,7 @@ def gradient_descent(value_fn: Callable, grad_fn: Callable,
     history = [nll]
     converged = False
     it = 0
+    small_change_streak = 0
     for it in range(cfg.maxit):
         g = np.asarray(grad_fn(theta), dtype=np.float64)
         if not np.all(np.isfinite(g)):
@@ -109,10 +110,16 @@ def gradient_descent(value_fn: Callable, grad_fn: Callable,
         lr_try = lr
         acc_try = acc_rate
         accepted = False
+        halved = False
         nll_new = nll
-        for _ in range(MAX_LR_SHRINKAGE_STEPS):
+        for k in range(MAX_LR_SHRINKAGE_STEPS):
             cand_after_grad = theta - lr_try * g
             mu = nesterov_mu(it, acc_try, cfg.momentum_offset) if cfg.use_nesterov_acc else 0.0
+            # after two momentum rejections, drop acceleration entirely: near
+            # an optimum the momentum term can oppose the gradient, and a
+            # micro-step fallback would fake convergence
+            if k >= 2:
+                mu = 0.0
             cand = (1.0 + mu) * cand_after_grad - mu * theta_after_grad_lag1
             nll_new = float(value_fn(cand))
             if cfg.armijo_condition:
@@ -123,6 +130,7 @@ def gradient_descent(value_fn: Callable, grad_fn: Callable,
             if ok:
                 accepted = True
                 break
+            halved = True
             lr_try *= LR_SHRINKAGE_FACTOR
             acc_try *= 0.5
         if not accepted:
@@ -136,16 +144,18 @@ def gradient_descent(value_fn: Callable, grad_fn: Callable,
         if callback is not None:
             callback(it, theta, nll_new)
         if cfg.convergence_criterion == "relative_change_in_log_likelihood":
-            if abs(nll_new - nll) / max(abs(nll), 1e-300) < cfg.delta_rel_conv:
-                nll = nll_new
-                converged = True
-                break
+            small = abs(nll_new - nll) / max(abs(nll), 1e-300) < cfg.delta_rel_conv
         else:  # relative_change_in_parameters (on original scale)
             rel = np.linalg.norm(np.exp(cand) - np.exp(theta_after_grad_lag1))
-            if rel < cfg.delta_rel_conv * max(np.linalg.norm(np.exp(theta)), 1e-300):
-                nll = nll_new
-                converged = True
-                break
+            small = rel < cfg.delta_rel_conv * max(
+                np.linalg.norm(np.exp(theta)), 1e-300)
+        # a halved (shrunken) step distorts the change-based criteria; demand
+        # either a clean full-step small change or two consecutive small ones
+        small_change_streak = small_change_streak + 1 if small else 0
+        if small and (not halved or small_change_streak >= 2):
+            nll = nll_new
+            converged = True
+            break
         nll = nll_new
     return OptimResult(params=np.exp(theta), nll=nll, num_it=it + 1,
                        converged=converged, history=history)
