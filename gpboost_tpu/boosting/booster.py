@@ -1,0 +1,442 @@
+"""Booster: the gradient-boosting driver (GBDT core).
+
+TPU-native equivalent of the reference's ``GBDT`` engine
+(``src/LightGBM/boosting/gbdt.cpp``): ``TrainOneIter`` (:404) becomes
+``update()`` — gradients from the objective (including the GPBoost coupling),
+optional bagging, leaf-wise tree growth on device kernels, optional GPBoost
+Newton leaf re-solve (:463-473), shrinkage, score update — and the ``Booster``
+public class mirrors ``gpboost.Booster`` (``basic.py:2323``): train/eval/
+predict/save, ``gp_model`` attachment and combined prediction
+(``basic.py:3560-3650``).
+"""
+from __future__ import annotations
+
+import json
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from gpboost_tpu.boosting import metrics as metrics_mod
+from gpboost_tpu.boosting.dataset import Dataset
+from gpboost_tpu.boosting.objectives import GPBoostObjective, create_objective
+from gpboost_tpu.boosting.tree import (GrowerParams, Tree, grow_tree,
+                                       predict_tree_binned, predict_tree_raw)
+
+
+def _parse_params(params: dict):
+    p = dict(params or {})
+    aliases = {
+        "num_iteration": "num_iterations", "n_iter": "num_iterations",
+        "num_tree": "num_iterations", "num_trees": "num_iterations",
+        "num_round": "num_iterations", "num_rounds": "num_iterations",
+        "n_estimators": "num_iterations",
+        "shrinkage_rate": "learning_rate", "eta": "learning_rate",
+        "num_leaf": "num_leaves", "max_leaves": "num_leaves",
+        "min_data_per_leaf": "min_data_in_leaf", "min_data": "min_data_in_leaf",
+        "min_child_samples": "min_data_in_leaf",
+        "min_sum_hessian_per_leaf": "min_sum_hessian_in_leaf",
+        "min_child_weight": "min_sum_hessian_in_leaf",
+        "reg_alpha": "lambda_l1", "reg_lambda": "lambda_l2",
+        "sub_row": "bagging_fraction", "subsample": "bagging_fraction",
+        "sub_feature": "feature_fraction", "colsample_bytree": "feature_fraction",
+        "subsample_freq": "bagging_freq",
+        "application": "objective", "loss": "objective",
+        "metrics": "metric", "metric_types": "metric",
+    }
+    for k, v in list(p.items()):
+        if k in aliases:
+            p.setdefault(aliases[k], v)
+    return p
+
+
+class Booster:
+    """Gradient-boosting model, optionally combined with a GPModel."""
+
+    def __init__(self, params: Optional[dict] = None,
+                 train_set: Optional[Dataset] = None,
+                 model_file: Optional[str] = None, model_str: Optional[str] = None,
+                 gp_model=None):
+        if model_file is not None:
+            with open(model_file) as f:
+                self._load_dict(json.load(f))
+            return
+        if model_str is not None:
+            self._load_dict(json.loads(model_str))
+            return
+        assert train_set is not None
+        self.params = _parse_params(params)
+        self.train_set = train_set
+        self.gp_model = gp_model
+        p = self.params
+        self.objective_name = p.get("objective", "regression")
+        self.num_class = int(p.get("num_class", 1))
+        self.objective = create_objective(
+            self.objective_name, p, gp_model=gp_model)
+        self.objective.init(train_set.label, train_set.weight)
+        self.learning_rate = float(p.get("learning_rate", 0.1))
+        self.grower = GrowerParams(
+            num_leaves=int(p.get("num_leaves", 31)),
+            max_depth=int(p.get("max_depth", -1)),
+            min_data_in_leaf=int(p.get("min_data_in_leaf", 20)),
+            min_sum_hessian_in_leaf=float(p.get("min_sum_hessian_in_leaf", 1e-3)),
+            lambda_l1=float(p.get("lambda_l1", 0.0)),
+            lambda_l2=float(p.get("lambda_l2", 0.0)),
+            min_gain_to_split=float(p.get("min_gain_to_split", 0.0)))
+        self.bagging_fraction = float(p.get("bagging_fraction", 1.0))
+        self.bagging_freq = int(p.get("bagging_freq", 0))
+        self.feature_fraction = float(p.get("feature_fraction", 1.0))
+        self.use_gp_model_for_validation = bool(
+            p.get("use_gp_model_for_validation", True))
+        self.leaves_newton_update = bool(p.get("leaves_newton_update", False))
+        self._rng = np.random.default_rng(int(p.get("seed", 0)))
+
+        self.trees: List[Tree] = []
+        n = train_set.num_data
+        self.num_models = (self.num_class
+                           if self.objective_name in ("multiclass",) else 1)
+        self.init_score = np.zeros(self.num_models)
+        if train_set.init_score is not None:
+            self._score = np.tile(train_set.init_score, self.num_models).astype(np.float64)
+            self._has_init_score = True
+        else:
+            self._score = np.zeros(n * self.num_models)
+            self._has_init_score = False
+            if bool(p.get("boost_from_average", True)) and self.num_models == 1:
+                avg = self.objective.boost_from_average()
+                self.init_score[0] = avg
+                self._score += avg
+        self.best_iteration = -1
+        self.valid_sets: List[Dataset] = []
+        self.valid_names: List[str] = []
+        self._valid_scores: List[np.ndarray] = []
+        metric = p.get("metric", None)
+        if metric in (None, "", "auto"):
+            metric = metrics_mod.default_metric_for(self.objective_name)
+        self.metric_names = ([metric] if isinstance(metric, str)
+                             else list(metric))
+
+    # ------------------------------------------------------------------
+    def add_valid(self, data: Dataset, name: str):
+        self.valid_sets.append(data)
+        self.valid_names.append(name)
+        score = np.zeros(data.num_data * self.num_models)
+        if self.num_models == 1:
+            score += self.init_score[0]
+        for k, tree in enumerate(self.trees):
+            vals, _ = predict_tree_raw(
+                jnp.asarray(data.raw_data), jnp.asarray(tree.split_feature),
+                jnp.asarray(tree.threshold), jnp.asarray(tree.left),
+                jnp.asarray(tree.right), jnp.asarray(tree.leaf_value),
+                tree.max_depth_used + 1)
+            mslice = k % self.num_models
+            score[mslice * data.num_data:(mslice + 1) * data.num_data] += np.asarray(vals)
+        self._valid_scores.append(score)
+        return self
+
+    @property
+    def num_trees_per_iter(self):
+        return self.num_models
+
+    def current_iteration(self):
+        return len(self.trees) // self.num_models
+
+    # ------------------------------------------------------------------
+    def update(self, train_set=None, fobj=None):
+        """One boosting iteration (``GBDT::TrainOneIter``, gbdt.cpp:404)."""
+        ds = self.train_set
+        n = ds.num_data
+        if fobj is not None:
+            grad, hess = fobj(self._score, ds)
+            grad = np.asarray(grad, dtype=np.float64)
+            hess = np.asarray(hess, dtype=np.float64)
+        else:
+            grad, hess = self.objective.get_gradients(self._score)
+            grad = np.asarray(grad, dtype=np.float64)
+            hess = np.asarray(hess, dtype=np.float64)
+
+        it = self.current_iteration()
+        # bagging (gbdt.cpp:255)
+        row_mask = None
+        if self.bagging_freq > 0 and self.bagging_fraction < 1.0 and \
+                it % self.bagging_freq == 0 or (
+                self.bagging_fraction < 1.0 and self.bagging_freq > 0):
+            keep = self._rng.random(n) < self.bagging_fraction
+            row_mask = jnp.asarray(keep)
+        # feature subsampling per tree
+        num_bins = np.asarray(self.train_set.num_bins)
+        if self.feature_fraction < 1.0:
+            F = ds.num_features
+            k = max(1, int(np.ceil(self.feature_fraction * F)))
+            chosen = self._rng.choice(F, size=k, replace=False)
+            mask = np.zeros(F, dtype=bool)
+            mask[chosen] = True
+            num_bins = np.where(mask, num_bins, 0)
+
+        for m in range(self.num_models):
+            g = grad[m * n:(m + 1) * n]
+            h = hess[m * n:(m + 1) * n]
+            tree, row_leaf = grow_tree(
+                ds.binned, jnp.asarray(num_bins), jnp.asarray(g),
+                jnp.asarray(h), ds.max_num_bins, self.grower,
+                row_mask=row_mask)
+            # real-valued thresholds for raw prediction
+            for node in np.flatnonzero(~tree.is_leaf):
+                tree.threshold[node] = ds.threshold_value(
+                    int(tree.split_feature[node]), int(tree.threshold_bin[node]))
+            # GPBoost Newton leaf re-solve (gbdt.cpp:463-473)
+            if (self.leaves_newton_update
+                    and isinstance(self.objective, GPBoostObjective)
+                    and self.gp_model.spec.is_gaussian):
+                self._newton_update_leaves(tree, row_leaf)
+            tree.add_shrinkage(self.learning_rate)
+            self.trees.append(tree)
+            vals, _ = predict_tree_binned(
+                ds.binned, jnp.asarray(tree.split_feature),
+                jnp.asarray(tree.threshold_bin), jnp.asarray(tree.left),
+                jnp.asarray(tree.right), tree.max_depth_used + 1,
+                jnp.asarray(tree.leaf_value))
+            self._score[m * n:(m + 1) * n] += np.asarray(vals)
+            # update validation scores incrementally
+            for vi, vset in enumerate(self.valid_sets):
+                vvals, _ = predict_tree_raw(
+                    jnp.asarray(vset.raw_data), jnp.asarray(tree.split_feature),
+                    jnp.asarray(tree.threshold), jnp.asarray(tree.left),
+                    jnp.asarray(tree.right), jnp.asarray(tree.leaf_value),
+                    tree.max_depth_used + 1)
+                nv = vset.num_data
+                self._valid_scores[vi][m * nv:(m + 1) * nv] += np.asarray(vvals)
+        return False
+
+    def _newton_update_leaves(self, tree: Tree, row_leaf):
+        """Leaf re-solve a = (H' Psi^-1 H)^-1 H' Psi^-1 r
+        (``REModelTemplate::NewtonUpdateLeafValues``, re_model_template.h:4518).
+        """
+        from gpboost_tpu.models import gaussian
+        from jax.scipy.linalg import cho_solve
+        gp = self.gp_model
+        resid = self.train_set.label - self._score[:self.train_set.num_data]
+        data = gp._with_y(resid)
+        cov_pars = jnp.asarray(gp.cov_pars_, dtype=gp.dtype)
+        psi = gaussian.build_psi(gp.spec, data, cov_pars)
+        chol = jnp.linalg.cholesky(psi)
+        leaf_nodes = tree.leaf_index_order()
+        H = (np.asarray(row_leaf)[:, None] == leaf_nodes[None, :]).astype(np.float64)
+        Hj = jnp.asarray(H)
+        PiH = cho_solve((chol, True), Hj)
+        A = Hj.T @ PiH
+        b = PiH.T @ data.y
+        a = np.linalg.solve(np.asarray(A) + 1e-10 * np.eye(len(leaf_nodes)),
+                            np.asarray(b))
+        tree.leaf_value[leaf_nodes] = a
+
+    # ------------------------------------------------------------------
+    def eval_train(self):
+        return self._eval(self.train_set, "training", self._score)
+
+    def eval_valid(self):
+        out = []
+        for vset, name, score in zip(self.valid_sets, self.valid_names,
+                                     self._valid_scores):
+            out.extend(self._eval(vset, name, score))
+        return out
+
+    def _eval(self, dset: Dataset, name: str, score: np.ndarray):
+        res = []
+        pred = self._convert_for_metric(dset, score)
+        for metric in self.metric_names:
+            fn, higher_better = metrics_mod.METRICS[metric]
+            kwargs = {}
+            if metric in ("multi_logloss", "multi_error"):
+                kwargs["num_class"] = self.num_class
+            val = fn(dset.label, pred, dset.weight, **kwargs)
+            res.append((name, metric, val, higher_better))
+        return res
+
+    def _convert_for_metric(self, dset: Dataset, score: np.ndarray):
+        """Convert raw scores for metric eval; with an attached gp_model and
+        use_gp_model_for_validation, add predicted random effects
+        (``regression_metric.hpp:86-129``)."""
+        if (self.gp_model is not None and self.use_gp_model_for_validation
+                and dset is not self.train_set):
+            pred = self._predict_combined(dset.raw_data, dset)
+            return pred
+        return self.objective.convert_output(score)
+
+    # ------------------------------------------------------------------
+    def predict(self, data, num_iteration: Optional[int] = None,
+                raw_score: bool = False, pred_leaf: bool = False,
+                pred_contrib: bool = False, group_data_pred=None,
+                group_rand_coef_data_pred=None, gp_coords_pred=None,
+                gp_rand_coef_data_pred=None, cluster_ids_pred=None,
+                predict_var=False, pred_latent=False, **kwargs):
+        """Predict on raw features. With an attached gp_model, returns the
+        combined tree + random-effects prediction (``basic.py:3560-3650``)."""
+        data = np.asarray(data, dtype=np.float64)
+        if data.ndim == 1:
+            data = data[:, None]
+        raw = self._predict_raw(data, num_iteration)
+        if pred_leaf:
+            return self._predict_leaf(data, num_iteration)
+        if self.gp_model is not None and gp_coords_pred is not None or (
+                self.gp_model is not None and group_data_pred is not None):
+            return self._predict_with_gp(
+                data, raw, group_data_pred, group_rand_coef_data_pred,
+                gp_coords_pred, gp_rand_coef_data_pred, cluster_ids_pred,
+                predict_var, pred_latent, num_iteration)
+        if raw_score:
+            return raw
+        return self.objective.convert_output(raw)
+
+    def _predict_raw(self, data, num_iteration=None):
+        n = data.shape[0]
+        limit = (len(self.trees) if num_iteration in (None, -1, 0)
+                 else min(num_iteration * self.num_models, len(self.trees)))
+        score = np.zeros(n * self.num_models)
+        if self.num_models == 1:
+            score += self.init_score[0]
+        Xj = jnp.asarray(data)
+        for k in range(limit):
+            tree = self.trees[k]
+            vals, _ = predict_tree_raw(
+                Xj, jnp.asarray(tree.split_feature), jnp.asarray(tree.threshold),
+                jnp.asarray(tree.left), jnp.asarray(tree.right),
+                jnp.asarray(tree.leaf_value), tree.max_depth_used + 1)
+            m = k % self.num_models
+            score[m * n:(m + 1) * n] += np.asarray(vals)
+        return score
+
+    def _predict_leaf(self, data, num_iteration=None):
+        n = data.shape[0]
+        limit = (len(self.trees) if num_iteration in (None, -1, 0)
+                 else min(num_iteration * self.num_models, len(self.trees)))
+        out = np.zeros((n, limit), dtype=np.int32)
+        Xj = jnp.asarray(data)
+        for k in range(limit):
+            tree = self.trees[k]
+            _, nodes = predict_tree_raw(
+                Xj, jnp.asarray(tree.split_feature), jnp.asarray(tree.threshold),
+                jnp.asarray(tree.left), jnp.asarray(tree.right),
+                jnp.asarray(tree.leaf_value), tree.max_depth_used + 1)
+            # map node id -> leaf ordinal
+            leaf_nodes = tree.leaf_index_order()
+            remap = np.zeros(len(tree.is_leaf), dtype=np.int32)
+            remap[leaf_nodes] = np.arange(len(leaf_nodes))
+            out[:, k] = remap[np.asarray(nodes)]
+        return out
+
+    def _predict_combined(self, data_raw, dset: Dataset):
+        """Tree + GP prediction on a validation set that shares the GPModel's
+        prediction data (set via gp_model.set_prediction_data)."""
+        raw = self._predict_raw(data_raw)
+        gp = self.gp_model
+        pd = getattr(gp, "_valid_pred_data", None)
+        if pd is None:
+            return self.objective.convert_output(raw)
+        if gp.spec.is_gaussian:
+            resid = self.train_set.label - self._score[:self.train_set.num_data]
+            gp_pred = gp.predict(y=resid, predict_response=True, **pd)
+            return raw + gp_pred["mu"]
+        gp_pred = gp.predict(y=self.train_set.label,
+                             fixed_effects=self._score[:self.train_set.num_data],
+                             predict_response=True, **pd)
+        return gp_pred["mu"]
+
+    def _predict_with_gp(self, data, raw, group_data_pred,
+                         group_rand_coef_data_pred, gp_coords_pred,
+                         gp_rand_coef_data_pred, cluster_ids_pred,
+                         predict_var, pred_latent, num_iteration):
+        gp = self.gp_model
+        pred_kwargs = dict(
+            group_data_pred=group_data_pred,
+            group_rand_coef_data_pred=group_rand_coef_data_pred,
+            gp_coords_pred=gp_coords_pred,
+            gp_rand_coef_data_pred=gp_rand_coef_data_pred,
+            cluster_ids_pred=cluster_ids_pred, predict_var=predict_var)
+        train_score = self._score[:self.train_set.num_data]
+        if gp.spec.is_gaussian:
+            resid = self.train_set.label - train_score
+            gp_pred = gp.predict(y=resid, predict_response=not pred_latent,
+                                 **pred_kwargs)
+            out = {"response_mean": raw + gp_pred["mu"],
+                   "response_var": gp_pred["var"],
+                   "fixed_effect": raw,
+                   "random_effect_mean": gp_pred["mu"],
+                   "random_effect_cov": gp_pred.get("cov")}
+        else:
+            if pred_latent:
+                gp_pred = gp.predict(y=self.train_set.label,
+                                     fixed_effects=train_score,
+                                     predict_response=False, **pred_kwargs)
+                out = {"fixed_effect": raw,
+                       "random_effect_mean": gp_pred["mu"],
+                       "random_effect_cov": gp_pred.get("cov"),
+                       "response_mean": None, "response_var": None}
+            else:
+                gp_pred = gp.predict(y=self.train_set.label,
+                                     fixed_effects=train_score,
+                                     fixed_effects_pred=raw,
+                                     predict_response=True, **pred_kwargs)
+                out = {"response_mean": gp_pred["mu"],
+                       "response_var": gp_pred["var"],
+                       "fixed_effect": raw,
+                       "random_effect_mean": None, "random_effect_cov": None}
+        return out
+
+    # ------------------------------------------------------------------
+    def feature_importance(self, importance_type: str = "split",
+                           iteration: Optional[int] = None):
+        F = self.train_set.num_features if self.train_set is not None else (
+            int(max(max(t.split_feature) for t in self.trees)) + 1)
+        imp = np.zeros(F)
+        for tree in self.trees:
+            for node in np.flatnonzero(~tree.is_leaf):
+                if importance_type == "split":
+                    imp[tree.split_feature[node]] += 1
+                else:
+                    imp[tree.split_feature[node]] += 1  # gain tracking TODO
+        return imp
+
+    def num_feature(self):
+        return self.train_set.num_features
+
+    # ------------------------------------------------------------------
+    def model_to_string(self):
+        return json.dumps(self._to_dict())
+
+    def save_model(self, filename, num_iteration=None, start_iteration=0):
+        with open(filename, "w") as f:
+            json.dump(self._to_dict(), f)
+        return self
+
+    def _to_dict(self):
+        d = {
+            "version": "gpboost_tpu_v1",
+            "params": {k: v for k, v in self.params.items()
+                       if isinstance(v, (int, float, str, bool, list))},
+            "objective": self.objective_name,
+            "num_class": self.num_class,
+            "num_models": self.num_models,
+            "init_score": self.init_score.tolist(),
+            "trees": [t.to_dict() for t in self.trees],
+            "best_iteration": self.best_iteration,
+        }
+        if self.gp_model is not None:
+            d["gp_model"] = self.gp_model.model_to_dict()
+        return d
+
+    def _load_dict(self, d):
+        self.params = d.get("params", {})
+        self.objective_name = d["objective"]
+        self.num_class = d.get("num_class", 1)
+        self.num_models = d.get("num_models", 1)
+        self.init_score = np.asarray(d["init_score"], dtype=np.float64)
+        self.trees = [Tree.from_dict(td) for td in d["trees"]]
+        self.best_iteration = d.get("best_iteration", -1)
+        self.train_set = None
+        self.gp_model = None
+        self.valid_sets = []
+        self.valid_names = []
+        self._valid_scores = []
+        self.objective = create_objective(self.objective_name, self.params)
+        self.metric_names = [metrics_mod.default_metric_for(self.objective_name)]

@@ -1,0 +1,128 @@
+"""Evaluation metrics (reference ``src/LightGBM/metric/*``)."""
+from __future__ import annotations
+
+import numpy as np
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def l2(y, pred, weight=None):
+    d = (y - pred) ** 2
+    return float(np.average(d, weights=weight))
+
+
+def rmse(y, pred, weight=None):
+    return float(np.sqrt(l2(y, pred, weight)))
+
+
+def l1(y, pred, weight=None):
+    return float(np.average(np.abs(y - pred), weights=weight))
+
+
+def mape(y, pred, weight=None):
+    denom = np.maximum(np.abs(y), 1.0)
+    return float(np.average(np.abs(y - pred) / denom, weights=weight))
+
+
+def quantile(y, pred, weight=None, alpha=0.9):
+    r = y - pred
+    v = np.where(r >= 0, alpha * r, (alpha - 1.0) * r)
+    return float(np.average(v, weights=weight))
+
+
+def huber(y, pred, weight=None, alpha=0.9):
+    r = np.abs(y - pred)
+    v = np.where(r <= alpha, 0.5 * r * r, alpha * (r - 0.5 * alpha))
+    return float(np.average(v, weights=weight))
+
+
+def poisson_deviance(y, pred, weight=None):
+    eps = 1e-10
+    pred = np.maximum(pred, eps)
+    v = pred - y * np.log(pred)
+    return float(np.average(v, weights=weight))
+
+
+def gamma_deviance(y, pred, weight=None):
+    eps = 1e-10
+    pred = np.maximum(pred, eps)
+    v = np.log(pred) + y / pred
+    return float(np.average(v, weights=weight))
+
+
+def tweedie_metric(y, pred, weight=None, rho=1.5):
+    eps = 1e-10
+    pred = np.maximum(pred, eps)
+    v = -y * np.power(pred, 1 - rho) / (1 - rho) + np.power(pred, 2 - rho) / (2 - rho)
+    return float(np.average(v, weights=weight))
+
+
+def binary_logloss(y, prob, weight=None):
+    p = np.clip(prob, 1e-15, 1 - 1e-15)
+    v = -(y * np.log(p) + (1 - y) * np.log(1 - p))
+    return float(np.average(v, weights=weight))
+
+
+def binary_error(y, prob, weight=None):
+    return float(np.average((prob > 0.5) != (y > 0.5), weights=weight))
+
+
+def auc(y, score, weight=None):
+    order = np.argsort(score)
+    y_s = y[order]
+    w = np.ones_like(y_s) if weight is None else weight[order]
+    pos = np.sum(w * (y_s > 0))
+    neg = np.sum(w * (y_s <= 0))
+    if pos == 0 or neg == 0:
+        return 0.5
+    cum_neg = np.cumsum(w * (y_s <= 0))
+    area = np.sum(w * (y_s > 0) * (cum_neg - 0.5 * w * (y_s <= 0) * 0))
+    # rank-based AUC with tie handling via average ranks
+    from scipy.stats import rankdata
+    r = rankdata(score)
+    auc_val = (np.sum(r[y > 0]) - pos * (pos + 1) / 2) / (pos * neg)
+    return float(auc_val)
+
+
+def multi_logloss(y, prob_flat, weight=None, num_class=2):
+    n = len(y)
+    p = prob_flat.reshape(num_class, n)
+    pc = np.clip(p[y.astype(int), np.arange(n)], 1e-15, 1.0)
+    return float(np.average(-np.log(pc), weights=weight))
+
+
+def multi_error(y, prob_flat, weight=None, num_class=2):
+    n = len(y)
+    p = prob_flat.reshape(num_class, n)
+    return float(np.average(p.argmax(axis=0) != y.astype(int), weights=weight))
+
+
+# metric registry: name -> (fn(label, converted_pred, weight), higher_better)
+METRICS = {
+    "l2": (l2, False), "mse": (l2, False),
+    "rmse": (rmse, False), "l1": (l1, False), "mae": (l1, False),
+    "mape": (mape, False),
+    "quantile": (quantile, False), "huber": (huber, False),
+    "poisson": (poisson_deviance, False),
+    "gamma": (gamma_deviance, False), "gamma_deviance": (gamma_deviance, False),
+    "tweedie": (tweedie_metric, False),
+    "binary_logloss": (binary_logloss, False),
+    "binary_error": (binary_error, False),
+    "auc": (auc, True),
+    "multi_logloss": (multi_logloss, False),
+    "multi_error": (multi_error, False),
+}
+
+_DEFAULT_METRIC = {
+    "regression": "l2", "regression_l1": "l1", "huber": "huber",
+    "fair": "l1", "poisson": "poisson", "gamma": "gamma",
+    "tweedie": "tweedie", "quantile": "quantile", "mape": "mape",
+    "binary": "binary_logloss", "cross_entropy": "binary_logloss",
+    "multiclass": "multi_logloss", "regression_gp": "l2",
+}
+
+
+def default_metric_for(objective_name: str) -> str:
+    return _DEFAULT_METRIC.get(objective_name, "l2")

@@ -1,0 +1,374 @@
+"""Boosting objective functions (gradients/hessians per data point).
+
+Mirrors the reference's ``src/LightGBM/objective/*.hpp`` families, including
+the GPBoost/LaGaBoost coupling of ``regression_objective.hpp:153-186``:
+with an attached ``GPModel``, Gaussian gradients are ``Psi^-1 (F - y)``
+(generalized residuals; covariance parameters re-optimized warm-started each
+iteration) and non-Gaussian gradients are d(Laplace NLL)/dF.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.scipy.linalg import cho_solve
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+class Objective:
+    """Base objective (reference ``ObjectiveFunction``,
+    ``objective_function.h:24``)."""
+
+    name = "custom"
+    is_constant_hessian = False
+    num_model_per_iteration = 1
+
+    def init(self, label, weight):
+        self.label = label
+        self.weight = weight
+
+    def boost_from_average(self) -> float:
+        return 0.0
+
+    def get_gradients(self, score: np.ndarray):
+        raise NotImplementedError
+
+    def convert_output(self, score: np.ndarray) -> np.ndarray:
+        return score
+
+    def _apply_weight(self, grad, hess):
+        if self.weight is not None:
+            grad = grad * self.weight
+            hess = hess * self.weight
+        return grad, hess
+
+
+class RegressionL2(Objective):
+    name = "regression"
+    is_constant_hessian = True
+
+    def boost_from_average(self):
+        if self.weight is not None:
+            return float(np.average(self.label, weights=self.weight))
+        return float(np.mean(self.label))
+
+    def get_gradients(self, score):
+        return self._apply_weight(score - self.label, np.ones_like(score))
+
+
+class RegressionL1(Objective):
+    name = "regression_l1"
+
+    def boost_from_average(self):
+        return float(np.median(self.label))
+
+    def get_gradients(self, score):
+        g = np.sign(score - self.label)
+        return self._apply_weight(g, np.ones_like(score))
+
+
+class Huber(Objective):
+    name = "huber"
+
+    def __init__(self, alpha=0.9):
+        self.alpha = alpha
+
+    def boost_from_average(self):
+        return float(np.mean(self.label))
+
+    def get_gradients(self, score):
+        r = score - self.label
+        g = np.where(np.abs(r) <= self.alpha, r, self.alpha * np.sign(r))
+        return self._apply_weight(g, np.ones_like(score))
+
+
+class Fair(Objective):
+    name = "fair"
+
+    def __init__(self, c=1.0):
+        self.c = c
+
+    def get_gradients(self, score):
+        r = score - self.label
+        g = self.c * r / (np.abs(r) + self.c)
+        h = self.c * self.c / (np.abs(r) + self.c) ** 2
+        return self._apply_weight(g, h)
+
+
+class Poisson(Objective):
+    name = "poisson"
+
+    def boost_from_average(self):
+        return float(np.log(np.maximum(np.mean(self.label), 1e-20)))
+
+    def get_gradients(self, score):
+        mu = np.exp(score)
+        return self._apply_weight(mu - self.label, mu)
+
+    def convert_output(self, score):
+        return np.exp(score)
+
+
+class Gamma(Objective):
+    name = "gamma"
+
+    def boost_from_average(self):
+        return float(np.log(np.maximum(np.mean(self.label), 1e-20)))
+
+    def get_gradients(self, score):
+        # -dloglik: 1 - y*exp(-F);  hess: y*exp(-F)
+        e = self.label * np.exp(-score)
+        return self._apply_weight(1.0 - e, e)
+
+    def convert_output(self, score):
+        return np.exp(score)
+
+
+class Tweedie(Objective):
+    name = "tweedie"
+
+    def __init__(self, rho=1.5):
+        self.rho = rho
+
+    def boost_from_average(self):
+        return float(np.log(np.maximum(np.mean(self.label), 1e-20)))
+
+    def get_gradients(self, score):
+        p = self.rho
+        g = -self.label * np.exp((1 - p) * score) + np.exp((2 - p) * score)
+        h = (-self.label * (1 - p) * np.exp((1 - p) * score)
+             + (2 - p) * np.exp((2 - p) * score))
+        return self._apply_weight(g, h)
+
+    def convert_output(self, score):
+        return np.exp(score)
+
+
+class Quantile(Objective):
+    name = "quantile"
+
+    def __init__(self, alpha=0.9):
+        self.alpha = alpha
+
+    def boost_from_average(self):
+        return float(np.quantile(self.label, self.alpha))
+
+    def get_gradients(self, score):
+        r = score - self.label
+        g = np.where(r >= 0, 1.0 - self.alpha, -self.alpha)
+        return self._apply_weight(g, np.ones_like(score))
+
+
+class Mape(Objective):
+    name = "mape"
+
+    def get_gradients(self, score):
+        label_safe = np.where(np.abs(self.label) > 1e-10, self.label, 1e-10)
+        g = np.sign(score - self.label) / np.abs(label_safe)
+        return self._apply_weight(g, np.ones_like(score))
+
+
+class Binary(Objective):
+    """Binary log-loss with logit link (``binary_objective.hpp``)."""
+    name = "binary"
+
+    def boost_from_average(self):
+        p = np.clip(np.mean(self.label), 1e-12, 1 - 1e-12)
+        return float(np.log(p / (1 - p)))
+
+    def get_gradients(self, score):
+        p = _sigmoid(score)
+        return self._apply_weight(p - self.label, p * (1 - p))
+
+    def convert_output(self, score):
+        return _sigmoid(score)
+
+
+class CrossEntropy(Objective):
+    name = "cross_entropy"
+
+    def get_gradients(self, score):
+        p = _sigmoid(score)
+        return self._apply_weight(p - self.label, p * (1 - p))
+
+    def convert_output(self, score):
+        return _sigmoid(score)
+
+
+class Multiclass(Objective):
+    """Softmax multiclass (``multiclass_objective.hpp``). Scores are
+    [n * num_class] stacked class-major like the reference."""
+    name = "multiclass"
+
+    def __init__(self, num_class):
+        self.num_class = int(num_class)
+        self.num_model_per_iteration = self.num_class
+
+    def get_gradients(self, score):
+        n = len(self.label)
+        s = score.reshape(self.num_class, n)
+        s = s - s.max(axis=0, keepdims=True)
+        e = np.exp(s)
+        p = e / e.sum(axis=0, keepdims=True)
+        onehot = np.zeros_like(p)
+        onehot[self.label.astype(int), np.arange(n)] = 1.0
+        g = (p - onehot).reshape(-1)
+        h = (2.0 * p * (1.0 - p)).reshape(-1)
+        if self.weight is not None:
+            w = np.tile(self.weight, self.num_class)
+            g, h = g * w, h * w
+        return g, h
+
+    def convert_output(self, score):
+        n = score.shape[0] // self.num_class
+        s = score.reshape(self.num_class, n)
+        s = s - s.max(axis=0, keepdims=True)
+        e = np.exp(s)
+        return (e / e.sum(axis=0, keepdims=True)).reshape(-1)
+
+
+class GPBoostObjective(Objective):
+    """Objective coupling boosting with a GPModel — the GPBoost / LaGaBoost
+    algorithms (``regression_objective.hpp:153-186``).
+
+    Gaussian: gradients = Psi^-1 (F - y), hessians = 1; covariance parameters
+    re-optimized (warm-started) inside get_gradients each boosting iteration.
+    Non-Gaussian: gradients = d NLL_Laplace / dF at the current score.
+    """
+    name = "regression_gp"
+    is_constant_hessian = True
+
+    def __init__(self, gp_model, train_gp_model_cov_pars=True):
+        self.gp_model = gp_model
+        self.train_gp_model_cov_pars = train_gp_model_cov_pars
+        self._warm_cov_pars = None
+
+    def boost_from_average(self):
+        if self.gp_model.spec.is_gaussian:
+            return float(np.mean(self.label))
+        # LaGaBoost: argmin of the Laplace NLL over a constant score;
+        # reference FindInitialValueBoosting. Use likelihood-specific inits.
+        lik = self.gp_model.likelihood
+        m = np.mean(self.label)
+        if lik in ("bernoulli_probit",):
+            from scipy.stats import norm
+            return float(norm.ppf(np.clip(m, 1e-12, 1 - 1e-12)))
+        if lik in ("bernoulli_logit",):
+            p = np.clip(m, 1e-12, 1 - 1e-12)
+            return float(np.log(p / (1 - p)))
+        if lik in ("poisson", "gamma", "negative_binomial",
+                   "negative_binomial_1", "lognormal"):
+            return float(np.log(max(m, 1e-20)))
+        return 0.0
+
+    def get_gradients(self, score):
+        gp = self.gp_model
+        if gp.spec.is_gaussian:
+            resid = self.label - score
+            if self.train_gp_model_cov_pars:
+                self._optim_cov_pars_gaussian(resid)
+            grad = self._gaussian_psi_inv_resid(resid)
+            return -grad, np.ones_like(score)
+        # non-Gaussian (LaGaBoost)
+        if self.train_gp_model_cov_pars:
+            self._optim_cov_pars_laplace(score)
+        grad = self._laplace_grad_F(score)
+        return grad, np.ones_like(score)
+
+    # -- helpers -------------------------------------------------------
+    def _data_with_y(self, y):
+        return self.gp_model._with_y(y)
+
+    def _optim_cov_pars_gaussian(self, resid):
+        gp = self.gp_model
+        params = {"maxit": 50}
+        if gp.cov_pars_ is not None:
+            params["init_cov_pars"] = np.asarray(gp.cov_pars_)
+        gp.fit(y=resid, params=params)
+
+    def _gaussian_psi_inv_resid(self, resid):
+        from gpboost_tpu.models import gaussian
+        gp = self.gp_model
+        data = self._data_with_y(resid)
+        cov_pars = jnp.asarray(gp.cov_pars_, dtype=gp.dtype)
+        psi = gaussian.build_psi(gp.spec, data, cov_pars)
+        chol = jnp.linalg.cholesky(psi)
+        return np.asarray(cho_solve((chol, True), data.y))
+
+    def _optim_cov_pars_laplace(self, score):
+        gp = self.gp_model
+        params = {"maxit": 50}
+        if gp.cov_pars_ is not None:
+            params["init_cov_pars"] = np.asarray(gp.cov_pars_)
+        gp.fit(y=self.label, params=params,
+               fixed_effects=np.asarray(score, dtype=np.float64))
+
+    def _laplace_grad_F(self, score):
+        from gpboost_tpu.models import laplace
+        gp = self.gp_model
+        data = self._data_with_y(self.label)
+        cov_pars = jnp.asarray(gp.cov_pars_, dtype=gp.dtype)
+        aux = gp._aux_pars_array()
+        g = laplace.gradient_wrt_F(
+            gp.spec, data, cov_pars, aux,
+            jnp.asarray(score, dtype=gp.dtype))
+        return np.asarray(g)
+
+    def convert_output(self, score):
+        return score
+
+
+_ALIASES = {
+    "regression_l2": "regression", "l2": "regression", "mean_squared_error": "regression",
+    "mse": "regression", "rmse": "regression",
+    "l1": "regression_l1", "mean_absolute_error": "regression_l1", "mae": "regression_l1",
+    "binary_logloss": "binary",
+    "multiclassova": "multiclass", "softmax": "multiclass",
+    "xentropy": "cross_entropy",
+}
+
+
+def create_objective(name: str, params: dict, gp_model=None) -> Objective:
+    """Objective factory (``objective_function.cpp:17-129``)."""
+    name = _ALIASES.get(name, name)
+    if gp_model is not None:
+        if name not in ("regression", "binary", "regression_gp", "poisson",
+                        "gamma", "cross_entropy"):
+            raise ValueError(
+                f"objective '{name}' cannot be combined with a gp_model; the "
+                "response distribution is specified via the GPModel likelihood")
+        return GPBoostObjective(
+            gp_model,
+            train_gp_model_cov_pars=params.get("train_gp_model_cov_pars", True))
+    if name == "regression":
+        return RegressionL2()
+    if name == "regression_l1":
+        return RegressionL1()
+    if name == "huber":
+        return Huber(alpha=params.get("alpha", 0.9))
+    if name == "fair":
+        return Fair(c=params.get("fair_c", 1.0))
+    if name == "poisson":
+        return Poisson()
+    if name == "gamma":
+        return Gamma()
+    if name == "tweedie":
+        return Tweedie(rho=params.get("tweedie_variance_power", 1.5))
+    if name == "quantile":
+        return Quantile(alpha=params.get("alpha", 0.9))
+    if name == "mape":
+        return Mape()
+    if name == "binary":
+        return Binary()
+    if name == "cross_entropy":
+        return CrossEntropy()
+    if name == "multiclass":
+        return Multiclass(num_class=params.get("num_class", 2))
+    raise ValueError(f"Unknown objective: {name}")

@@ -1,0 +1,326 @@
+"""Histogram-based decision tree: growth kernels + structure.
+
+TPU-native redesign of the reference's serial tree learner
+(``src/LightGBM/treelearner/serial_tree_learner.cpp:159-210`` Train loop,
+``feature_histogram.hpp`` split gains, ``data_partition.hpp``): the grower is
+a host-driven leaf-wise loop (tree growth is inherently data-dependent control
+flow — SURVEY §7 "hard parts"), but every O(n) operation is a jitted
+statically-shaped device kernel:
+
+- histogram build: vmapped scatter-add over features (the role of the
+  reference's OpenCL/CUDA ``histogram16/64/256`` kernels)
+- split finding: vectorized cumulative-sum gain scan over [F, B] — replaces
+  ``FeatureHistogram::FindBestThreshold``
+- partition: elementwise leaf-id update, no row shuffling (the reference's
+  ``DataPartition`` reorders indices; dense masks are TPU-friendlier)
+
+Histogram subtraction trick (parent - child = sibling) is applied as in
+``serial_tree_learner.cpp`` to halve histogram work.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.jit, static_argnums=(4,))
+def build_histogram(binned, grad, hess, row_mask, num_bins: int):
+    """Per-feature histograms of gradient/hessian/count for masked rows.
+
+    binned: [n, F] int32; grad/hess: [n]; row_mask: [n] bool.
+    Returns (hist_g, hist_h, hist_c) each [F, B].
+    """
+    gm = jnp.where(row_mask, grad, 0.0)
+    hm = jnp.where(row_mask, hess, 0.0)
+    cm = row_mask.astype(grad.dtype)
+
+    def one_feature(bins_f):
+        hg = jnp.zeros(num_bins, grad.dtype).at[bins_f].add(gm)
+        hh = jnp.zeros(num_bins, grad.dtype).at[bins_f].add(hm)
+        hc = jnp.zeros(num_bins, grad.dtype).at[bins_f].add(cm)
+        return hg, hh, hc
+
+    hg, hh, hc = jax.vmap(one_feature)(binned.T)
+    return hg, hh, hc
+
+
+def _threshold_l1(g, l1):
+    return jnp.sign(g) * jnp.maximum(jnp.abs(g) - l1, 0.0)
+
+
+@partial(jax.jit, static_argnums=())
+def find_best_split(hist_g, hist_h, hist_c, num_bins_per_feat,
+                    lambda_l1, lambda_l2, min_data_in_leaf,
+                    min_sum_hessian, min_gain_to_split):
+    """Best (feature, bin, gain) over all features.
+
+    Vectorized over [F, B]: left stats are prefix sums over bins; split at
+    bin b sends bins <= b left. Matches ``FeatureHistogram::FindBestThreshold``
+    gain math: gain = S(GL,HL) + S(GR,HR) - S(G,H),
+    S(G,H) = ThresholdL1(G,l1)^2 / (H + l2).
+    """
+    GL = jnp.cumsum(hist_g, axis=1)
+    HL = jnp.cumsum(hist_h, axis=1)
+    CL = jnp.cumsum(hist_c, axis=1)
+    G = GL[:, -1:]
+    H = HL[:, -1:]
+    C = CL[:, -1:]
+    GR = G - GL
+    HR = H - HL
+    CR = C - CL
+
+    def score(g, h):
+        t = _threshold_l1(g, lambda_l1)
+        return t * t / (h + lambda_l2 + 1e-15)
+
+    gain = score(GL, HL) + score(GR, HR) - score(G, H)
+    F, B = hist_g.shape
+    bin_ids = jnp.arange(B)[None, :]
+    valid = (bin_ids < (num_bins_per_feat[:, None] - 1))
+    valid &= (CL >= min_data_in_leaf) & (CR >= min_data_in_leaf)
+    valid &= (HL >= min_sum_hessian) & (HR >= min_sum_hessian)
+    gain = jnp.where(valid, gain, -jnp.inf)
+    flat = jnp.argmax(gain)
+    f_best = flat // B
+    b_best = flat % B
+    g_best = gain[f_best, b_best]
+    ok = g_best > min_gain_to_split
+    return (f_best.astype(jnp.int32), b_best.astype(jnp.int32), g_best, ok,
+            GL[f_best, b_best], HL[f_best, b_best], CL[f_best, b_best])
+
+
+@jax.jit
+def partition_rows(binned, row_leaf, leaf_id, feature, bin_thresh,
+                   left_id, right_id):
+    """Send rows of ``leaf_id`` with bin[:, feature] <= bin_thresh to
+    ``left_id``, the rest to ``right_id``."""
+    in_leaf = row_leaf == leaf_id
+    go_left = binned[:, feature] <= bin_thresh
+    new_leaf = jnp.where(go_left, left_id, right_id)
+    return jnp.where(in_leaf, new_leaf, row_leaf)
+
+
+@dataclass
+class Tree:
+    """Grown tree in flat-array form (reference ``Tree``, ``io/tree.cpp``).
+
+    Internal nodes: split_feature/threshold(+bin); leaves: leaf_value.
+    ``left/right`` of a leaf point to itself, so fixed-iteration traversal
+    reaches a fixed point (jit-friendly — no data-dependent loop bounds).
+    """
+    split_feature: np.ndarray   # [M] int32
+    threshold: np.ndarray       # [M] float64 (raw-value threshold, <= left)
+    threshold_bin: np.ndarray   # [M] int32
+    left: np.ndarray            # [M] int32
+    right: np.ndarray           # [M] int32
+    leaf_value: np.ndarray      # [M] float64 (0 for internal)
+    is_leaf: np.ndarray         # [M] bool
+    num_leaves: int = 0
+    max_depth_used: int = 1
+    shrinkage: float = 1.0
+
+    def to_dict(self):
+        return {
+            "split_feature": self.split_feature.tolist(),
+            "threshold": self.threshold.tolist(),
+            "threshold_bin": self.threshold_bin.tolist(),
+            "left": self.left.tolist(), "right": self.right.tolist(),
+            "leaf_value": self.leaf_value.tolist(),
+            "is_leaf": self.is_leaf.tolist(),
+            "num_leaves": self.num_leaves,
+            "max_depth_used": self.max_depth_used,
+            "shrinkage": self.shrinkage,
+        }
+
+    @classmethod
+    def from_dict(cls, d):
+        return cls(
+            split_feature=np.asarray(d["split_feature"], np.int32),
+            threshold=np.asarray(d["threshold"], np.float64),
+            threshold_bin=np.asarray(d["threshold_bin"], np.int32),
+            left=np.asarray(d["left"], np.int32),
+            right=np.asarray(d["right"], np.int32),
+            leaf_value=np.asarray(d["leaf_value"], np.float64),
+            is_leaf=np.asarray(d["is_leaf"], bool),
+            num_leaves=int(d["num_leaves"]),
+            max_depth_used=int(d["max_depth_used"]),
+            shrinkage=float(d.get("shrinkage", 1.0)))
+
+    def add_shrinkage(self, rate: float):
+        self.leaf_value = self.leaf_value * rate
+        self.shrinkage *= rate
+
+    def set_leaf_values(self, values: np.ndarray):
+        """Overwrite leaf outputs (GPBoost Newton leaf update path)."""
+        leaf_nodes = np.flatnonzero(self.is_leaf)
+        self.leaf_value[leaf_nodes] = values
+
+    def leaf_index_order(self):
+        """Node ids of leaves in creation order (= leaf numbering)."""
+        return np.flatnonzero(self.is_leaf)
+
+
+@dataclass
+class GrowerParams:
+    num_leaves: int = 31
+    max_depth: int = -1
+    min_data_in_leaf: int = 20
+    min_sum_hessian_in_leaf: float = 1e-3
+    lambda_l1: float = 0.0
+    lambda_l2: float = 0.0
+    min_gain_to_split: float = 0.0
+
+
+def grow_tree(binned: jnp.ndarray, num_bins_per_feat: jnp.ndarray,
+              grad: jnp.ndarray, hess: jnp.ndarray, max_num_bins: int,
+              params: GrowerParams,
+              row_mask: Optional[jnp.ndarray] = None):
+    """Grow one tree leaf-wise (best-first), LightGBM-style.
+
+    Returns (Tree, row_leaf_node [n] int32 node-id per row).
+    """
+    n, F = binned.shape
+    max_nodes = 2 * params.num_leaves - 1
+    feature = np.zeros(max_nodes, np.int32)
+    threshold_bin = np.zeros(max_nodes, np.int32)
+    left = np.arange(max_nodes, dtype=np.int32)
+    right = np.arange(max_nodes, dtype=np.int32)
+    leaf_value = np.zeros(max_nodes, np.float64)
+    is_leaf = np.zeros(max_nodes, bool)
+    is_leaf[0] = True
+    depth = np.zeros(max_nodes, np.int32)
+    depth[0] = 1
+
+    row_leaf = jnp.zeros(n, dtype=jnp.int32)
+    if row_mask is None:
+        row_mask = jnp.ones(n, dtype=bool)
+
+    l1 = params.lambda_l1
+    l2 = params.lambda_l2
+
+    def leaf_output(g_sum, h_sum):
+        return float(-_threshold_l1(jnp.asarray(g_sum), l1)
+                     / (h_sum + l2 + 1e-15))
+
+    # per-leaf cached state: (hist triple, best split tuple, g_sum, h_sum, cnt)
+    hist_cache: dict = {}
+    best_cache: dict = {}
+    stats_cache: dict = {}
+
+    def compute_leaf(leaf_id, hist=None):
+        if hist is None:
+            mask = (row_leaf == leaf_id) & row_mask
+            hist = build_histogram(binned, grad, hess, mask, max_num_bins)
+        hist_cache[leaf_id] = hist
+        hg, hh, hc = hist
+        g_sum = float(jnp.sum(hg))
+        h_sum = float(jnp.sum(hh))
+        cnt = float(jnp.sum(hc))
+        stats_cache[leaf_id] = (g_sum, h_sum, cnt)
+        f_b, b_b, gain, ok, gl, hl, cl = find_best_split(
+            hg, hh, hc, num_bins_per_feat, l1, l2,
+            float(params.min_data_in_leaf), params.min_sum_hessian_in_leaf,
+            params.min_gain_to_split)
+        best_cache[leaf_id] = (int(f_b), int(b_b), float(gain), bool(ok),
+                               float(gl), float(hl), float(cl))
+
+    compute_leaf(0)
+    num_leaves = 1
+    next_node = 1
+    max_depth_used = 1
+
+    while num_leaves < params.num_leaves:
+        # pick splittable leaf with max gain
+        best_leaf, best = None, None
+        for leaf_id, b in best_cache.items():
+            if not b[3]:
+                continue
+            if params.max_depth > 0 and depth[leaf_id] >= params.max_depth:
+                continue
+            if best is None or b[2] > best[2]:
+                best_leaf, best = leaf_id, b
+        if best_leaf is None:
+            break
+        f_b, b_b, gain, _, gl, hl, cl = best
+        g_sum, h_sum, cnt = stats_cache[best_leaf]
+        left_id = next_node
+        right_id = next_node + 1
+        next_node += 2
+        row_leaf = partition_rows(binned, row_leaf, best_leaf, f_b, b_b,
+                                  left_id, right_id)
+        # bookkeeping
+        is_leaf[best_leaf] = False
+        feature[best_leaf] = f_b
+        threshold_bin[best_leaf] = b_b
+        left[best_leaf] = left_id
+        right[best_leaf] = right_id
+        is_leaf[left_id] = is_leaf[right_id] = True
+        depth[left_id] = depth[right_id] = depth[best_leaf] + 1
+        max_depth_used = max(max_depth_used, int(depth[left_id]))
+        num_leaves += 1
+        # child histograms: smaller side direct, sibling by subtraction
+        parent_hist = hist_cache.pop(best_leaf)
+        best_cache.pop(best_leaf)
+        left_cnt = cl
+        if left_cnt <= cnt / 2:
+            mask = (row_leaf == left_id) & row_mask
+            hist_left = build_histogram(binned, grad, hess, mask, max_num_bins)
+            hist_right = tuple(p - c for p, c in zip(parent_hist, hist_left))
+        else:
+            mask = (row_leaf == right_id) & row_mask
+            hist_right = build_histogram(binned, grad, hess, mask, max_num_bins)
+            hist_left = tuple(p - c for p, c in zip(parent_hist, hist_right))
+        compute_leaf(left_id, hist_left)
+        compute_leaf(right_id, hist_right)
+
+    # leaf values
+    for leaf_id, (g_sum, h_sum, cnt) in stats_cache.items():
+        if is_leaf[leaf_id]:
+            leaf_value[leaf_id] = leaf_output(g_sum, h_sum)
+
+    tree = Tree(split_feature=feature, threshold=np.zeros(max_nodes),
+                threshold_bin=threshold_bin, left=left, right=right,
+                leaf_value=leaf_value, is_leaf=is_leaf,
+                num_leaves=num_leaves, max_depth_used=max_depth_used)
+    return tree, row_leaf
+
+
+@partial(jax.jit, static_argnums=(5,))
+def predict_tree_binned(binned, feature, threshold_bin, left, right,
+                        max_depth: int, leaf_value):
+    """Evaluate one tree on binned data via fixed-point traversal."""
+    n = binned.shape[0]
+    node = jnp.zeros(n, dtype=jnp.int32)
+
+    def step(_, node):
+        f = feature[node]
+        t = threshold_bin[node]
+        vals = binned[jnp.arange(n), f]
+        return jnp.where(vals <= t, left[node], right[node])
+
+    node = jax.lax.fori_loop(0, max_depth, step, node)
+    return leaf_value[node], node
+
+
+@partial(jax.jit, static_argnums=(6,))
+def predict_tree_raw(X, feature, threshold, left, right, leaf_value,
+                     max_depth: int):
+    """Evaluate one tree on raw feature values (value <= threshold -> left)."""
+    n = X.shape[0]
+    node = jnp.zeros(n, dtype=jnp.int32)
+
+    def step(_, node):
+        f = feature[node]
+        t = threshold[node]
+        vals = X[jnp.arange(n), f]
+        go_left = vals <= t
+        return jnp.where(go_left, left[node], right[node])
+
+    node = jax.lax.fori_loop(0, max_depth, step, node)
+    return leaf_value[node], node

@@ -35,6 +35,21 @@ def sim_rand_unif(n: int, init_c: float = 0.1) -> np.ndarray:
     return out / mod_lcg
 
 
+def sim_rand_unif_boost(n: int, init_c: float = 0.1) -> np.ndarray:
+    """The second LCG used by the combined-algorithm R tests
+    (``test_z_GPBoost_algorithm.R:25-31``): x <- (8121 x + 28411) mod 134456.
+    Products stay below 2^53, so plain float64 arithmetic is exact."""
+    mod_lcg = 134456.0
+    out = np.empty(n, dtype=np.float64)
+    x = np.floor(init_c * mod_lcg)
+    out[0] = x
+    for i in range(1, n):
+        x = 8121.0 * x + 28411.0
+        x = x - np.floor(x / mod_lcg) * mod_lcg
+        out[i] = x
+    return out / mod_lcg
+
+
 def sim_rand_normal(n: int, init_c: float) -> np.ndarray:
     """``qnorm(sim_rand_unif(...))`` as used by the reference tests."""
     from scipy.stats import norm

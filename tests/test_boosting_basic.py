@@ -1,0 +1,159 @@
+"""Boosting engine mechanics (mirrors the reference's python test_basic.py /
+test_engine.py coverage: Dataset, Booster, objectives, cv, callbacks)."""
+import numpy as np
+import pytest
+
+import gpboost_tpu as gpb
+
+
+@pytest.fixture(scope="module")
+def reg_data():
+    rng = np.random.default_rng(42)
+    n, F = 2000, 10
+    X = rng.uniform(size=(n, F))
+    y = (2 * X[:, 0] + np.sin(5 * X[:, 1]) + (X[:, 2] > 0.6) * 1.5
+         + 0.1 * rng.standard_normal(n))
+    return X, y
+
+
+def test_dataset_binning(reg_data):
+    X, y = reg_data
+    ds = gpb.Dataset(X, label=y, max_bin=63)
+    assert ds.binned.shape == X.shape
+    assert int(ds.num_bins.max()) <= 63
+    # bin monotonicity: larger raw value -> bin >= smaller's bin
+    col = np.asarray(ds.binned)[:, 0]
+    order = np.argsort(X[:, 0])
+    assert np.all(np.diff(col[order]) >= 0)
+
+
+def test_regression_learns(reg_data):
+    X, y = reg_data
+    ds = gpb.Dataset(X, label=y)
+    bst = gpb.train({"objective": "regression", "verbose": -1}, ds,
+                    num_boost_round=60)
+    mse = np.mean((bst.predict(X) - y) ** 2)
+    assert mse < 0.05 * np.var(y)
+
+
+def test_objectives_run(reg_data):
+    X, y = reg_data
+    ypos = np.abs(y) + 0.1
+    for obj, label in [("regression_l1", y), ("huber", y), ("poisson",
+                       np.round(ypos)), ("gamma", ypos), ("quantile", y),
+                       ("tweedie", ypos)]:
+        ds = gpb.Dataset(X, label=label)
+        bst = gpb.train({"objective": obj, "verbose": -1}, ds,
+                        num_boost_round=10)
+        pred = bst.predict(X)
+        assert np.all(np.isfinite(pred)), obj
+
+
+def test_binary_auc(reg_data):
+    X, y = reg_data
+    yb = (y > np.median(y)).astype(float)
+    ds = gpb.Dataset(X, label=yb)
+    bst = gpb.train({"objective": "binary", "metric": "auc", "verbose": -1},
+                    ds, num_boost_round=30)
+    from gpboost_tpu.boosting.metrics import auc
+    assert auc(yb, bst.predict(X)) > 0.95
+
+
+def test_multiclass(reg_data):
+    X, y = reg_data
+    yc = np.digitize(y, np.quantile(y, [0.33, 0.66])).astype(float)
+    ds = gpb.Dataset(X, label=yc)
+    bst = gpb.train({"objective": "multiclass", "num_class": 3,
+                     "verbose": -1}, ds, num_boost_round=20)
+    prob = bst.predict(X)
+    n = X.shape[0]
+    p = prob.reshape(3, n)
+    np.testing.assert_allclose(p.sum(axis=0), 1.0, atol=1e-9)
+    assert np.mean(p.argmax(axis=0) == yc) > 0.85
+
+
+def test_early_stopping_and_eval(reg_data):
+    X, y = reg_data
+    ds = gpb.Dataset(X[:1500], label=y[:1500])
+    dv = ds.create_valid(X[1500:], label=y[1500:])
+    ev = {}
+    bst = gpb.train({"objective": "regression", "verbose": -1}, ds,
+                    num_boost_round=500, valid_sets=[dv],
+                    early_stopping_rounds=5, evals_result=ev,
+                    verbose_eval=False)
+    assert bst.best_iteration > 0
+    assert len(ev["valid_0"]["l2"]) < 500
+
+
+def test_bagging_feature_fraction(reg_data):
+    X, y = reg_data
+    ds = gpb.Dataset(X, label=y)
+    bst = gpb.train({"objective": "regression", "bagging_fraction": 0.7,
+                     "bagging_freq": 1, "feature_fraction": 0.7,
+                     "verbose": -1}, ds, num_boost_round=30)
+    mse = np.mean((bst.predict(X) - y) ** 2)
+    assert mse < 0.2 * np.var(y)
+
+
+def test_cv(reg_data):
+    X, y = reg_data
+    ds = gpb.Dataset(X, label=y)
+    res = gpb.cv({"objective": "regression", "verbose": -1}, ds,
+                 num_boost_round=20, nfold=3, seed=1)
+    assert "l2-mean" in res
+    assert len(res["l2-mean"]) == 20
+    assert res["l2-mean"][-1] < res["l2-mean"][0]
+
+
+def test_model_roundtrip(reg_data, tmp_path):
+    X, y = reg_data
+    ds = gpb.Dataset(X, label=y)
+    bst = gpb.train({"objective": "regression", "verbose": -1}, ds,
+                    num_boost_round=10)
+    p = tmp_path / "model.json"
+    bst.save_model(str(p))
+    bst2 = gpb.Booster(model_file=str(p))
+    np.testing.assert_allclose(bst2.predict(X), bst.predict(X))
+    s = bst.model_to_string()
+    bst3 = gpb.Booster(model_str=s)
+    np.testing.assert_allclose(bst3.predict(X), bst.predict(X))
+
+
+def test_feature_importance(reg_data):
+    X, y = reg_data
+    ds = gpb.Dataset(X, label=y)
+    bst = gpb.train({"objective": "regression", "verbose": -1}, ds,
+                    num_boost_round=20)
+    imp = bst.feature_importance()
+    # informative features 0,1,2 dominate
+    assert set(np.argsort(imp)[-3:]) == {0, 1, 2}
+
+
+def test_pred_leaf(reg_data):
+    X, y = reg_data
+    ds = gpb.Dataset(X, label=y)
+    bst = gpb.train({"objective": "regression", "num_leaves": 7,
+                     "verbose": -1}, ds, num_boost_round=5)
+    leaves = bst.predict(X[:50], pred_leaf=True)
+    assert leaves.shape == (50, 5)
+    assert leaves.max() < 7
+
+
+def test_weights(reg_data):
+    X, y = reg_data
+    w = np.ones_like(y)
+    w[:100] = 10.0
+    ds = gpb.Dataset(X, label=y, weight=w)
+    bst = gpb.train({"objective": "regression", "verbose": -1}, ds,
+                    num_boost_round=10)
+    assert np.all(np.isfinite(bst.predict(X)))
+
+
+def test_nan_features(reg_data):
+    X, y = reg_data
+    Xn = X.copy()
+    Xn[::7, 0] = np.nan
+    ds = gpb.Dataset(Xn, label=y)
+    bst = gpb.train({"objective": "regression", "verbose": -1}, ds,
+                    num_boost_round=10)
+    assert np.all(np.isfinite(bst.predict(Xn)))

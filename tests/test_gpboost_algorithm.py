@@ -1,0 +1,174 @@
+"""Combined tree-boosting + random effects (GPBoost algorithm) tests.
+
+Mirrors ``R-package/tests/testthat/test_z_GPBoost_algorithm.R``. Tree-growth
+trajectories are not bit-identical to the reference (binning/tie-breaking
+differ), so covariance parameters use loose tolerances while the out-of-sample
+RMSE bounds — which the reference asserts as hard thresholds — are kept as-is.
+"""
+import numpy as np
+import pytest
+from scipy.stats import norm
+
+import gpboost_tpu as gpb
+from gpboost_tpu import GPModel
+from gpboost_tpu.utils.rng import sim_rand_unif_boost
+
+
+def qnorm(u):
+    return norm.ppf(u)
+
+
+def sim_friedman3(n, n_irrelevant=5):
+    """``test_z_GPBoost_algorithm.R:33-42`` (R matrices are column-major)."""
+    x = sim_rand_unif_boost(4 * n, init_c=0.24234)
+    X = np.column_stack([x[:n], x[n:2 * n], x[2 * n:3 * n], x[3 * n:]])
+    X[:, 0] = 100 * X[:, 0]
+    X[:, 1] = X[:, 1] * np.pi * (560 - 40) + 40 * np.pi
+    X[:, 3] = X[:, 3] * 10 + 1
+    f = np.sqrt(10) * np.arctan(
+        (X[:, 1] * X[:, 2] - 1 / (X[:, 1] * X[:, 3])) / X[:, 0])
+    X = np.column_stack([np.ones(n), X])
+    if n_irrelevant > 0:
+        xi = sim_rand_unif_boost(n_irrelevant * n, init_c=0.6543)
+        X = np.column_stack([X] + [xi[i * n:(i + 1) * n]
+                                   for i in range(n_irrelevant)])
+    return X, f
+
+
+@pytest.fixture(scope="module")
+def combined_data():
+    """``test_z_GPBoost_algorithm.R:82-120``."""
+    ntrain = ntest = 1000
+    n = ntrain + ntest
+    X, f = sim_friedman3(n, n_irrelevant=5)
+    sigma2_1, sigma2_2, sigma2 = 0.6, 0.4, 0.01
+    m = 40
+    group = np.repeat(np.arange(1, m + 1), ntrain // m)
+    group = np.concatenate([group, group]).astype(float)
+    n_new = 3
+    group[-n_new:] = 99999
+    uniq_count = len(np.unique(group))
+    b1 = np.sqrt(sigma2_1) * qnorm(sim_rand_unif_boost(uniq_count, 0.542))
+    # R factor() sorts levels numerically here: 1..40 then 99999
+    lut1 = {g: i for i, g in enumerate(np.unique(group))}
+    Z1b = b1[[lut1[g] for g in group]]
+    n_obs_gr = ntrain // m
+    group2 = np.tile(np.arange(1, n_obs_gr + 1), m).astype(float)
+    group2 = np.concatenate([group2, group2])
+    group2[-n_new:] = 99999
+    uniq2 = len(np.unique(group2))
+    b2 = np.sqrt(sigma2_2) * qnorm(sim_rand_unif_boost(uniq2, 0.2354))
+    lut2 = {g: i for i, g in enumerate(np.unique(group2))}
+    Z2b = b2[[lut2[g] for g in group2]]
+    eps = Z1b + Z2b
+    xi = np.sqrt(sigma2) * qnorm(sim_rand_unif_boost(n, 0.756))
+    y = f + eps + xi
+    group_data = np.column_stack([group, group2])
+    return dict(
+        ntrain=ntrain, y_train=y[:ntrain], X_train=X[:ntrain],
+        group_train=group_data[:ntrain], y_test=y[ntrain:],
+        X_test=X[ntrain:], f_test=f[ntrain:], group_test=group_data[ntrain:],
+        y=y)
+
+
+class TestCombinedGroupedRE:
+    def test_gpboost_algorithm(self, combined_data):
+        """R:146-180: 62 rounds, lr 0.01; cov_pars ~ (0.0051, 0.5905, 0.3906);
+        RMSE(fixed_effect, f_test) < 0.262; combined RMSE < 0.235."""
+        d = combined_data
+        gp_model = GPModel(group_data=d["group_train"])
+        var_y = np.var(d["y"], ddof=1)
+        gp_model.set_optim_params({
+            "optimizer_cov": "fisher_scoring", "delta_rel_conv": 1e-6,
+            "init_cov_pars": [var_y / 2, var_y / 2, var_y / 2]})
+        ds = gpb.Dataset(d["X_train"], label=d["y_train"])
+        bst = gpb.train({"learning_rate": 0.01, "max_depth": 6,
+                         "min_data_in_leaf": 5, "objective": "regression",
+                         "verbose": -1}, ds, num_boost_round=62,
+                        gp_model=gp_model)
+        cov_pars = gp_model.get_cov_pars()
+        expected = np.array([0.005087137, 0.590527753, 0.390570179])
+        # loose: tree trajectories differ from the reference's
+        assert abs(cov_pars[1] - expected[1]) < 0.1
+        assert abs(cov_pars[2] - expected[2]) < 0.1
+        assert cov_pars[0] < 0.05
+        pred = bst.predict(d["X_test"], group_data_pred=d["group_test"],
+                           pred_latent=True, predict_var=True)
+        rmse_f = np.sqrt(np.mean((pred["fixed_effect"] - d["f_test"]) ** 2))
+        assert rmse_f < 0.262  # reference's own hard threshold
+        combined = pred["fixed_effect"] + pred["random_effect_mean"]
+        rmse_c = np.sqrt(np.mean((combined - d["y_test"]) ** 2))
+        assert rmse_c < 0.235
+        # new groups (last 3 rows are group 99999): zero latent mean,
+        # prior variance sigma1+sigma2
+        re_mean_tail = pred["random_effect_mean"][-3:]
+        np.testing.assert_allclose(re_mean_tail, 0.0, atol=1e-10)
+        re_var_tail = pred["random_effect_var"][-3:] if "random_effect_var" in pred \
+            else None
+        # response-scale prediction consistency
+        pred_resp = bst.predict(d["X_test"], group_data_pred=d["group_test"],
+                                pred_latent=False, predict_var=True)
+        np.testing.assert_allclose(
+            pred_resp["response_mean"],
+            pred["fixed_effect"] + pred["random_effect_mean"], atol=1e-6)
+
+    def test_no_cov_par_training(self, combined_data):
+        """train_gp_model_cov_pars=False keeps init cov pars fixed."""
+        d = combined_data
+        gp_model = GPModel(group_data=d["group_train"])
+        gp_model.set_optim_params({"init_cov_pars": [0.01, 0.6, 0.4]})
+        gp_model.cov_pars_ = np.array([0.01, 0.6, 0.4])
+        ds = gpb.Dataset(d["X_train"], label=d["y_train"])
+        # NB lr must satisfy lr * lambda_max(Psi^-1) < 2 with fixed cov pars
+        # (nugget 0.01 -> amplification 100); the reference's OOS tests use
+        # lr = 0.01 for exactly this reason.
+        bst = gpb.train({"learning_rate": 0.01, "max_depth": 6,
+                         "min_data_in_leaf": 5, "objective": "regression",
+                         "verbose": -1}, ds, num_boost_round=100,
+                        gp_model=gp_model, train_gp_model_cov_pars=False)
+        np.testing.assert_allclose(gp_model.get_cov_pars(), [0.01, 0.6, 0.4])
+        pred = bst.predict(d["X_test"], group_data_pred=d["group_test"],
+                           pred_latent=False)
+        rmse = np.sqrt(np.mean((pred["response_mean"] - d["y_test"]) ** 2))
+        assert rmse < 0.5
+
+    def test_newton_leaf_update(self, combined_data):
+        """leaves_newton_update=True path (gbdt.cpp:463-473)."""
+        d = combined_data
+        gp_model = GPModel(group_data=d["group_train"])
+        var_y = np.var(d["y"], ddof=1)
+        gp_model.set_optim_params({
+            "optimizer_cov": "fisher_scoring", "delta_rel_conv": 1e-6,
+            "init_cov_pars": [var_y / 2, var_y / 2, var_y / 2]})
+        ds = gpb.Dataset(d["X_train"], label=d["y_train"])
+        bst = gpb.train({"learning_rate": 0.05, "max_depth": 6,
+                         "min_data_in_leaf": 5, "objective": "regression",
+                         "leaves_newton_update": True, "verbose": -1},
+                        ds, num_boost_round=30, gp_model=gp_model)
+        pred = bst.predict(d["X_test"], group_data_pred=d["group_test"],
+                           pred_latent=False)
+        rmse = np.sqrt(np.mean((pred["response_mean"] - d["y_test"]) ** 2))
+        assert rmse < 0.4
+
+
+class TestLaGaBoost:
+    def test_bernoulli_grouped(self, combined_data):
+        """Binary LaGaBoost: trees + grouped REs, bernoulli_probit."""
+        d = combined_data
+        rng_u = sim_rand_unif_boost(d["ntrain"], 0.789)
+        lin = d["y_train"] - np.mean(d["y_train"])
+        probs = norm.cdf(lin / np.std(lin))
+        yb = (rng_u < probs).astype(float)
+        gp_model = GPModel(group_data=d["group_train"][:, 0],
+                           likelihood="bernoulli_probit")
+        ds = gpb.Dataset(d["X_train"], label=yb)
+        bst = gpb.train({"learning_rate": 0.1, "max_depth": 3,
+                         "min_data_in_leaf": 20, "objective": "binary",
+                         "verbose": -1}, ds, num_boost_round=10,
+                        gp_model=gp_model)
+        pred = bst.predict(d["X_train"], group_data_pred=d["group_train"][:, 0],
+                           pred_latent=False)
+        p = pred["response_mean"]
+        assert p.min() >= 0 and p.max() <= 1
+        acc = np.mean((p > 0.5) == yb)
+        assert acc > 0.7
