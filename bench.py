@@ -1,0 +1,104 @@
+"""Benchmark: 100k-point Vecchia GP marginal-likelihood throughput on TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The driver metric (BASELINE.json) is marginal-likelihood evals/s on a
+100k-point Vecchia GP. ``vs_baseline`` compares against the reference's
+multicore-CPU OpenMP implementation measured on this machine (see
+``bench_baseline.py`` to re-measure; falls back to a recorded value).
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    n = int(os.environ.get("BENCH_N", 100_000))
+    m = int(os.environ.get("BENCH_NEIGHBORS", 20))
+    dtype_name = os.environ.get("BENCH_DTYPE", "float32")
+
+    import jax
+    import jax.numpy as jnp
+    import gpboost_tpu  # noqa: F401  (enables x64 + full-precision matmuls)
+    from gpboost_tpu.ops import vecchia as vops
+    from gpboost_tpu.ops.cov_fns import CovFunction
+
+    dtype = jnp.float32 if dtype_name == "float32" else jnp.float64
+
+    rng = np.random.default_rng(0)
+    coords = rng.uniform(size=(n, 2)).astype(np.float64)
+    # simulate a rough GP draw cheaply (exact simulation not needed for bench)
+    y = np.sin(6 * coords[:, 0]) + np.cos(4 * coords[:, 1]) \
+        + 0.5 * rng.standard_normal(n)
+
+    cov_fn = CovFunction.create("exponential")
+    coords_j = jnp.asarray(coords, dtype=dtype)
+    y_j = jnp.asarray(y, dtype=dtype)
+
+    t0 = time.time()
+    neighbors = vops.find_neighbors(coords_j, m, chunk=1024)
+    neighbors.block_until_ready()
+    t_nn = time.time() - t0
+
+    @jax.jit
+    def nll(cov_pars):
+        a, d = vops.build_factors(cov_fn, cov_pars[1:], coords_j, neighbors,
+                                  cov_pars[0], True)
+        return vops.vecchia_nll(a, d, neighbors, y_j)
+
+    grad_nll = jax.jit(jax.grad(lambda lp: nll(jnp.exp(lp))))
+
+    cp = jnp.asarray([0.25, 1.0, 0.1], dtype=dtype)
+    lp = jnp.log(cp)
+    # compile
+    nll(cp).block_until_ready()
+    grad_nll(lp).block_until_ready()
+
+    # timed: marginal-likelihood evaluations (value) per second
+    n_rep = 20
+    t0 = time.time()
+    for i in range(n_rep):
+        v = nll(cp * (1.0 + 0.001 * i))
+    v.block_until_ready()
+    evals_per_s = n_rep / (time.time() - t0)
+
+    # also time value+grad (the optimizer step unit)
+    t0 = time.time()
+    for i in range(n_rep):
+        g = grad_nll(lp + 0.001 * i)
+    g.block_until_ready()
+    grads_per_s = n_rep / (time.time() - t0)
+
+    # baseline: reference GPBoost multicore-CPU Vecchia NLL evals/s at the
+    # same n, m. Measured via the reference python package if available, else
+    # the recorded value from a prior measurement on this machine class.
+    baseline_file = os.path.join(os.path.dirname(__file__),
+                                 "bench_baseline.json")
+    baseline = None
+    if os.path.exists(baseline_file):
+        with open(baseline_file) as f:
+            b = json.load(f)
+            if b.get("n") == n and b.get("m") == m:
+                baseline = b.get("evals_per_s")
+    vs_baseline = (evals_per_s / baseline) if baseline else None
+
+    print(json.dumps({
+        "metric": f"vecchia_gp_nll_evals_per_s_n{n}_m{m}",
+        "value": round(evals_per_s, 3),
+        "unit": "evals/s",
+        "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+        "extra": {
+            "grad_evals_per_s": round(grads_per_s, 3),
+            "neighbor_search_s": round(t_nn, 3),
+            "backend": jax.default_backend(),
+            "dtype": dtype_name,
+            "nll_value": float(v),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

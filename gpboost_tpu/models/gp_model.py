@@ -102,6 +102,22 @@ class GPModel:
                                                rand_coef_data_idx=j))
             if cf.is_isotropic and gp_approx == "none":
                 data.dists = euclidean_distance(data.coords, data.coords)
+            if gp_approx in ("vecchia", "vecchia_latent"):
+                from gpboost_tpu.models.vecchia_model import VecchiaGP
+                if group_data is not None or gp_rand_coef_data is not None:
+                    raise NotImplementedError(
+                        "gp_approx='vecchia' currently supports a single GP "
+                        "component")
+                self._vecchia = VecchiaGP(
+                    np.asarray(gp_coords, dtype=np.float64).reshape(
+                        len(np.asarray(gp_coords)), -1),
+                    cf, num_neighbors=(num_neighbors or 20),
+                    ordering=vecchia_ordering, seed=seed,
+                    likelihood=_canonical_likelihood(likelihood), dtype=dtype)
+            else:
+                self._vecchia = None
+        else:
+            self._vecchia = None
         if cluster_ids is not None:
             cid = np.asarray(cluster_ids)
             uniq, inv = np.unique(cid.astype(str), return_inverse=True)
@@ -161,6 +177,16 @@ class GPModel:
         (``GPB_EvalNegLogLikelihood``; python ``basic.py:5284``)."""
         cov_pars = jnp.asarray(np.asarray(cov_pars, dtype=np.float64),
                                dtype=self.dtype)
+        if self._vecchia is not None:
+            y_arr = jnp.asarray(np.asarray(y, dtype=np.float64).ravel(),
+                                dtype=self.dtype)
+            self._validate_y(np.asarray(y_arr))
+            fe = None if fixed_effects is None else jnp.asarray(
+                fixed_effects, dtype=self.dtype)
+            if self.spec.is_gaussian:
+                return float(self._vecchia.nll_gaussian(cov_pars, y_arr, fe))
+            ap = self._aux_pars_array(aux_pars)
+            return float(self._vecchia.nll_laplace(cov_pars, y_arr, ap, fe))
         data = self._with_y(y)
         if self.spec.is_gaussian:
             fe = None if fixed_effects is None else jnp.asarray(
@@ -263,9 +289,15 @@ class GPModel:
         data = self._with_y(y_np)
         if X is not None:
             data.X = jnp.asarray(np.asarray(X, dtype=np.float64), dtype=self.dtype)
+        # keep training data (incl. X) so predict() can rebuild residuals
+        self.data = data
         fe = fixed_effects if fixed_effects is not None else offset
         fe_arr = None if fe is None else jnp.asarray(
             np.asarray(fe, dtype=np.float64), dtype=self.dtype)
+
+        if self._vecchia is not None:
+            from gpboost_tpu.models import vecchia_fit
+            return vecchia_fit.fit(self, data, fe_arr)
 
         if not self.spec.is_gaussian:
             from gpboost_tpu.models import laplace_fit
@@ -463,6 +495,40 @@ class GPModel:
         data = self._with_y(y) if y is not None else self.data
         beta = (None if self.coefs_ is None
                 else jnp.asarray(self.coefs_, dtype=self.dtype))
+
+        if self._vecchia is not None:
+            y_arr = None if y is None else jnp.asarray(
+                np.asarray(y, dtype=np.float64).ravel(), dtype=self.dtype)
+            fe = None if fixed_effects is None else jnp.asarray(
+                fixed_effects, dtype=self.dtype)
+            fep = None if fixed_effects_pred is None else jnp.asarray(
+                fixed_effects_pred, dtype=self.dtype)
+            if beta is not None:
+                xb = self.data.X @ beta if self.data.X is not None else None
+                if X_pred is not None:
+                    xbp = jnp.asarray(np.asarray(X_pred, np.float64),
+                                      dtype=self.dtype) @ beta
+                    fep = xbp if fep is None else fep + xbp
+                if xb is not None:
+                    fe = xb if fe is None else fe + xb
+            cp = np.asarray(gp_coords_pred, dtype=np.float64)
+            if cp.ndim == 1:
+                cp = cp[:, None]
+            if self.spec.is_gaussian:
+                fixed_part = fe
+                mean, var = self._vecchia.predict_gaussian(
+                    cov_pars_arr, y_arr, cp, fixed_part,
+                    bool(predict_response), bool(predict_var))
+                if fep is not None:
+                    mean = mean + fep
+            else:
+                ap = self._aux_pars_array()
+                mean, var = self._vecchia.predict_laplace(
+                    cov_pars_arr, y_arr, ap, cp, fe, fep,
+                    bool(predict_response), bool(predict_var))
+            return {"mu": np.asarray(mean),
+                    "var": None if var is None else np.asarray(var),
+                    "cov": None}
 
         data_pred, cross_dists, pred_dists = self._build_pred_data(
             group_data_pred, group_rand_coef_data_pred, gp_coords_pred,

@@ -140,6 +140,85 @@ find_mode.defvjp(_find_mode_fwd, _find_mode_bwd)
 
 
 # ---------------------------------------------------------------------------
+# precision-parametrized mode finding (Vecchia and other sparse-precision
+# structures): solve  Q b = d1(y, F + b)
+# ---------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def find_mode_prec(lik_name: str, Q, y, F, aux):
+    """Posterior mode with latent *precision* Q (= Sigma^-1). Differentiable
+    w.r.t. (Q, F, aux) via implicit differentiation."""
+    return _find_mode_prec_impl(lik_name, Q, y, F, aux)
+
+
+def _find_mode_prec_impl(lik_name, Q, y, F, aux):
+    fam = lk.get_family(lik_name)
+    n = y.shape[0]
+    dtype = Q.dtype
+
+    def objective(b):
+        return jnp.sum(fam.log_lik(y, F + b, aux)) - 0.5 * jnp.dot(b, Q @ b)
+
+    def newton_step(state):
+        b, psi, it, conv = state
+        loc = F + b
+        d1 = fam.d_loc(y, loc, aux)
+        w = jnp.maximum(-fam.d2_loc(y, loc, aux), 1e-10)
+        M = Q + jnp.diag(w)
+        delta = jnp.linalg.solve(M, d1 - Q @ b)
+
+        def psi_at(t):
+            return objective(b + t * delta)
+
+        def halve(hs):
+            t, _, k = hs
+            return (0.5 * t, psi_at(0.5 * t), k + 1)
+
+        def cond_h(hs):
+            t, val, k = hs
+            return jnp.logical_and(val < psi, k < MAX_HALVING)
+
+        t, psi_new, _ = jax.lax.while_loop(cond_h, halve,
+                                           (1.0, psi_at(1.0), 0))
+        b_new = b + t * delta
+        conv = jnp.abs(psi_new - psi) < NEWTON_TOL * (jnp.abs(psi) + 1e-10)
+        return b_new, psi_new, it + 1, conv
+
+    def cond(state):
+        _, _, it, conv = state
+        return jnp.logical_and(it < MAX_NEWTON_IT, jnp.logical_not(conv))
+
+    b0 = jnp.zeros(n, dtype)
+    b, _, _, _ = jax.lax.while_loop(cond, newton_step,
+                                    (b0, objective(b0), 0, False))
+    return b
+
+
+def _find_mode_prec_fwd(lik_name, Q, y, F, aux):
+    b = _find_mode_prec_impl(lik_name, Q, y, F, aux)
+    return b, (Q, y, F, aux, b)
+
+
+def _find_mode_prec_bwd(lik_name, res, v):
+    Q, y, F, aux, b = res
+    fam = lk.get_family(lik_name)
+    loc = F + b
+    w = -fam.d2_loc(y, loc, aux)
+    # g(b) = Q b - d1; dg/db = Q + W (symmetric)
+    lam = jnp.linalg.solve(Q + jnp.diag(w), v)
+
+    def g(Q_, F_, aux_):
+        return Q_ @ b - fam.d_loc(y, F_ + b, aux_)
+
+    _, vjp = jax.vjp(g, Q, F, aux)
+    gQ, gF, gaux = vjp(-lam)
+    return gQ, jnp.zeros_like(y), gF, gaux
+
+
+find_mode_prec.defvjp(_find_mode_prec_fwd, _find_mode_prec_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Laplace-approximate negative log marginal likelihood
 # ---------------------------------------------------------------------------
 

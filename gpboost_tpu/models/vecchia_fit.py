@@ -1,0 +1,140 @@
+"""Fit driver for Vecchia-approximated models (Gaussian + Laplace)."""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpboost_tpu import likelihoods as lk
+from gpboost_tpu.models import optimizers
+
+
+def fit(model, data, fixed_effects: Optional[jnp.ndarray] = None):
+    cfg = model.optim_cfg
+    vec = model._vecchia
+    y = data.y
+    y_np = np.asarray(y)
+    has_coef = data.X is not None
+
+    init_cov = (cfg.init_cov_pars if cfg.init_cov_pars is not None
+                else model._default_init_cov_pars(y_np))
+    n_cov = len(init_cov)
+
+    if model.spec.is_gaussian:
+        beta_holder = {"beta": None}
+        if has_coef:
+            Xn = np.asarray(data.X)
+            beta_holder["beta"] = jnp.asarray(
+                cfg.init_coef if cfg.init_coef is not None
+                else np.linalg.lstsq(Xn, y_np, rcond=None)[0],
+                dtype=model.dtype)
+
+        nll_jit = jax.jit(lambda cp, fp: vec.nll_gaussian(cp, y, fp))
+        vgrad = jax.jit(jax.value_and_grad(
+            lambda th, fp: vec.nll_gaussian(jnp.exp(th), y, fp)))
+
+        def fixed_part():
+            fp = fixed_effects
+            if beta_holder["beta"] is not None:
+                xb = data.X @ beta_holder["beta"]
+                fp = xb if fp is None else fp + xb
+            return fp
+
+        def vg(theta):
+            v, g = vgrad(jnp.asarray(theta, dtype=model.dtype), fixed_part())
+            return float(v), np.asarray(g, dtype=np.float64)
+
+        def coef_update(theta):
+            if not has_coef:
+                return
+            cp = jnp.exp(jnp.asarray(theta, dtype=model.dtype))
+            beta_holder["beta"] = vec.wls_coef(cp, y, data.X, fixed_effects)
+
+        theta0 = np.log(np.maximum(np.asarray(init_cov, np.float64), 1e-300))
+        if has_coef:
+            coef_update(theta0)
+        if cfg.optimizer_cov in ("lbfgs", "lbfgs_linesearch_nocedal_wright"):
+            if has_coef:
+                theta = theta0
+                for _ in range(3):
+                    result = optimizers.lbfgs(vg, theta, cfg)
+                    theta = np.log(result.params)
+                    coef_update(theta)
+            else:
+                result = optimizers.lbfgs(vg, theta0, cfg)
+        elif cfg.optimizer_cov == "nelder_mead":
+            result = optimizers.nelder_mead(lambda t: vg(t)[0], theta0, cfg)
+            coef_update(np.log(result.params))
+        else:  # gradient_descent / fisher_scoring fallback -> GD
+            def cb(it, theta, nll):
+                coef_update(theta)
+            result = optimizers.gradient_descent(
+                lambda t: vg(t)[0], lambda t: vg(t)[1], theta0, cfg,
+                callback=cb if has_coef else None)
+        model.cov_pars_ = result.params
+        model.coefs_ = (None if beta_holder["beta"] is None
+                        else np.asarray(beta_holder["beta"]))
+        model.num_it_ = result.num_it
+        model.current_nll_ = float(result.nll)
+        model._fit_result = result
+        return model
+
+    # non-Gaussian Vecchia-Laplace
+    fam = lk.get_family(model.likelihood)
+    if getattr(model, "aux_pars_", None) is not None:
+        init_aux = np.atleast_1d(np.asarray(model.aux_pars_))
+    else:
+        init_aux = fam.default_aux_pars(model.likelihood_additional_param)
+    estimate_aux = cfg.estimate_aux_pars and init_aux is not None
+    n_aux = len(init_aux) if (init_aux is not None and estimate_aux) else 0
+    aux_fixed = (None if init_aux is None
+                 else jnp.asarray(init_aux, dtype=jnp.float64))
+    n_coef = data.X.shape[1] if has_coef else 0
+    init_beta = (cfg.init_coef if (has_coef and cfg.init_coef is not None)
+                 else np.zeros(n_coef))
+
+    theta0 = np.concatenate([
+        np.log(np.maximum(np.asarray(init_cov, np.float64), 1e-300)),
+        np.log(np.maximum(np.asarray(init_aux, np.float64), 1e-300))
+        if n_aux else np.zeros(0),
+        np.asarray(init_beta, np.float64)])
+
+    def unpack(theta):
+        cov = jnp.exp(theta[:n_cov])
+        aux = jnp.exp(theta[n_cov:n_cov + n_aux]) if n_aux else aux_fixed
+        beta = theta[n_cov + n_aux:] if has_coef else None
+        return cov, aux, beta
+
+    @jax.jit
+    def nll_fn(theta):
+        cov, aux, beta = unpack(theta)
+        fp = fixed_effects
+        if beta is not None:
+            xb = data.X @ beta
+            fp = xb if fp is None else fp + xb
+        return vec.nll_laplace(cov, y, aux, fp)
+
+    vgrad = jax.jit(jax.value_and_grad(nll_fn))
+
+    def vg(theta):
+        v, g = vgrad(jnp.asarray(theta, dtype=jnp.float64))
+        return float(v), np.asarray(g, dtype=np.float64)
+
+    if cfg.optimizer_cov in ("lbfgs", "lbfgs_linesearch_nocedal_wright"):
+        result = optimizers.lbfgs(vg, theta0, cfg)
+    elif cfg.optimizer_cov == "nelder_mead":
+        result = optimizers.nelder_mead(lambda t: vg(t)[0], theta0, cfg)
+    else:
+        result = optimizers.gradient_descent(
+            lambda t: vg(t)[0], lambda t: vg(t)[1], theta0, cfg)
+    theta_fin = np.log(result.params)
+    cov_fin, aux_fin, beta_fin = unpack(jnp.asarray(theta_fin))
+    model.cov_pars_ = np.asarray(cov_fin)
+    model.aux_pars_ = None if aux_fin is None else np.asarray(aux_fin)
+    model.coefs_ = None if beta_fin is None else np.asarray(beta_fin)
+    model.num_it_ = result.num_it
+    model.current_nll_ = float(result.nll)
+    model._fit_result = result
+    return model

@@ -1,0 +1,313 @@
+"""Vecchia approximation: neighbor search + sparse factor construction.
+
+TPU-native redesign of the reference's Vecchia machinery
+(``src/GPBoost/Vecchia_utils.cpp``): instead of CoverTrees and per-row Eigen
+solves, everything is dense-blocked and batched —
+
+- neighbor search (:697 ``find_nearest_neighbors_Vecchia``) becomes a blocked
+  brute-force distance + top-k sweep on the MXU; the [n, m] neighbor-index
+  matrix IS the sparsity structure (SURVEY §7 design stance).
+- factor construction ``B = I - A``, ``D`` (:1307
+  ``CalcCovFactorGradientVecchia``) becomes one batched [n, m, m] Cholesky
+  solve; covariance-parameter gradients come from autodiff through the whole
+  build, replacing the hand-derived gradient code.
+- predictions (:1634 ``CalcPredVecchiaObservedFirstOrder`` with
+  ``order_obs_first_cond_obs_only``) become batched local kriging on the
+  prediction points' observed neighbors.
+
+For Gaussian likelihood the approximation is applied to the *response*
+covariance (nugget on the diagonal) — with num_neighbors = n-1 it reproduces
+the exact NLL (R test ``test_GPModel_gaussian_process.R:702-716``).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpboost_tpu.ops.cov_fns import CovFunction
+
+LOG_2PI = math.log(2.0 * math.pi)
+
+
+def apply_ordering(n: int, ordering: str, seed: int = 0,
+                   time_col: Optional[np.ndarray] = None) -> np.ndarray:
+    """Permutation used before neighbor search (``docs/Main_parameters.rst:184``:
+    none / random / time / time_random_space)."""
+    if ordering in ("none", None):
+        return np.arange(n)
+    if ordering == "random":
+        rng = np.random.default_rng(seed)
+        return rng.permutation(n)
+    if ordering == "time":
+        assert time_col is not None
+        return np.argsort(time_col, kind="stable")
+    raise ValueError(f"vecchia_ordering '{ordering}' not supported")
+
+
+def find_neighbors(coords: jnp.ndarray, num_neighbors: int,
+                   chunk: int = 1024, method: str = "auto") -> jnp.ndarray:
+    """Nearest ``m`` *previous* points for each row (data order = ordering).
+
+    Returns [n, m] int32; entry -1 marks padding (i < m has only i neighbors).
+    Blocked brute force: distances for a row chunk against all points, mask
+    j >= i, top-k. O(n^2 d) flops on the MXU — the TPU answer to CoverTree kNN
+    (``Vecchia_utils.cpp:93-168``).
+
+    ``method``: 'exact' uses lax.top_k (sort-based — slow on TPU for wide
+    rows); 'approx' uses the TPU-optimized ``lax.approx_max_k`` (recall 0.99;
+    measured ~1000x faster at n=1e5). 'auto' = approx on TPU when n > 4096.
+    """
+    n, d = coords.shape
+    m = num_neighbors
+    if method == "auto":
+        method = ("approx" if jax.default_backend() == "tpu" and n > 4096
+                  else "exact")
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    coords_pad = jnp.pad(coords, ((0, n_pad - n), (0, 0)))
+    sq = jnp.sum(coords_pad * coords_pad, axis=1)
+
+    def one_chunk(start):
+        rows = jax.lax.dynamic_slice(coords_pad, (start, 0), (chunk, d))
+        sq_rows = jnp.sum(rows * rows, axis=1)
+        cross = jnp.matmul(rows, coords_pad.T,
+                           precision=jax.lax.Precision.HIGHEST)
+        d2 = sq_rows[:, None] + sq[None, :] - 2.0 * cross
+        row_ids = start + jnp.arange(chunk)[:, None]
+        col_ids = jnp.arange(n_pad)[None, :]
+        d2 = jnp.where(col_ids < jnp.minimum(row_ids, n), d2, jnp.inf)
+        if method == "approx":
+            neg_d, idx = jax.lax.approx_max_k(-d2, m, recall_target=0.99)
+        else:
+            neg_d, idx = jax.lax.top_k(-d2, m)
+        idx = jnp.where(jnp.isfinite(neg_d), idx, -1)
+        return idx.astype(jnp.int32)
+
+    chunks = []
+    one_chunk_j = jax.jit(one_chunk)
+    for start in range(0, n_pad, chunk):
+        chunks.append(one_chunk_j(jnp.asarray(start)))
+    out = jnp.concatenate(chunks, axis=0)[:n]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# batched small-SPD solves: XLA's batched Cholesky is ~10x slower than an
+# unrolled elementwise factorization for m ~ 20 on TPU (measured 239ms vs
+# 25ms at [1e5, 20, 20] f32) — so roll our own, with a custom VJP so the
+# backward pass is one extra solve instead of unrolled-loop autodiff.
+# ---------------------------------------------------------------------------
+
+_UNROLL_MAX_M = 64
+
+
+def _chol_unrolled(C: jnp.ndarray) -> jnp.ndarray:
+    """Batched Cholesky of [B, m, m] via an unrolled column sweep (VPU ops)."""
+    m = C.shape[-1]
+    B = C
+    L = jnp.zeros_like(C)
+    for j in range(m):
+        dj = jnp.sqrt(jnp.maximum(B[:, j, j], 1e-30))
+        col = B[:, :, j] / dj[:, None]
+        col = jnp.where((jnp.arange(m) >= j)[None, :], col, 0.0)
+        L = L.at[:, :, j].set(col)
+        B = B - col[:, :, None] * col[:, None, :]
+    return L
+
+
+def _solve_lower_unrolled(L, b):
+    m = L.shape[-1]
+    x = b
+    for j in range(m):
+        xj = x[:, j] / L[:, j, j]
+        x = x.at[:, j].set(xj)
+        upd = L[:, :, j] * xj[:, None]
+        x = x - jnp.where((jnp.arange(m) > j)[None, :], upd, 0.0)
+    return x
+
+
+def _solve_upper_t_unrolled(L, b):
+    m = L.shape[-1]
+    x = b
+    for j in reversed(range(m)):
+        xj = x[:, j] / L[:, j, j]
+        x = x.at[:, j].set(xj)
+        upd = L[:, j, :] * xj[:, None]
+        x = x - jnp.where((jnp.arange(m) < j)[None, :], upd, 0.0)
+    return x
+
+
+def _posdef_solve_impl(C, b):
+    m = C.shape[-1]
+    if m <= _UNROLL_MAX_M:
+        L = _chol_unrolled(C)
+        a = _solve_upper_t_unrolled(L, _solve_lower_unrolled(L, b))
+    else:
+        L = jnp.linalg.cholesky(C)
+        a = jax.scipy.linalg.cho_solve((L, True), b[..., None])[..., 0]
+    return a, L
+
+
+@jax.custom_vjp
+def posdef_solve(C: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched SPD solve a = C^-1 b for C [B, m, m], b [B, m].
+
+    Custom VJP: dC = -u a^T, db = u with u = C^-1 v — one extra solve in the
+    backward pass instead of differentiating through the factorization.
+    """
+    return _posdef_solve_impl(C, b)[0]
+
+
+def _posdef_solve_fwd(C, b):
+    a, L = _posdef_solve_impl(C, b)
+    return a, (L, a)
+
+
+def _posdef_solve_bwd(res, v):
+    L, a = res
+    m = L.shape[-1]
+    if m <= _UNROLL_MAX_M:
+        u = _solve_upper_t_unrolled(L, _solve_lower_unrolled(L, v))
+    else:
+        u = jax.scipy.linalg.cho_solve((L, True), v[..., None])[..., 0]
+    dC = -u[:, :, None] * a[:, None, :]
+    return dC, u
+
+
+posdef_solve.defvjp(_posdef_solve_fwd, _posdef_solve_bwd)
+
+
+@partial(jax.jit, static_argnums=(0, 5))
+def build_factors(cov_fn: CovFunction, cov_pars: jnp.ndarray,
+                  coords: jnp.ndarray, neighbors: jnp.ndarray,
+                  nugget: Optional[jnp.ndarray], include_nugget: bool,
+                  row_coords: Optional[jnp.ndarray] = None):
+    """Batched Vecchia factors.
+
+    A [n, m]: conditioning weights; D [n]: conditional variances, for the
+    covariance ``pars[0]*corr(dist) (+ nugget I if include_nugget)``.
+    B = I - scatter(A); Sigma^-1 ~ B' D^-1 B.
+
+    ``row_coords`` (default = coords) are the coordinates of the rows the
+    ``neighbors`` matrix refers to — pass a shard of rows with the full
+    replicated ``coords`` for mesh-sharded builds (neighbor gathers need the
+    global coordinate table).
+    """
+    if row_coords is None:
+        row_coords = coords
+    n, m = neighbors.shape
+    mask = neighbors >= 0
+    idx = jnp.maximum(neighbors, 0)
+    nb_coords = coords[idx]                     # [n, m, d]
+    diffs = nb_coords[:, :, None, :] - nb_coords[:, None, :, :]
+    d_nn = jnp.sqrt(jnp.maximum(jnp.sum(diffs * diffs, -1), 0.0))  # [n,m,m]
+    di = row_coords[:, None, :] - nb_coords
+    d_in = jnp.sqrt(jnp.maximum(jnp.sum(di * di, -1), 0.0))        # [n, m]
+
+    c_nn = cov_fn.cov_matrix(cov_pars, dist=d_nn)
+    c_in = cov_fn.cov_matrix(cov_pars, dist=d_in[:, None, :])[:, 0, :]
+    var_ii = cov_pars[0] * jnp.ones(n, dtype=coords.dtype)
+    if include_nugget and nugget is not None:
+        eye = jnp.eye(m, dtype=coords.dtype)
+        c_nn = c_nn + nugget * eye[None]
+        var_ii = var_ii + nugget
+    # mask padding: identity rows/cols so the solve yields 0 weights there
+    pair_mask = mask[:, :, None] & mask[:, None, :]
+    eye = jnp.eye(m, dtype=coords.dtype)
+    c_nn = jnp.where(pair_mask, c_nn, eye[None])
+    c_in = jnp.where(mask, c_in, 0.0)
+
+    a = posdef_solve(c_nn, c_in)
+    a = jnp.where(mask, a, 0.0)
+    d_cond = var_ii - jnp.sum(c_in * a, axis=1)
+    return a, d_cond
+
+
+@jax.jit
+def apply_B(a: jnp.ndarray, neighbors: jnp.ndarray, v: jnp.ndarray):
+    """(B v)_i = v_i - sum_k A[i,k] v[nb[i,k]]."""
+    idx = jnp.maximum(neighbors, 0)
+    gathered = v[idx]
+    return v - jnp.sum(a * gathered, axis=1)
+
+
+@jax.jit
+def apply_Bt(a: jnp.ndarray, neighbors: jnp.ndarray, v: jnp.ndarray):
+    """(B' v)_i = v_i - sum_{j: i in nb(j)} A[j, pos] v_j (scatter-add)."""
+    idx = jnp.maximum(neighbors, 0)
+    contrib = a * v[:, None]
+    out = v - jnp.zeros_like(v).at[idx.reshape(-1)].add(
+        jnp.where(neighbors.reshape(-1) >= 0, contrib.reshape(-1), 0.0))
+    return out
+
+
+@jax.jit
+def precision_matvec(a, neighbors, d_cond, v):
+    """(B' D^-1 B) v — matrix-free Vecchia precision product, O(n m)."""
+    bv = apply_B(a, neighbors, v)
+    return apply_Bt(a, neighbors, bv / d_cond)
+
+
+def vecchia_nll(a, d_cond, neighbors, r):
+    """Gaussian Vecchia NLL for centered residual r.
+
+    nll = 0.5 [ sum log D_i + sum (B r)_i^2 / D_i + n log 2pi ].
+    """
+    br = apply_B(a, neighbors, r)
+    n = r.shape[0]
+    return 0.5 * (jnp.sum(jnp.log(d_cond)) + jnp.sum(br * br / d_cond)
+                  + n * LOG_2PI)
+
+
+def find_neighbors_cross(coords_pred: jnp.ndarray, coords_obs: jnp.ndarray,
+                         num_neighbors: int, chunk: int = 256) -> jnp.ndarray:
+    """Nearest observed points for each prediction point. [n_p, m] int32."""
+    n_p = coords_pred.shape[0]
+    n_o = coords_obs.shape[0]
+    m = min(num_neighbors, n_o)
+    n_pad = ((n_p + chunk - 1) // chunk) * chunk
+    cp = jnp.pad(coords_pred, ((0, n_pad - n_p), (0, 0)))
+    sq_o = jnp.sum(coords_obs * coords_obs, axis=1)
+
+    @jax.jit
+    def one_chunk(start):
+        rows = jax.lax.dynamic_slice(cp, (start, 0), (chunk, cp.shape[1]))
+        sq_r = jnp.sum(rows * rows, axis=1)
+        cross = jnp.matmul(rows, coords_obs.T,
+                           precision=jax.lax.Precision.HIGHEST)
+        d2 = sq_r[:, None] + sq_o[None, :] - 2.0 * cross
+        _, idx = jax.lax.top_k(-d2, m)
+        return idx.astype(jnp.int32)
+
+    chunks = [one_chunk(jnp.asarray(s)) for s in range(0, n_pad, chunk)]
+    return jnp.concatenate(chunks, axis=0)[:n_p]
+
+
+@partial(jax.jit, static_argnums=(0, 7))
+def predict_vecchia_response(cov_fn: CovFunction, cov_pars: jnp.ndarray,
+                             nugget, coords_obs, coords_pred, nb_pred,
+                             r_obs, predict_response: bool):
+    """Batched local kriging: pred point conditions on its observed neighbors
+    (``CalcPredVecchiaObservedFirstOrder`` cond_obs_only, Vecchia_utils.cpp:1634).
+
+    Returns (mean, var); var includes the nugget iff predict_response.
+    """
+    n_p, m = nb_pred.shape
+    nb_coords = coords_obs[nb_pred]
+    diffs = nb_coords[:, :, None, :] - nb_coords[:, None, :, :]
+    d_nn = jnp.sqrt(jnp.maximum(jnp.sum(diffs * diffs, -1), 0.0))
+    di = coords_pred[:, None, :] - nb_coords
+    d_in = jnp.sqrt(jnp.maximum(jnp.sum(di * di, -1), 0.0))
+    c_nn = cov_fn.cov_matrix(cov_pars, dist=d_nn)
+    c_nn = c_nn + nugget * jnp.eye(m, dtype=coords_obs.dtype)[None]
+    c_in = cov_fn.cov_matrix(cov_pars, dist=d_in[:, None, :])[:, 0, :]
+    a = posdef_solve(c_nn, c_in)
+    mean = jnp.sum(a * r_obs[nb_pred], axis=1)
+    var = cov_pars[0] - jnp.sum(c_in * a, axis=1)
+    if predict_response:
+        var = var + nugget
+    return mean, jnp.maximum(var, 0.0)
