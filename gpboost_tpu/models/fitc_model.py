@@ -1,0 +1,205 @@
+"""FITC / full-scale-tapering model paths (same interface as VecchiaGP).
+
+Dispatch target of ``GPModel`` for ``gp_approx="fitc"`` and
+``"full_scale_tapering"``. Gaussian NLL/solves go through Woodbury
+(``ops/fitc.py``); non-Gaussian uses the FITC latent covariance with the
+dense Laplace engine (exact small-n path; iterative large-n path is the
+planned upgrade, cf. ``FindModePostRandEffCalcMLLFITC`` likelihoods.h:3090).
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpboost_tpu.ops import fitc as fops
+from gpboost_tpu.ops.cov_fns import CovFunction, euclidean_distance
+from gpboost_tpu.ops.inducing import select_inducing_points
+
+LOG_2PI = math.log(2.0 * math.pi)
+
+
+class FITCGP:
+    def __init__(self, coords: np.ndarray, cov_fn: CovFunction,
+                 num_ind_points: int = 500,
+                 ind_points_selection: str = "kmeans++", seed: int = 0,
+                 likelihood: str = "gaussian", gp_approx: str = "fitc",
+                 cov_fct_taper_range: float = 1.0,
+                 cov_fct_taper_shape: float = 1.0,
+                 dtype=jnp.float64):
+        n = coords.shape[0]
+        n_unique = np.unique(coords, axis=0).shape[0]
+        if num_ind_points > n_unique:
+            raise ValueError(
+                "Cannot have more inducing points than (unique) samples")
+        self.n = n
+        self.cov_fn = cov_fn
+        self.likelihood = likelihood
+        self.gp_approx = gp_approx
+        self.taper_range = cov_fct_taper_range
+        self.taper_shape = cov_fct_taper_shape
+        self.taper_mu = 1.5  # reference default for d<=2: (dim+1)/2 + 1/2...
+        self.coords = jnp.asarray(coords, dtype=dtype)
+        self.ind_points = jnp.asarray(
+            select_inducing_points(coords, num_ind_points,
+                                   ind_points_selection, seed), dtype=dtype)
+        self.dtype = dtype
+
+    # -- Gaussian ------------------------------------------------------
+    def nll_gaussian(self, cov_pars, y, fixed_part=None):
+        r = y if fixed_part is None else y - fixed_part
+        if self.gp_approx == "fitc":
+            return fops.fitc_nll(self.cov_fn, cov_pars, self.coords,
+                                 self.ind_points, r)
+        psi = fops.fsa_psi(self.cov_fn, self.taper_range, self.taper_shape,
+                           self.taper_mu, cov_pars, self.coords,
+                           self.ind_points)
+        chol = jnp.linalg.cholesky(psi)
+        alpha = jax.scipy.linalg.solve_triangular(chol, r, lower=True)
+        n = r.shape[0]
+        return 0.5 * (jnp.dot(alpha, alpha)
+                      + 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
+                      + n * LOG_2PI)
+
+    def _psi_inv_mul(self, cov_pars, R):
+        if self.gp_approx == "fitc":
+            return fops.fitc_psi_inv_mul(self.cov_fn, cov_pars, self.coords,
+                                         self.ind_points, R)
+        psi = fops.fsa_psi(self.cov_fn, self.taper_range, self.taper_shape,
+                           self.taper_mu, cov_pars, self.coords,
+                           self.ind_points)
+        chol = jnp.linalg.cholesky(psi)
+        if R.ndim == 1:
+            return jax.scipy.linalg.cho_solve((chol, True), R)
+        return jax.scipy.linalg.cho_solve((chol, True), R)
+
+    def wls_coef(self, cov_pars, y, X, fixed_effects=None):
+        yv = y if fixed_effects is None else y - fixed_effects
+        Xw = self._psi_inv_mul(cov_pars, X)
+        yw = self._psi_inv_mul(cov_pars, yv)
+        return jnp.linalg.solve(X.T @ Xw, X.T @ yw)
+
+    def predict_gaussian(self, cov_pars, y, coords_pred, fixed_part=None,
+                         predict_response=True, predict_var=False):
+        r = y if fixed_part is None else y - fixed_part
+        cp = jnp.asarray(coords_pred, self.dtype)
+        if self.gp_approx == "fitc":
+            mean, var, _ = fops.fitc_predict(
+                self.cov_fn, cov_pars, self.coords, self.ind_points, cp, r,
+                bool(predict_response), bool(predict_var))
+            return mean, var
+        # FSA: cross-cov = Q_pn + T o (Sigma_pn - Q_pn)
+        psi_inv_r = self._psi_inv_mul(cov_pars, r)
+        cross = self._fsa_cross(cov_pars[1:], cp)
+        mean = cross @ psi_inv_r
+        var = None
+        if predict_var:
+            z = self._psi_inv_mul(cov_pars, cross.T)
+            prior = cov_pars[1] * jnp.ones(cp.shape[0], self.dtype)
+            var = prior - jnp.einsum('pn,np->p', cross, z)
+            if predict_response:
+                var = var + cov_pars[0]
+        return mean, var
+
+    def _fsa_cross(self, cov_pars, coords_pred):
+        d_pn = euclidean_distance(coords_pred, self.coords)
+        sigma_pn = self.cov_fn.cov_matrix(cov_pars, dist=d_pn)
+        d_pm = euclidean_distance(coords_pred, self.ind_points)
+        c_pm = self.cov_fn.cov_matrix(cov_pars, dist=d_pm)
+        d_nm = euclidean_distance(self.coords, self.ind_points)
+        c_nm = self.cov_fn.cov_matrix(cov_pars, dist=d_nm)
+        d_mm = euclidean_distance(self.ind_points, self.ind_points)
+        c_mm = self.cov_fn.cov_matrix(cov_pars, dist=d_mm) + \
+            fops.JITTER * cov_pars[0] * jnp.eye(self.ind_points.shape[0],
+                                                dtype=self.dtype)
+        q_pn = c_pm @ jnp.linalg.solve(c_mm, c_nm.T)
+        from gpboost_tpu.ops.cov_fns import wendland_correlation
+        T = wendland_correlation(d_pn, self.taper_range, self.taper_shape,
+                                 self.taper_mu)
+        return q_pn + T * (sigma_pn - q_pn)
+
+    # -- non-Gaussian (Laplace with dense FITC latent covariance) ------
+    def _latent_sigma(self, cov_pars):
+        d_nm = euclidean_distance(self.coords, self.ind_points)
+        c_nm = self.cov_fn.cov_matrix(cov_pars, dist=d_nm)
+        d_mm = euclidean_distance(self.ind_points, self.ind_points)
+        c_mm = self.cov_fn.cov_matrix(cov_pars, dist=d_mm) + \
+            fops.JITTER * cov_pars[0] * jnp.eye(self.ind_points.shape[0],
+                                                dtype=self.dtype)
+        Q = c_nm @ jnp.linalg.solve(c_mm, c_nm.T)
+        if self.gp_approx == "fitc":
+            diag_corr = cov_pars[0] - jnp.diagonal(Q)
+            return Q + jnp.diag(diag_corr)
+        d_nn = euclidean_distance(self.coords, self.coords)
+        sigma = self.cov_fn.cov_matrix(cov_pars, dist=d_nn)
+        from gpboost_tpu.ops.cov_fns import wendland_correlation
+        T = wendland_correlation(d_nn, self.taper_range, self.taper_shape,
+                                 self.taper_mu)
+        return Q + T * (sigma - Q)
+
+    def nll_laplace(self, cov_pars, y, aux_pars, fixed_part=None):
+        from gpboost_tpu.models.laplace import _laplace_nll_from_sigma
+        sigma = self._latent_sigma(cov_pars)
+        F = (jnp.zeros(self.n, self.dtype) if fixed_part is None
+             else fixed_part)
+        aux = aux_pars if aux_pars is not None else jnp.zeros((0,), self.dtype)
+        return _laplace_nll_from_sigma(self.likelihood, sigma, y, F, aux)
+
+    def predict_laplace(self, cov_pars, y, aux_pars, coords_pred,
+                        fixed_part=None, fixed_part_pred=None,
+                        predict_response=True, predict_var=False):
+        from gpboost_tpu import likelihoods as lk
+        from gpboost_tpu.models.laplace import find_mode, _response_moments
+        fam = lk.get_family(self.likelihood)
+        sigma = self._latent_sigma(cov_pars)
+        F = (jnp.zeros(self.n, self.dtype) if fixed_part is None
+             else fixed_part)
+        aux = aux_pars if aux_pars is not None else jnp.zeros((0,), self.dtype)
+        b = find_mode(self.likelihood, sigma, y, F, aux)
+        loc = F + b
+        d1 = fam.d_loc(y, loc, aux)
+        w = -fam.d2_loc(y, loc, aux)
+        cp = jnp.asarray(coords_pred, self.dtype)
+        cross = self._laplace_cross(cov_pars, cp)
+        mean = cross @ d1
+        if fixed_part_pred is not None:
+            mean = mean + fixed_part_pred
+        var = None
+        if predict_var or predict_response:
+            n = self.n
+            M = jnp.eye(n, dtype=self.dtype) + sigma * w[None, :]
+            z = jnp.linalg.solve(M, cross.T)
+            prior = cov_pars[0] * jnp.ones(cp.shape[0], self.dtype)
+            var = jnp.maximum(prior - jnp.einsum(
+                'pn,np->p', cross, w[:, None] * z), 1e-12)
+        if predict_response:
+            mr, vr = _response_moments(self.likelihood, mean, var, aux)
+            return mr, (vr if predict_var else None)
+        return mean, (var if predict_var else None)
+
+    def _laplace_cross(self, cov_pars, coords_pred):
+        d_pm = euclidean_distance(coords_pred, self.ind_points)
+        c_pm = self.cov_fn.cov_matrix(cov_pars, dist=d_pm)
+        d_nm = euclidean_distance(self.coords, self.ind_points)
+        c_nm = self.cov_fn.cov_matrix(cov_pars, dist=d_nm)
+        d_mm = euclidean_distance(self.ind_points, self.ind_points)
+        c_mm = self.cov_fn.cov_matrix(cov_pars, dist=d_mm) + \
+            fops.JITTER * cov_pars[0] * jnp.eye(self.ind_points.shape[0],
+                                                dtype=self.dtype)
+        q_pn = c_pm @ jnp.linalg.solve(c_mm, c_nm.T)
+        if self.gp_approx == "fitc":
+            return q_pn
+        d_pn = euclidean_distance(coords_pred, self.coords)
+        sigma_pn = self.cov_fn.cov_matrix(cov_pars, dist=d_pn)
+        from gpboost_tpu.ops.cov_fns import wendland_correlation
+        T = wendland_correlation(d_pn, self.taper_range, self.taper_shape,
+                                 self.taper_mu)
+        return q_pn + T * (sigma_pn - q_pn)
+
+    def grad_F_laplace(self, cov_pars, y, aux_pars, fixed_part):
+        def f(fe):
+            return self.nll_laplace(cov_pars, y, aux_pars, fe)
+        return jax.grad(f)(fixed_part)

@@ -108,16 +108,31 @@ class GPModel:
                     raise NotImplementedError(
                         "gp_approx='vecchia' currently supports a single GP "
                         "component")
-                self._vecchia = VecchiaGP(
+                self._approx = VecchiaGP(
                     np.asarray(gp_coords, dtype=np.float64).reshape(
                         len(np.asarray(gp_coords)), -1),
                     cf, num_neighbors=(num_neighbors or 20),
                     ordering=vecchia_ordering, seed=seed,
                     likelihood=_canonical_likelihood(likelihood), dtype=dtype)
+            elif gp_approx in ("fitc", "full_scale_tapering"):
+                from gpboost_tpu.models.fitc_model import FITCGP
+                if group_data is not None or gp_rand_coef_data is not None:
+                    raise NotImplementedError(
+                        "gp_approx='fitc'/'full_scale_tapering' currently "
+                        "supports a single GP component")
+                self._approx = FITCGP(
+                    np.asarray(gp_coords, dtype=np.float64).reshape(
+                        len(np.asarray(gp_coords)), -1),
+                    cf, num_ind_points=num_ind_points,
+                    ind_points_selection=ind_points_selection, seed=seed,
+                    likelihood=_canonical_likelihood(likelihood),
+                    gp_approx=gp_approx,
+                    cov_fct_taper_range=cov_fct_taper_range,
+                    cov_fct_taper_shape=cov_fct_taper_shape, dtype=dtype)
             else:
-                self._vecchia = None
+                self._approx = None
         else:
-            self._vecchia = None
+            self._approx = None
         if cluster_ids is not None:
             cid = np.asarray(cluster_ids)
             uniq, inv = np.unique(cid.astype(str), return_inverse=True)
@@ -177,16 +192,16 @@ class GPModel:
         (``GPB_EvalNegLogLikelihood``; python ``basic.py:5284``)."""
         cov_pars = jnp.asarray(np.asarray(cov_pars, dtype=np.float64),
                                dtype=self.dtype)
-        if self._vecchia is not None:
+        if self._approx is not None:
             y_arr = jnp.asarray(np.asarray(y, dtype=np.float64).ravel(),
                                 dtype=self.dtype)
             self._validate_y(np.asarray(y_arr))
             fe = None if fixed_effects is None else jnp.asarray(
                 fixed_effects, dtype=self.dtype)
             if self.spec.is_gaussian:
-                return float(self._vecchia.nll_gaussian(cov_pars, y_arr, fe))
+                return float(self._approx.nll_gaussian(cov_pars, y_arr, fe))
             ap = self._aux_pars_array(aux_pars)
-            return float(self._vecchia.nll_laplace(cov_pars, y_arr, ap, fe))
+            return float(self._approx.nll_laplace(cov_pars, y_arr, ap, fe))
         data = self._with_y(y)
         if self.spec.is_gaussian:
             fe = None if fixed_effects is None else jnp.asarray(
@@ -295,7 +310,7 @@ class GPModel:
         fe_arr = None if fe is None else jnp.asarray(
             np.asarray(fe, dtype=np.float64), dtype=self.dtype)
 
-        if self._vecchia is not None:
+        if self._approx is not None:
             from gpboost_tpu.models import vecchia_fit
             return vecchia_fit.fit(self, data, fe_arr)
 
@@ -496,7 +511,7 @@ class GPModel:
         beta = (None if self.coefs_ is None
                 else jnp.asarray(self.coefs_, dtype=self.dtype))
 
-        if self._vecchia is not None:
+        if self._approx is not None:
             y_arr = None if y is None else jnp.asarray(
                 np.asarray(y, dtype=np.float64).ravel(), dtype=self.dtype)
             fe = None if fixed_effects is None else jnp.asarray(
@@ -516,14 +531,14 @@ class GPModel:
                 cp = cp[:, None]
             if self.spec.is_gaussian:
                 fixed_part = fe
-                mean, var = self._vecchia.predict_gaussian(
+                mean, var = self._approx.predict_gaussian(
                     cov_pars_arr, y_arr, cp, fixed_part,
                     bool(predict_response), bool(predict_var))
                 if fep is not None:
                     mean = mean + fep
             else:
                 ap = self._aux_pars_array()
-                mean, var = self._vecchia.predict_laplace(
+                mean, var = self._approx.predict_laplace(
                     cov_pars_arr, y_arr, ap, cp, fe, fep,
                     bool(predict_response), bool(predict_var))
             return {"mu": np.asarray(mean),

@@ -13,7 +13,7 @@ from gpboost_tpu.models import optimizers
 
 def fit(model, data, fixed_effects: Optional[jnp.ndarray] = None):
     cfg = model.optim_cfg
-    vec = model._vecchia
+    vec = model._approx
     y = data.y
     y_np = np.asarray(y)
     has_coef = data.X is not None

@@ -1,0 +1,169 @@
+"""FITC / predictive-process and full-scale-tapering approximations.
+
+TPU-native equivalent of the reference's FITC/FSA machinery
+(``CreateREComponentsFITC_FSA`` ``re_model_template.h:6919``,
+``CalcCovFactorFITC_FSA`` :8770, ``CalcPredFITC_FSA`` :10600):
+
+- FITC (Gaussian): Psi = Q + Lambda,  Q = C_nm C_mm^-1 C_mn,
+  Lambda = diag(sigma1^2 - diag(Q)) + sigma2 I. All solves go through the
+  Woodbury identity with one dense [k, k] Cholesky on the MXU.
+- full_scale_tapering: Psi = Q + T o (Sigma - Q) with a compact-support
+  Wendland taper T (dense path; the blocked-sparse large-n path is the
+  iterative upgrade).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gpboost_tpu.ops.cov_fns import (CovFunction, euclidean_distance,
+                                     wendland_correlation)
+
+LOG_2PI = math.log(2.0 * math.pi)
+
+JITTER = 1e-8
+
+
+@partial(jax.jit, static_argnums=(0,))
+def fitc_parts(cov_fn: CovFunction, cov_pars: jnp.ndarray,
+               coords: jnp.ndarray, ind_points: jnp.ndarray,
+               nugget: jnp.ndarray):
+    """Common FITC pieces: (C_nm, L_mm (chol of C_mm), lambda_diag).
+
+    cov_pars = GP parameters [sigma1^2, range, ...]; nugget = error variance.
+    """
+    d_nm = euclidean_distance(coords, ind_points)
+    d_mm = euclidean_distance(ind_points, ind_points)
+    c_nm = cov_fn.cov_matrix(cov_pars, dist=d_nm)
+    c_mm = cov_fn.cov_matrix(cov_pars, dist=d_mm)
+    k = ind_points.shape[0]
+    c_mm = c_mm + JITTER * cov_pars[0] * jnp.eye(k, dtype=coords.dtype)
+    l_mm = jnp.linalg.cholesky(c_mm)
+    # diag(Q) = rowsum(solve(L, C_mn)^2)
+    v = jax.scipy.linalg.solve_triangular(l_mm, c_nm.T, lower=True)  # [k, n]
+    q_diag = jnp.sum(v * v, axis=0)
+    lam = cov_pars[0] - q_diag + nugget
+    return c_nm, l_mm, lam, v
+
+
+def fitc_nll(cov_fn: CovFunction, cov_pars_full: jnp.ndarray,
+             coords: jnp.ndarray, ind_points: jnp.ndarray,
+             r: jnp.ndarray) -> jnp.ndarray:
+    """Gaussian FITC NLL via Woodbury.
+
+    cov_pars_full = [nugget, sigma1^2, range, ...].
+    logdet(Psi) = logdet(M) - logdet(C_mm) + sum log lambda,
+    M = C_mm + C_mn Lambda^-1 C_nm.
+    """
+    nugget = cov_pars_full[0]
+    c_nm, l_mm, lam, v = fitc_parts(cov_fn, cov_pars_full[1:], coords,
+                                    ind_points, nugget)
+    n = r.shape[0]
+    k = ind_points.shape[0]
+    cl = c_nm / lam[:, None]                     # Lambda^-1 C_nm
+    M = (jnp.matmul(l_mm, l_mm.T, precision=jax.lax.Precision.HIGHEST)
+         + jnp.matmul(c_nm.T, cl, precision=jax.lax.Precision.HIGHEST))
+    l_M = jnp.linalg.cholesky(M)
+    # quadratic form r' Psi^-1 r = r'Lam^-1 r - ||L_M^-1 C_mn Lam^-1 r||^2
+    rl = r / lam
+    t = jax.scipy.linalg.solve_triangular(l_M, c_nm.T @ rl, lower=True)
+    quad = jnp.dot(r, rl) - jnp.dot(t, t)
+    logdet = (2.0 * jnp.sum(jnp.log(jnp.diagonal(l_M)))
+              - 2.0 * jnp.sum(jnp.log(jnp.diagonal(l_mm)))
+              + jnp.sum(jnp.log(lam)))
+    return 0.5 * (quad + logdet + n * LOG_2PI)
+
+
+def fitc_psi_inv_mul(cov_fn, cov_pars_full, coords, ind_points, R):
+    """Psi^-1 R for FITC via Woodbury (R can be a matrix [n, q])."""
+    nugget = cov_pars_full[0]
+    c_nm, l_mm, lam, v = fitc_parts(cov_fn, cov_pars_full[1:], coords,
+                                    ind_points, nugget)
+    M = (jnp.matmul(l_mm, l_mm.T, precision=jax.lax.Precision.HIGHEST)
+         + jnp.matmul(c_nm.T, c_nm / lam[:, None],
+                      precision=jax.lax.Precision.HIGHEST))
+    l_M = jnp.linalg.cholesky(M)
+    Rl = R / lam[:, None] if R.ndim == 2 else R / lam
+    inner = c_nm.T @ Rl
+    sol = jax.scipy.linalg.cho_solve((l_M, True), inner)
+    corr = c_nm @ sol
+    corr = corr / lam[:, None] if R.ndim == 2 else corr / lam
+    return Rl - corr
+
+
+def fitc_predict(cov_fn: CovFunction, cov_pars_full: jnp.ndarray,
+                 coords: jnp.ndarray, ind_points: jnp.ndarray,
+                 coords_pred: jnp.ndarray, r: jnp.ndarray,
+                 predict_response: bool, predict_var: bool,
+                 predict_cov: bool = False):
+    """FITC prediction: cross-covariance Q_pn = C_pm C_mm^-1 C_mn
+    (``CalcPredFITC_FSA``, re_model_template.h:10600).
+
+    mean = Q_pn Psi^-1 r;  cov = (Q_pp + diag corr) - Q_pn Psi^-1 Q_np.
+    """
+    nugget = cov_pars_full[0]
+    cov_pars = cov_pars_full[1:]
+    psi_inv_r = fitc_psi_inv_mul(cov_fn, cov_pars_full, coords, ind_points, r)
+    d_pm = euclidean_distance(coords_pred, ind_points)
+    c_pm = cov_fn.cov_matrix(cov_pars, dist=d_pm)
+    d_nm = euclidean_distance(coords, ind_points)
+    c_nm = cov_fn.cov_matrix(cov_pars, dist=d_nm)
+    d_mm = euclidean_distance(ind_points, ind_points)
+    c_mm = cov_fn.cov_matrix(cov_pars, dist=d_mm) + JITTER * cov_pars[0] * jnp.eye(
+        ind_points.shape[0], dtype=coords.dtype)
+    l_mm = jnp.linalg.cholesky(c_mm)
+    # Q_pn = C_pm C_mm^-1 C_mn
+    sol = jax.scipy.linalg.cho_solve((l_mm, True), c_nm.T)  # [k, n]
+    q_pn = c_pm @ sol
+    mean = q_pn @ psi_inv_r
+    var = None
+    cov = None
+    if predict_var or predict_cov:
+        # prior at pred points: Q_pp with FITC diag correction = sigma1^2 diag
+        vp = jax.scipy.linalg.solve_triangular(l_mm, c_pm.T, lower=True)
+        q_pp_diag = jnp.sum(vp * vp, axis=0)
+        prior_diag = cov_pars[0] * jnp.ones(coords_pred.shape[0], coords.dtype)
+        psi_inv_qnp = fitc_psi_inv_mul(cov_fn, cov_pars_full, coords,
+                                       ind_points, q_pn.T)
+        if predict_cov:
+            q_pp = jnp.matmul(vp.T, vp, precision=jax.lax.Precision.HIGHEST)
+            prior = q_pp + jnp.diag(prior_diag - q_pp_diag)
+            cov = prior - q_pn @ psi_inv_qnp
+            if predict_response:
+                cov = cov + nugget * jnp.eye(cov.shape[0], dtype=cov.dtype)
+            var = jnp.diagonal(cov)
+        else:
+            var = prior_diag - jnp.einsum('pn,np->p', q_pn, psi_inv_qnp)
+            if predict_response:
+                var = var + nugget
+    return mean, var, cov
+
+
+# ---------------------------------------------------------------------------
+# full-scale tapering (dense path)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def fsa_psi(cov_fn: CovFunction, taper_range: float, taper_shape: float,
+            taper_mu: float, cov_pars_full: jnp.ndarray, coords: jnp.ndarray,
+            ind_points: jnp.ndarray) -> jnp.ndarray:
+    """Full-scale approximation covariance (dense):
+    Psi = Q + T o (Sigma - Q) + nugget I (``CalcCovFactorFITC_FSA``)."""
+    nugget = cov_pars_full[0]
+    cov_pars = cov_pars_full[1:]
+    n = coords.shape[0]
+    d_nn = euclidean_distance(coords, coords)
+    sigma = cov_fn.cov_matrix(cov_pars, dist=d_nn)
+    d_nm = euclidean_distance(coords, ind_points)
+    c_nm = cov_fn.cov_matrix(cov_pars, dist=d_nm)
+    d_mm = euclidean_distance(ind_points, ind_points)
+    c_mm = cov_fn.cov_matrix(cov_pars, dist=d_mm) + JITTER * cov_pars[0] * jnp.eye(
+        ind_points.shape[0], dtype=coords.dtype)
+    sol = jnp.linalg.solve(c_mm, c_nm.T)
+    Q = c_nm @ sol
+    T = wendland_correlation(d_nn, taper_range, taper_shape, taper_mu)
+    return Q + T * (sigma - Q) + nugget * jnp.eye(n, dtype=coords.dtype)

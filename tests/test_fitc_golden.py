@@ -1,0 +1,116 @@
+"""FITC / full-scale-tapering parity tests.
+
+The reference's FITC contract (``test_GPModel_gaussian_process.R:1594-1700``):
+with num_ind_points = n (all unique points), FITC == exact model for NLL,
+estimates, and predictions.
+"""
+import numpy as np
+import pytest
+
+from gpboost_tpu import GPModel
+
+TOL_STRICT = 1e-5
+TOL_LOOSE = 1e-2
+
+
+class TestFITC:
+    def test_nll_all_inducing_equals_exact(self, gp_fixture_data):
+        f = gp_fixture_data
+        y = f["eps"] + f["xi"]
+        m = GPModel(gp_coords=f["coords"], cov_function="exponential",
+                    gp_approx="fitc", num_ind_points=f["n"],
+                    ind_points_selection="random")
+        nll = m.neg_log_likelihood(cov_pars=[0.1, 1.6, 0.2], y=y)
+        assert abs(nll - 124.2549533) < 1e-4
+
+    def test_too_many_inducing_points_errors(self, gp_fixture_data):
+        f = gp_fixture_data
+        with pytest.raises(ValueError):
+            GPModel(gp_coords=f["coords"], cov_function="exponential",
+                    gp_approx="fitc", num_ind_points=f["n"] + 1,
+                    ind_points_selection="random")
+
+    def test_fit_all_inducing_matches_exact(self, gp_fixture_data):
+        f = gp_fixture_data
+        y = f["eps"] + f["X"] @ f["beta"] + f["xi"]
+        iu = np.triu_indices(f["n"], 1)
+        init = [np.var(y, ddof=1) / 2, np.var(y, ddof=1) / 2,
+                np.mean(f["D"][iu]) / 3]
+        exact = GPModel(gp_coords=f["coords"], cov_function="exponential")
+        exact.fit(y=y, X=f["X"], params={"optimizer_cov": "lbfgs",
+                                         "init_cov_pars": init})
+        fitc = GPModel(gp_coords=f["coords"], cov_function="exponential",
+                       gp_approx="fitc", num_ind_points=f["n"],
+                       ind_points_selection="random")
+        fitc.fit(y=y, X=f["X"], params={"optimizer_cov": "lbfgs",
+                                        "init_cov_pars": init})
+        np.testing.assert_allclose(fitc.get_cov_pars(), exact.get_cov_pars(),
+                                   rtol=5e-2, atol=5e-3)
+        np.testing.assert_allclose(fitc.get_coef(), exact.get_coef(),
+                                   atol=1e-2)
+
+    def test_predict_all_inducing_matches_exact(self, gp_fixture_data):
+        f = gp_fixture_data
+        y = f["eps"] + f["xi"]
+        coord_test = np.array([[0.1, 0.9], [0.2, 0.4], [0.7, 0.55]])
+        exact = GPModel(gp_coords=f["coords"], cov_function="exponential")
+        pe = exact.predict(y=y, gp_coords_pred=coord_test,
+                           cov_pars=[0.02, 1.2, 0.9], predict_var=True)
+        fitc = GPModel(gp_coords=f["coords"], cov_function="exponential",
+                       gp_approx="fitc", num_ind_points=f["n"],
+                       ind_points_selection="random")
+        pf = fitc.predict(y=y, gp_coords_pred=coord_test,
+                          cov_pars=[0.02, 1.2, 0.9], predict_var=True)
+        np.testing.assert_allclose(pf["mu"], pe["mu"], atol=1e-4)
+        np.testing.assert_allclose(pf["var"], pe["var"], atol=1e-4)
+
+    def test_fewer_inducing_points_reasonable(self, gp_fixture_data):
+        f = gp_fixture_data
+        y = f["eps"] + f["xi"]
+        m = GPModel(gp_coords=f["coords"], cov_function="exponential",
+                    gp_approx="fitc", num_ind_points=50,
+                    ind_points_selection="kmeans++")
+        nll = m.neg_log_likelihood(cov_pars=[0.1, 1.6, 0.2], y=y)
+        # approximation error should stay moderate
+        assert abs(nll - 124.2549533) < 5.0
+
+    def test_fitc_laplace_probit(self, gp_fixture_data):
+        from scipy.stats import norm
+        from gpboost_tpu.utils.rng import sim_rand_unif
+        f = gp_fixture_data
+        probs = norm.cdf(f["eps"])
+        y = (sim_rand_unif(f["n"], 0.2341) < probs).astype(float)
+        m = GPModel(gp_coords=f["coords"], cov_function="exponential",
+                    likelihood="bernoulli_probit", gp_approx="fitc",
+                    num_ind_points=f["n"], ind_points_selection="random")
+        nll = m.neg_log_likelihood(cov_pars=[0.9, 0.2], y=y)
+        # exact Laplace value from test_non_gaussian_golden
+        assert abs(nll - 63.6205917) < 1e-3
+
+
+class TestFullScaleTapering:
+    def test_fsa_nll_close_to_exact(self, gp_fixture_data):
+        f = gp_fixture_data
+        y = f["eps"] + f["xi"]
+        m = GPModel(gp_coords=f["coords"], cov_function="exponential",
+                    gp_approx="full_scale_tapering", num_ind_points=40,
+                    cov_fct_taper_range=0.5, cov_fct_taper_shape=0.0,
+                    ind_points_selection="kmeans++")
+        nll = m.neg_log_likelihood(cov_pars=[0.1, 1.6, 0.2], y=y)
+        assert abs(nll - 124.2549533) < 2.0
+
+    def test_fsa_fit_and_predict(self, gp_fixture_data):
+        f = gp_fixture_data
+        y = f["eps"] + f["xi"]
+        iu = np.triu_indices(f["n"], 1)
+        init = [np.var(y, ddof=1) / 2, np.var(y, ddof=1) / 2,
+                np.mean(f["D"][iu]) / 3]
+        m = GPModel(gp_coords=f["coords"], cov_function="exponential",
+                    gp_approx="full_scale_tapering", num_ind_points=50,
+                    cov_fct_taper_range=0.8, cov_fct_taper_shape=0.0)
+        m.fit(y=y, params={"optimizer_cov": "lbfgs", "init_cov_pars": init})
+        assert np.all(np.isfinite(m.get_cov_pars()))
+        pred = m.predict(y=y, gp_coords_pred=f["coords"][:4],
+                         predict_var=True, predict_response=False)
+        assert np.all(np.isfinite(pred["mu"]))
+        assert np.all(pred["var"] >= 0)
