@@ -20,13 +20,27 @@ _jax.config.update("jax_default_matmul_precision", "float32")
 
 from gpboost_tpu.models.gp_model import GPModel  # noqa: E402
 
-try:  # boosting engine (built after the GP core in the round-1 plan)
-    from gpboost_tpu.boosting.dataset import Dataset  # noqa: E402
-    from gpboost_tpu.boosting.booster import Booster  # noqa: E402
-    from gpboost_tpu.boosting.engine import train, cv  # noqa: E402
-except ImportError:  # pragma: no cover - during early bootstrap only
-    Dataset = Booster = train = cv = None
+from gpboost_tpu.boosting.dataset import Dataset  # noqa: E402
+from gpboost_tpu.boosting.booster import Booster  # noqa: E402
+from gpboost_tpu.boosting.engine import train, cv, CVBooster  # noqa: E402
+from gpboost_tpu.boosting import callback  # noqa: E402
+from gpboost_tpu.boosting.callback import (  # noqa: E402
+    early_stopping, record_evaluation, print_evaluation, log_evaluation,
+    reset_parameter)
+from gpboost_tpu.sklearn import (  # noqa: E402
+    GPBoostClassifier, GPBoostModel, GPBoostRanker, GPBoostRegressor)
+from gpboost_tpu.tuning import grid_search_tune_parameters  # noqa: E402
+from gpboost_tpu import plotting  # noqa: E402
+from gpboost_tpu.plotting import (  # noqa: E402
+    plot_importance, plot_metric, partial_dependence_plot)
 
 __version__ = "0.1.0"
 
-__all__ = ["GPModel", "Dataset", "Booster", "train", "cv", "__version__"]
+__all__ = [
+    "GPModel", "Dataset", "Booster", "train", "cv", "CVBooster",
+    "GPBoostModel", "GPBoostRegressor", "GPBoostClassifier", "GPBoostRanker",
+    "grid_search_tune_parameters", "early_stopping", "record_evaluation",
+    "print_evaluation", "log_evaluation", "reset_parameter",
+    "plot_importance", "plot_metric", "partial_dependence_plot",
+    "__version__",
+]

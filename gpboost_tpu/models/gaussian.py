@@ -162,6 +162,24 @@ def fisher_information(spec: ModelSpec, data: ModelData,
 
 
 @partial(jax.jit, static_argnums=(0,))
+def nll_profiled_value_and_grad(spec: ModelSpec, data: ModelData,
+                                log_ratio_pars: jnp.ndarray,
+                                beta: Optional[jnp.ndarray] = None,
+                                fixed_effects: Optional[jnp.ndarray] = None):
+    """(nll, d nll/d log_ratio_pars, sigma2_hat) in one compiled call.
+
+    Module-level jit so repeated fits (e.g. the per-boosting-iteration
+    covariance refits of the GPBoost algorithm) hit the compile cache.
+    """
+    def f(th):
+        nll, s2 = nll_profiled(spec, data, jnp.exp(th), beta, fixed_effects)
+        return nll, s2
+
+    (v, s2), g = jax.value_and_grad(f, has_aux=True)(log_ratio_pars)
+    return v, g, s2
+
+
+@partial(jax.jit, static_argnums=(0,))
 def gradient_log_scale(spec: ModelSpec, data: ModelData,
                        log_cov_pars: jnp.ndarray,
                        beta: Optional[jnp.ndarray] = None,

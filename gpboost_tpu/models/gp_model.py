@@ -370,29 +370,23 @@ class GPModel:
         beta_holder = {"beta": beta}
 
         def value_fn(theta):
-            r = jnp.exp(jnp.asarray(theta, dtype=self.dtype))
-            nll, s2 = gaussian.nll_profiled(spec, data, r, beta_holder["beta"],
-                                            fe_arr)
+            v, _, s2 = gaussian.nll_profiled_value_and_grad(
+                spec, data, jnp.asarray(theta, dtype=self.dtype),
+                beta_holder["beta"], fe_arr)
             value_fn.last_sigma2 = float(s2)
-            return nll
+            return v
 
         def grad_fn(theta):
-            def f(th):
-                r = jnp.exp(th)
-                nll, _ = gaussian.nll_profiled(spec, data, r,
-                                               beta_holder["beta"], fe_arr)
-                return nll
-            return jax.grad(f)(jnp.asarray(theta, dtype=self.dtype))
+            _, g, _ = gaussian.nll_profiled_value_and_grad(
+                spec, data, jnp.asarray(theta, dtype=self.dtype),
+                beta_holder["beta"], fe_arr)
+            return g
 
         def value_and_grad_fn(theta):
-            def f(th):
-                r = jnp.exp(th)
-                nll, _ = gaussian.nll_profiled(spec, data, r,
-                                               beta_holder["beta"], fe_arr)
-                return nll
-            v, g = jax.value_and_grad(f)(jnp.asarray(theta, dtype=self.dtype))
-            # refresh sigma2 cache
-            value_fn(theta)
+            v, g, s2 = gaussian.nll_profiled_value_and_grad(
+                spec, data, jnp.asarray(theta, dtype=self.dtype),
+                beta_holder["beta"], fe_arr)
+            value_fn.last_sigma2 = float(s2)
             return v, g
 
         def coef_update(theta):

@@ -258,6 +258,33 @@ def neg_log_marginal_likelihood(spec: ModelSpec, data: ModelData,
     return _laplace_nll_from_sigma(spec.likelihood, sigma, data.y, F, aux)
 
 
+@partial(jax.jit, static_argnums=(0,))
+def nll_value_and_grad(spec: ModelSpec, data: ModelData,
+                       cov_pars: jnp.ndarray,
+                       aux_pars: Optional[jnp.ndarray],
+                       beta: Optional[jnp.ndarray],
+                       fixed_effects: Optional[jnp.ndarray]):
+    """(nll, (d/d cov_pars, d/d aux_pars, d/d beta)) in one compiled call —
+    module-level jit so per-boosting-iteration refits hit the cache."""
+    argnums = [0]
+    args = [cov_pars]
+    if aux_pars is not None:
+        argnums.append(1)
+    if beta is not None:
+        argnums.append(2)
+
+    def f(cp, ap, b):
+        return neg_log_marginal_likelihood(spec, data, cp, ap, b,
+                                           fixed_effects)
+
+    v, grads = jax.value_and_grad(f, argnums=tuple(argnums))(
+        cov_pars, aux_pars, beta)
+    out = [None, None, None]
+    for i, an in enumerate(argnums):
+        out[an] = grads[i]
+    return v, tuple(out)
+
+
 # gradient of the NLL w.r.t. the fixed-effects vector F — the boosting
 # pseudo-gradient (``CalcGradientF``, ``re_model_template.h:3021``)
 @partial(jax.jit, static_argnums=(0,))

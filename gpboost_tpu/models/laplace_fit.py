@@ -60,17 +60,20 @@ def fit(model, data: ModelData, fixed_effects: Optional[jnp.ndarray] = None):
         beta = theta[n_cov + n_aux:] if has_coef else None
         return cov, aux, beta
 
-    @jax.jit
-    def nll_fn(theta):
-        cov, aux, beta = unpack(theta)
-        return laplace.neg_log_marginal_likelihood(
-            spec, data, cov, aux, beta, fixed_effects)
-
-    value_and_grad = jax.jit(jax.value_and_grad(nll_fn))
-
     def vg(theta):
-        v, g = value_and_grad(jnp.asarray(theta, dtype=jnp.float64))
-        return float(v), np.asarray(g, dtype=np.float64)
+        """Value+grad via the module-level cached jit; theta packing/unpacking
+        and chain rule for the log transform happen host-side."""
+        theta = np.asarray(theta, dtype=np.float64)
+        cov, aux, beta = unpack(jnp.asarray(theta))
+        v, (g_cov, g_aux, g_beta) = laplace.nll_value_and_grad(
+            spec, data, cov, aux, beta, fixed_effects)
+        g = np.asarray(g_cov) * np.exp(theta[:n_cov])
+        parts = [g]
+        if n_aux:
+            parts.append(np.asarray(g_aux) * np.exp(theta[n_cov:n_cov + n_aux]))
+        if has_coef:
+            parts.append(np.asarray(g_beta))
+        return float(v), np.concatenate(parts)
 
     if cfg.optimizer_cov in ("lbfgs", "lbfgs_linesearch_nocedal_wright"):
         result = optimizers.lbfgs(vg, theta0, cfg)

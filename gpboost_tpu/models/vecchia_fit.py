@@ -31,9 +31,7 @@ def fit(model, data, fixed_effects: Optional[jnp.ndarray] = None):
                 else np.linalg.lstsq(Xn, y_np, rcond=None)[0],
                 dtype=model.dtype)
 
-        nll_jit = jax.jit(lambda cp, fp: vec.nll_gaussian(cp, y, fp))
-        vgrad = jax.jit(jax.value_and_grad(
-            lambda th, fp: vec.nll_gaussian(jnp.exp(th), y, fp)))
+        vgrad = lambda th, fp: vec._vg_gaussian(th, y, fp)  # noqa: E731
 
         def fixed_part():
             fp = fixed_effects

@@ -50,6 +50,10 @@ class VecchiaGP:
         self.neighbors = vops.find_neighbors(self.coords_perm,
                                              self.num_neighbors)
         self.dtype = dtype
+        # persistent jitted value+grad kernels (reused across fit() calls,
+        # e.g. per-boosting-iteration refits)
+        self._vg_gaussian = jax.jit(jax.value_and_grad(
+            lambda th, y, fp: self.nll_gaussian(jnp.exp(th), y, fp)))
 
     # ---- Gaussian response-scale Vecchia ------------------------------
     def nll_gaussian(self, cov_pars: jnp.ndarray, y: jnp.ndarray,

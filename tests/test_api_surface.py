@@ -1,0 +1,132 @@
+"""API-surface tests: sklearn wrappers, tuning, CLI, plotting stubs."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import gpboost_tpu as gpb
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(0)
+    n = 800
+    X = rng.uniform(size=(n, 5))
+    y = 2 * X[:, 0] + np.sin(5 * X[:, 1]) + 0.1 * rng.standard_normal(n)
+    return X, y
+
+
+def test_sklearn_regressor(data):
+    X, y = data
+    est = gpb.GPBoostRegressor(n_estimators=30, num_leaves=15)
+    est.fit(X, y)
+    pred = est.predict(X)
+    assert np.mean((pred - y) ** 2) < 0.1 * np.var(y)
+    assert est.feature_importances_.argmax() in (0, 1)
+    # get/set params round trip
+    p = est.get_params()
+    est2 = gpb.GPBoostRegressor(**{k: v for k, v in p.items()})
+    assert est2.get_params()["n_estimators"] == 30
+
+
+def test_sklearn_classifier(data):
+    X, y = data
+    yc = (y > np.median(y)).astype(int)
+    est = gpb.GPBoostClassifier(n_estimators=30)
+    est.fit(X, yc)
+    assert set(est.classes_) == {0, 1}
+    proba = est.predict_proba(X)
+    assert proba.shape == (len(y), 2)
+    np.testing.assert_allclose(proba.sum(axis=1), 1.0, atol=1e-9)
+    acc = np.mean(est.predict(X) == yc)
+    assert acc > 0.9
+
+
+def test_sklearn_classifier_multiclass(data):
+    X, y = data
+    yc = np.digitize(y, np.quantile(y, [0.33, 0.66]))
+    est = gpb.GPBoostClassifier(n_estimators=20)
+    est.fit(X, yc)
+    assert est.predict_proba(X).shape == (len(y), 3)
+    assert np.mean(est.predict(X) == yc) > 0.8
+
+
+def test_sklearn_with_gp_model(data):
+    X, y = data
+    rng = np.random.default_rng(1)
+    groups = rng.integers(0, 10, size=len(y))
+    b = rng.standard_normal(10) * 0.5
+    y2 = y + b[groups]
+    gp_model = gpb.GPModel(group_data=groups)
+    est = gpb.GPBoostRegressor(n_estimators=20)
+    est.fit(X, y2, gp_model=gp_model)
+    assert gp_model.get_cov_pars() is not None
+    pred = est.predict(X, group_data_pred=groups)
+    assert np.sqrt(np.mean((pred["response_mean"] - y2) ** 2)) < 1.0
+
+
+def test_grid_search(data):
+    X, y = data
+    ds = gpb.Dataset(X, label=y)
+    res = gpb.grid_search_tune_parameters(
+        {"learning_rate": [0.1, 0.3], "num_leaves": [7, 15]},
+        ds, params={"objective": "regression", "verbose": -1},
+        nfold=2, num_boost_round=10, verbose_eval=0)
+    assert "best_params" in res and "best_score" in res
+    assert res["best_params"]["learning_rate"] in (0.1, 0.3)
+
+
+def test_cli_train_predict(tmp_path, data):
+    X, y = data
+    train_file = tmp_path / "train.csv"
+    np.savetxt(train_file, np.column_stack([y, X]), delimiter=",")
+    conf = tmp_path / "train.conf"
+    conf.write_text(
+        f"task = train\ndata = {train_file}\nobjective = regression\n"
+        f"num_iterations = 10\nnum_leaves = 7\n"
+        f"output_model = {tmp_path}/model.json\n")
+    from gpboost_tpu.cli import main
+    assert main([f"config={conf}"]) == 0
+    assert (tmp_path / "model.json").exists()
+    conf2 = tmp_path / "predict.conf"
+    conf2.write_text(
+        f"task = predict\ndata = {train_file}\n"
+        f"input_model = {tmp_path}/model.json\n"
+        f"output_result = {tmp_path}/preds.txt\n")
+    assert main([f"config={conf2}"]) == 0
+    preds = np.loadtxt(tmp_path / "preds.txt")
+    assert np.mean((preds - y) ** 2) < 0.5 * np.var(y)
+    # determinism: train twice -> identical predictions (reference
+    # tests/cpp_test/test.py contract)
+    conf3 = tmp_path / "train2.conf"
+    conf3.write_text(
+        f"task = train\ndata = {train_file}\nobjective = regression\n"
+        f"num_iterations = 10\nnum_leaves = 7\n"
+        f"output_model = {tmp_path}/model2.json\n")
+    assert main([f"config={conf3}"]) == 0
+    b1 = gpb.Booster(model_file=str(tmp_path / "model.json"))
+    b2 = gpb.Booster(model_file=str(tmp_path / "model2.json"))
+    np.testing.assert_array_equal(b1.predict(X), b2.predict(X))
+
+
+def test_plotting(data):
+    X, y = data
+    ds = gpb.Dataset(X, label=y)
+    ev = {}
+    dv = ds.create_valid(X[:100], label=y[:100])
+    bst = gpb.train({"objective": "regression", "verbose": -1}, ds,
+                    num_boost_round=5, valid_sets=[dv], evals_result=ev,
+                    verbose_eval=False)
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+    except ImportError:
+        pytest.skip("no matplotlib")
+    ax = gpb.plot_importance(bst)
+    assert ax is not None
+    ax2 = gpb.plot_metric(ev)
+    assert ax2 is not None
+    ax3 = gpb.partial_dependence_plot(bst, X[:100], 0, num_points=5)
+    assert ax3 is not None
