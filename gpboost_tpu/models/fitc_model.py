@@ -47,6 +47,9 @@ class FITCGP:
             select_inducing_points(coords, num_ind_points,
                                    ind_points_selection, seed), dtype=dtype)
         self.dtype = dtype
+        # persistent jitted value+grad (shared fit driver expects this)
+        self._vg_gaussian = jax.jit(jax.value_and_grad(
+            lambda th, y, fp: self.nll_gaussian(jnp.exp(th), y, fp)))
 
     # -- Gaussian ------------------------------------------------------
     def nll_gaussian(self, cov_pars, y, fixed_part=None):
