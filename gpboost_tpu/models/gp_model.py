@@ -151,6 +151,13 @@ class GPModel:
         if not self.spec.is_gaussian:
             self.optim_cfg.optimizer_cov = "lbfgs"
         self.num_cov_pars = self.spec.num_cov_par
+        # Woodbury fast path: grouped-REs-only models never build an [n, n]
+        # covariance — everything runs in the q-dim random-effects space
+        # (reference use_woodbury_identity_)
+        self._grouped_only = (
+            len(self.spec.components) > 0
+            and all(isinstance(c, GroupedRESpec) for c in self.spec.components)
+            and self.data.cluster_codes is None)
 
     # ------------------------------------------------------------------
     def set_optim_params(self, params: Optional[dict] = None):
@@ -203,15 +210,22 @@ class GPModel:
             ap = self._aux_pars_array(aux_pars)
             return float(self._approx.nll_laplace(cov_pars, y_arr, ap, fe))
         data = self._with_y(y)
-        if self.spec.is_gaussian:
-            fe = None if fixed_effects is None else jnp.asarray(
-                fixed_effects, dtype=self.dtype)
-            return float(gaussian.neg_log_likelihood(
-                self.spec, data, cov_pars, None, fe))
-        from gpboost_tpu.models import laplace
         fe = None if fixed_effects is None else jnp.asarray(
             fixed_effects, dtype=self.dtype)
+        if self.spec.is_gaussian:
+            if self._grouped_only:
+                from gpboost_tpu.models import grouped
+                return float(grouped.nll_gaussian(self.spec, data, cov_pars,
+                                                  None, fe))
+            return float(gaussian.neg_log_likelihood(
+                self.spec, data, cov_pars, None, fe))
         ap = self._aux_pars_array(aux_pars)
+        if self._grouped_only:
+            # non-Gaussian layout has no nugget: cov_pars = component variances
+            from gpboost_tpu.models import grouped
+            return float(grouped.nll_laplace(self.spec, data, cov_pars,
+                                             ap, None, fe))
+        from gpboost_tpu.models import laplace
         return float(laplace.neg_log_marginal_likelihood(
             self.spec, data, cov_pars, ap, None, fe))
 
@@ -369,34 +383,49 @@ class GPModel:
         theta0 = np.log(np.maximum(ratio_from_full(init), 1e-300))
         beta_holder = {"beta": beta}
 
+        if self._grouped_only:
+            from gpboost_tpu.models import grouped
+            vg_impl = grouped.nll_profiled_value_and_grad
+        else:
+            vg_impl = gaussian.nll_profiled_value_and_grad
+
         def value_fn(theta):
-            v, _, s2 = gaussian.nll_profiled_value_and_grad(
-                spec, data, jnp.asarray(theta, dtype=self.dtype),
-                beta_holder["beta"], fe_arr)
+            v, _, s2 = vg_impl(spec, data,
+                               jnp.asarray(theta, dtype=self.dtype),
+                               beta_holder["beta"], fe_arr)
             value_fn.last_sigma2 = float(s2)
             return v
 
         def grad_fn(theta):
-            _, g, _ = gaussian.nll_profiled_value_and_grad(
-                spec, data, jnp.asarray(theta, dtype=self.dtype),
-                beta_holder["beta"], fe_arr)
+            _, g, _ = vg_impl(spec, data,
+                              jnp.asarray(theta, dtype=self.dtype),
+                              beta_holder["beta"], fe_arr)
             return g
 
         def value_and_grad_fn(theta):
-            v, g, s2 = gaussian.nll_profiled_value_and_grad(
-                spec, data, jnp.asarray(theta, dtype=self.dtype),
-                beta_holder["beta"], fe_arr)
+            v, g, s2 = vg_impl(spec, data,
+                               jnp.asarray(theta, dtype=self.dtype),
+                               beta_holder["beta"], fe_arr)
             value_fn.last_sigma2 = float(s2)
             return v, g
 
         def coef_update(theta):
             if not has_coef or cfg.optimizer_coef not in ("wls", "gradient_descent"):
                 return
-            r = jnp.exp(jnp.asarray(theta, dtype=self.dtype))
-            _, s2 = gaussian.nll_profiled(spec, data, r, beta_holder["beta"], fe_arr)
+            _, _, s2 = vg_impl(spec, data, jnp.asarray(theta, dtype=self.dtype),
+                               beta_holder["beta"], fe_arr)
             full = jnp.asarray(full_from_ratio(np.exp(theta), float(s2)),
                                dtype=self.dtype)
-            beta_holder["beta"] = gaussian.wls_coefficients(spec, data, full, fe_arr)
+            if self._grouped_only:
+                from gpboost_tpu.models import grouped
+                yv = data.y if fe_arr is None else data.y - fe_arr
+                Xw = grouped.psi_inv_mul(spec, data, full, data.X)
+                yw = grouped.psi_inv_mul(spec, data, full, yv)
+                beta_holder["beta"] = jnp.linalg.solve(data.X.T @ Xw,
+                                                       data.X.T @ yw)
+            else:
+                beta_holder["beta"] = gaussian.wls_coefficients(
+                    spec, data, full, fe_arr)
 
         if has_coef:
             coef_update(theta0)
@@ -543,6 +572,12 @@ class GPModel:
             group_data_pred, group_rand_coef_data_pred, gp_coords_pred,
             gp_rand_coef_data_pred, cluster_ids_pred, X_pred)
 
+        if self._grouped_only:
+            return self._predict_grouped(
+                data, data_pred, cov_pars_arr, beta, fixed_effects,
+                fixed_effects_pred, predict_var, predict_cov_mat,
+                predict_response)
+
         if not self.spec.is_gaussian:
             from gpboost_tpu.models import laplace
             ap = self._aux_pars_array()
@@ -567,6 +602,124 @@ class GPModel:
                "var": None if var is None else np.asarray(var),
                "cov": None if cov is None else np.asarray(cov)}
         return out
+
+    def _predict_grouped(self, data, data_pred, cov_pars_arr, beta,
+                         fixed_effects, fixed_effects_pred, predict_var,
+                         predict_cov_mat, predict_response):
+        """Woodbury-path prediction for grouped-only models."""
+        from gpboost_tpu.models import grouped
+        from gpboost_tpu.models.laplace import _response_moments
+        fe = None if fixed_effects is None else jnp.asarray(
+            fixed_effects, dtype=self.dtype)
+        np_rows = data_pred.group_codes.shape[0]
+        ncomp = len(self.spec.components)
+        weights = jnp.ones((np_rows, ncomp), dtype=self.dtype)
+        for j, comp in enumerate(self.spec.components):
+            if comp.is_slope:
+                weights = weights.at[:, j].set(
+                    data_pred.slope_data[:, comp.slope_data_idx])
+        if self.spec.is_gaussian:
+            r = data.y
+            if beta is not None and data.X is not None:
+                r = r - data.X @ beta
+            if fe is not None:
+                r = r - fe
+            b_mean, postcov = grouped.posterior_b_gaussian(
+                self.spec, data, cov_pars_arr, r)
+            comp_vars = cov_pars_arr[1:]
+            nugget = cov_pars_arr[0]
+        else:
+            ap = self._aux_pars_array()
+            F = fe
+            if beta is not None and data.X is not None:
+                xb = data.X @ beta
+                F = xb if F is None else F + xb
+            b_mean, postcov = grouped.posterior_b_laplace(
+                self.spec, data, cov_pars_arr, ap, F)
+            comp_vars = cov_pars_arr
+            nugget = None
+        mean, var, cov = grouped.predict_from_posterior(
+            self.spec, b_mean, postcov, comp_vars, bool(predict_cov_mat),
+            data_pred.group_codes, weights)
+        # add fixed part to the latent mean
+        fep = None if fixed_effects_pred is None else jnp.asarray(
+            fixed_effects_pred, dtype=self.dtype)
+        if beta is not None and data_pred.X is not None:
+            xbp = data_pred.X @ beta
+            fep = xbp if fep is None else fep + xbp
+        if fep is not None:
+            mean = mean + fep
+        if self.spec.is_gaussian:
+            if predict_response:
+                if cov is not None:
+                    cov = cov + nugget * jnp.eye(cov.shape[0], dtype=cov.dtype)
+                    var = jnp.diagonal(cov)
+                elif var is not None:
+                    var = var + nugget
+        else:
+            if predict_response:
+                ap = self._aux_pars_array()
+                mean, var_r = _response_moments(self.likelihood, mean,
+                                                jnp.maximum(var, 0.0), ap)
+                var = var_r if (predict_var or predict_cov_mat) else None
+                cov = None
+        out_var = var if (predict_var or predict_cov_mat) else None
+        return {"mu": np.asarray(mean),
+                "var": None if out_var is None else np.asarray(out_var),
+                "cov": None if cov is None else np.asarray(cov)}
+
+    def predict_training_data_random_effects(self, predict_var=False):
+        """Posterior means (and variances) of the random effects at the
+        training points (``GPB_PredictREModelTrainingDataRandomEffects``;
+        python ``basic.py:6319``)."""
+        from gpboost_tpu.models import grouped
+        data = self.data
+        if data.y is None:
+            raise ValueError("fit() must be called first")
+        cov_pars_arr = jnp.asarray(self.cov_pars_, dtype=self.dtype)
+        beta = (None if self.coefs_ is None
+                else jnp.asarray(self.coefs_, dtype=self.dtype))
+        if self._grouped_only:
+            np_rows = data.group_codes.shape[0]
+            ncomp = len(self.spec.components)
+            weights = jnp.ones((np_rows, ncomp), dtype=self.dtype)
+            for j, comp in enumerate(self.spec.components):
+                if comp.is_slope:
+                    weights = weights.at[:, j].set(
+                        data.slope_data[:, comp.slope_data_idx])
+            if self.spec.is_gaussian:
+                r = data.y
+                if beta is not None and data.X is not None:
+                    r = r - data.X @ beta
+                b_mean, postcov = grouped.posterior_b_gaussian(
+                    self.spec, data, cov_pars_arr, r)
+                comp_vars = cov_pars_arr[1:]
+            else:
+                ap = self._aux_pars_array()
+                F = None
+                if beta is not None and data.X is not None:
+                    F = data.X @ beta
+                b_mean, postcov = grouped.posterior_b_laplace(
+                    self.spec, data, cov_pars_arr, ap, F)
+                comp_vars = cov_pars_arr
+            mean, var, _ = grouped.predict_from_posterior(
+                self.spec, b_mean, postcov, comp_vars, False,
+                data.group_codes, weights)
+            if predict_var:
+                return np.column_stack([np.asarray(mean), np.asarray(var)])
+            return np.asarray(mean)[:, None]
+        # GP (and mixed) models: predict latent effects at training points
+        pred = self.predict(
+            y=np.asarray(data.y),
+            gp_coords_pred=(None if data.coords is None
+                            else np.asarray(data.coords)),
+            group_data_pred=None, predict_var=predict_var,
+            predict_response=False,
+            X_pred=(None if data.X is None else np.zeros_like(
+                np.asarray(data.X))))
+        if predict_var:
+            return np.column_stack([pred["mu"], pred["var"]])
+        return pred["mu"][:, None]
 
     def _build_pred_data(self, group_data_pred, group_rand_coef_data_pred,
                          gp_coords_pred, gp_rand_coef_data_pred,

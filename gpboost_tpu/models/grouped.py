@@ -1,0 +1,446 @@
+"""Woodbury fast path for grouped-random-effects-only models.
+
+The reference uses sparse matrices + the Woodbury identity for grouped REs
+(``use_woodbury_identity_``, ``re_model_template.h``); here the incidence
+matrix Z [n, q] never materializes — Z'v is a segment-sum over group codes,
+ZM a gather — and all dense work happens in the q-dimensional random-effects
+space:
+
+  Psi = sigma2 I + Z Sigma_b Z'   (Sigma_b diagonal, per-component variances)
+  Psi^-1 r = (r - Z (sigma2 Sigma_b^-1 + Z'Z)^-1 Z'r) / sigma2
+  logdet Psi = n log sigma2 + logdet(I + Sigma_b Z'Z / sigma2)
+
+Non-Gaussian: Laplace mode finding runs in b-space [q] (Newton with
+H = Z'WZ + Sigma_b^-1), the q-dim analog of
+``FindModePostRandEffCalcMLLGroupedRE`` (likelihoods.h:1975).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpboost_tpu.models.spec import GroupedRESpec, ModelData, ModelSpec
+
+LOG_2PI = math.log(2.0 * math.pi)
+
+
+def grouped_layout(spec: ModelSpec):
+    """(offsets, sizes, total_q) for the stacked random-effects vector."""
+    offsets = []
+    sizes = []
+    off = 0
+    for comp in spec.components:
+        assert isinstance(comp, GroupedRESpec)
+        offsets.append(off)
+        sizes.append(comp.num_groups)
+        off += comp.num_groups
+    return tuple(offsets), tuple(sizes), off
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _z_weights(spec: ModelSpec, data: ModelData):
+    """Per-component multiplier z_i (1 for intercepts, covariate for slopes),
+    stacked [ncomp, n]."""
+    n = data.group_codes.shape[0]
+    ws = []
+    for j, comp in enumerate(spec.components):
+        if comp.is_slope:
+            ws.append(data.slope_data[:, comp.slope_data_idx])
+        else:
+            ws.append(jnp.ones(n, data.slope_data.dtype
+                               if data.slope_data is not None else
+                               jnp.result_type(float)))
+    return jnp.stack(ws, axis=0)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def zt_mul(spec: ModelSpec, data: ModelData, v: jnp.ndarray) -> jnp.ndarray:
+    """Z' v: [q] segment-sums of v per component level."""
+    offsets, sizes, q = grouped_layout(spec)
+    w = _z_weights(spec, data)
+    parts = []
+    for j, comp in enumerate(spec.components):
+        codes = data.group_codes[:, j]
+        parts.append(jnp.zeros(sizes[j], v.dtype).at[codes].add(w[j] * v))
+    return jnp.concatenate(parts)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def z_mul(spec: ModelSpec, data: ModelData, b: jnp.ndarray) -> jnp.ndarray:
+    """Z b: gather per component and sum. b is the stacked [q] vector."""
+    offsets, sizes, q = grouped_layout(spec)
+    w = _z_weights(spec, data)
+    n = data.group_codes.shape[0]
+    out = jnp.zeros(n, b.dtype)
+    for j, comp in enumerate(spec.components):
+        codes = data.group_codes[:, j]
+        out = out + w[j] * b[offsets[j] + codes]
+    return out
+
+
+@partial(jax.jit, static_argnums=(0,))
+def ztz_matrix(spec: ModelSpec, data: ModelData) -> jnp.ndarray:
+    """Dense Z'Z [q, q] via scatter-adds over component pairs."""
+    offsets, sizes, q = grouped_layout(spec)
+    w = _z_weights(spec, data)
+    dtype = w.dtype
+    ztz = jnp.zeros((q, q), dtype)
+    for j1, c1 in enumerate(spec.components):
+        codes1 = data.group_codes[:, j1] + offsets[j1]
+        for j2, c2 in enumerate(spec.components):
+            codes2 = data.group_codes[:, j2] + offsets[j2]
+            ztz = ztz.at[codes1, codes2].add(w[j1] * w[j2])
+    return ztz
+
+
+def _sigma_b_diag(spec: ModelSpec, comp_vars: jnp.ndarray, dtype):
+    """Diagonal of Sigma_b: comp_vars[j] repeated sizes[j] times."""
+    offsets, sizes, q = grouped_layout(spec)
+    parts = [jnp.full((sizes[j],), comp_vars[j], dtype)
+             for j in range(len(sizes))]
+    return jnp.concatenate(parts)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def nll_gaussian(spec: ModelSpec, data: ModelData, cov_pars: jnp.ndarray,
+                 beta: Optional[jnp.ndarray] = None,
+                 fixed_effects: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Exact Gaussian NLL via Woodbury (O(n + q^3) instead of O(n^3))."""
+    r = data.y
+    if beta is not None and data.X is not None:
+        r = r - data.X @ beta
+    if fixed_effects is not None:
+        r = r - fixed_effects
+    sigma2 = cov_pars[0]
+    comp_vars = cov_pars[1:]
+    db = _sigma_b_diag(spec, comp_vars, r.dtype)
+    ztz = ztz_matrix(spec, data)
+    q = ztz.shape[0]
+    n = r.shape[0]
+    # M = sigma2 Sigma_b^-1 + Z'Z
+    M = ztz + jnp.diag(sigma2 / db)
+    L = jnp.linalg.cholesky(M)
+    ztr = zt_mul(spec, data, r)
+    t = jax.scipy.linalg.solve_triangular(L, ztr, lower=True)
+    quad = (jnp.dot(r, r) - jnp.dot(t, t)) / sigma2
+    # logdet Psi = n log s2 + logdet(M) - logdet(s2 Sigma_b^-1)
+    logdet = (n * jnp.log(sigma2)
+              + 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+              - jnp.sum(jnp.log(sigma2 / db)))
+    return 0.5 * (quad + logdet + n * LOG_2PI)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def nll_profiled(spec: ModelSpec, data: ModelData, ratio_vars: jnp.ndarray,
+                 beta: Optional[jnp.ndarray] = None,
+                 fixed_effects: Optional[jnp.ndarray] = None):
+    """Profiled-nugget Woodbury NLL: ratio_vars = comp_vars / sigma2.
+    Returns (nll, sigma2_hat)."""
+    r = data.y
+    if beta is not None and data.X is not None:
+        r = r - data.X @ beta
+    if fixed_effects is not None:
+        r = r - fixed_effects
+    db = _sigma_b_diag(spec, ratio_vars, r.dtype)
+    ztz = ztz_matrix(spec, data)
+    n = r.shape[0]
+    M = ztz + jnp.diag(1.0 / db)
+    L = jnp.linalg.cholesky(M)
+    ztr = zt_mul(spec, data, r)
+    t = jax.scipy.linalg.solve_triangular(L, ztr, lower=True)
+    yt_psit_inv_y = jnp.dot(r, r) - jnp.dot(t, t)
+    sigma2_hat = yt_psit_inv_y / n
+    logdet_tilde = (2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+                    + jnp.sum(jnp.log(db)))
+    nll = 0.5 * (n * (jnp.log(sigma2_hat) + LOG_2PI + 1.0) + logdet_tilde)
+    return nll, sigma2_hat
+
+
+@partial(jax.jit, static_argnums=(0,))
+def nll_profiled_value_and_grad(spec, data, log_ratio_vars, beta=None,
+                                fixed_effects=None):
+    def f(th):
+        nll, s2 = nll_profiled(spec, data, jnp.exp(th), beta, fixed_effects)
+        return nll, s2
+    (v, s2), g = jax.value_and_grad(f, has_aux=True)(log_ratio_vars)
+    return v, g, s2
+
+
+@partial(jax.jit, static_argnums=(0,))
+def psi_inv_mul(spec: ModelSpec, data: ModelData, cov_pars: jnp.ndarray,
+                R: jnp.ndarray) -> jnp.ndarray:
+    """Psi^-1 R via Woodbury; R [n] or [n, k]."""
+    sigma2 = cov_pars[0]
+    db = _sigma_b_diag(spec, cov_pars[1:], R.dtype)
+    ztz = ztz_matrix(spec, data)
+    M = ztz + jnp.diag(sigma2 / db)
+    L = jnp.linalg.cholesky(M)
+    if R.ndim == 1:
+        ztr = zt_mul(spec, data, R)
+        sol = jax.scipy.linalg.cho_solve((L, True), ztr)
+        return (R - z_mul(spec, data, sol)) / sigma2
+    ztr = jax.vmap(lambda col: zt_mul(spec, data, col), in_axes=1,
+                   out_axes=1)(R)
+    sol = jax.scipy.linalg.cho_solve((L, True), ztr)
+    zs = jax.vmap(lambda col: z_mul(spec, data, col), in_axes=1,
+                  out_axes=1)(sol)
+    return (R - zs) / sigma2
+
+
+@partial(jax.jit, static_argnums=(0,))
+def posterior_b_gaussian(spec: ModelSpec, data: ModelData,
+                         cov_pars: jnp.ndarray, r: jnp.ndarray):
+    """Posterior of the stacked random effects b | y (ridge form):
+
+    precision = Z'Z/sigma2 + Sigma_b^-1 = M / sigma2,
+    mean = M^-1 Z'r,  cov = sigma2 M^-1.
+    Returns (mean [q], postcov [q, q]).
+    """
+    sigma2 = cov_pars[0]
+    db = _sigma_b_diag(spec, cov_pars[1:], r.dtype)
+    ztz = ztz_matrix(spec, data)
+    M = ztz + jnp.diag(sigma2 / db)
+    L = jnp.linalg.cholesky(M)
+    ztr = zt_mul(spec, data, r)
+    mean = jax.scipy.linalg.cho_solve((L, True), ztr)
+    postcov = sigma2 * jax.scipy.linalg.cho_solve(
+        (L, True), jnp.eye(M.shape[0], dtype=r.dtype))
+    return mean, postcov
+
+
+@partial(jax.jit, static_argnums=(0, 4))
+def predict_from_posterior(spec: ModelSpec, b_mean: jnp.ndarray,
+                           postcov: jnp.ndarray, comp_vars: jnp.ndarray,
+                           want_cov: bool, pred_codes: jnp.ndarray,
+                           pred_weights: jnp.ndarray):
+    """Latent prediction at new rows given the posterior of b.
+
+    pred_codes [np, ncomp]: level index per component (>= num_groups marks an
+    unseen level -> zero mean, prior variance, independent). pred_weights
+    [np, ncomp]: slope covariate multipliers (1 for intercepts).
+    Returns (mean [np], var [np], cov [np, np] or None).
+    """
+    offsets, sizes, q = grouped_layout(spec)
+    np_rows = pred_codes.shape[0]
+    ncomp = len(spec.components)
+    mean = jnp.zeros(np_rows, b_mean.dtype)
+    seen_masks = []
+    stacked_idx = []
+    for j in range(ncomp):
+        codes = pred_codes[:, j]
+        seen = codes < sizes[j]
+        idx = offsets[j] + jnp.minimum(codes, sizes[j] - 1)
+        seen_masks.append(seen)
+        stacked_idx.append(idx)
+        mean = mean + jnp.where(seen, pred_weights[:, j] * b_mean[idx], 0.0)
+    # covariance: sum over component pairs of gathered postcov entries for
+    # seen levels; unseen contribute prior variance (and correlate only with
+    # the same unseen label -> handled via code equality)
+    def pair_cov(p, r):
+        c = jnp.zeros((), b_mean.dtype) if False else 0.0
+        total = 0.0
+        for j1 in range(ncomp):
+            for j2 in range(ncomp):
+                s1 = seen_masks[j1][p]
+                s2 = seen_masks[j2][r]
+                both_seen = jnp.logical_and(s1, s2)
+                entry = postcov[stacked_idx[j1][p], stacked_idx[j2][r]]
+                contrib = jnp.where(both_seen, entry, 0.0)
+                # unseen-level prior: same component, same (unseen) label
+                if j1 == j2:
+                    same_unseen = jnp.logical_and(
+                        jnp.logical_not(s1),
+                        pred_codes[p, j1] == pred_codes[r, j1])
+                    contrib = contrib + jnp.where(same_unseen,
+                                                  comp_vars[j1], 0.0)
+                total = total + (pred_weights[p, j1] * pred_weights[r, j2]
+                                 * contrib)
+        return total
+
+    if want_cov:
+        ii = jnp.arange(np_rows)
+        cov = jax.vmap(lambda p: jax.vmap(lambda r: pair_cov(p, r))(ii))(ii)
+        var = jnp.diagonal(cov)
+        return mean, var, cov
+    ii = jnp.arange(np_rows)
+    var = jax.vmap(lambda p: pair_cov(p, p))(ii)
+    return mean, var, None
+
+
+# ---------------------------------------------------------------------------
+# Laplace in b-space for grouped REs (non-Gaussian)
+# ---------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def find_mode_grouped(lik_name: str, spec: ModelSpec, data: ModelData,
+                      db: jnp.ndarray, F: jnp.ndarray, aux: jnp.ndarray):
+    """Mode of sum logp(y | F + Zb) - 1/2 b' Sigma_b^-1 b, b in R^q."""
+    return _find_mode_grouped_impl(lik_name, spec, data, db, F, aux)
+
+
+def _find_mode_grouped_impl(lik_name, spec, data, db, F, aux):
+    from gpboost_tpu import likelihoods as lk
+    fam = lk.get_family(lik_name)
+    y = data.y
+    q = db.shape[0]
+
+    def obj(b):
+        loc = F + z_mul(spec, data, b)
+        return jnp.sum(fam.log_lik(y, loc, aux)) - 0.5 * jnp.sum(b * b / db)
+
+    def step(state):
+        b, psi, it, conv = state
+        loc = F + z_mul(spec, data, b)
+        d1 = fam.d_loc(y, loc, aux)
+        w = jnp.maximum(-fam.d2_loc(y, loc, aux), 1e-10)
+        g = zt_mul(spec, data, d1) - b / db
+        # H = Z'WZ + Sigma_b^-1
+        H = ztw_z(spec, data, w) + jnp.diag(1.0 / db)
+        delta = jnp.linalg.solve(H, g)
+
+        def psi_at(t):
+            return obj(b + t * delta)
+
+        def halve(hs):
+            t, _, k = hs
+            return (0.5 * t, psi_at(0.5 * t), k + 1)
+
+        def cond_h(hs):
+            t, val, k = hs
+            return jnp.logical_and(val < psi, k < 20)
+
+        t, psi_new, _ = jax.lax.while_loop(cond_h, halve,
+                                           (1.0, psi_at(1.0), 0))
+        b_new = b + t * delta
+        conv = jnp.abs(psi_new - psi) < 1e-9 * (jnp.abs(psi) + 1e-10)
+        return b_new, psi_new, it + 1, conv
+
+    def cond(state):
+        _, _, it, conv = state
+        return jnp.logical_and(it < 100, jnp.logical_not(conv))
+
+    b0 = jnp.zeros(q, db.dtype)
+    b, _, _, _ = jax.lax.while_loop(cond, step, (b0, obj(b0), 0, False))
+    return b
+
+
+@partial(jax.jit, static_argnums=(0,))
+def ztw_z(spec: ModelSpec, data: ModelData, w: jnp.ndarray) -> jnp.ndarray:
+    """Z' diag(w) Z [q, q]."""
+    offsets, sizes, q = grouped_layout(spec)
+    zw = _z_weights(spec, data)
+    out = jnp.zeros((q, q), w.dtype)
+    for j1, c1 in enumerate(spec.components):
+        codes1 = data.group_codes[:, j1] + offsets[j1]
+        for j2, c2 in enumerate(spec.components):
+            codes2 = data.group_codes[:, j2] + offsets[j2]
+            out = out.at[codes1, codes2].add(zw[j1] * zw[j2] * w)
+    return out
+
+
+def _find_mode_grouped_fwd(lik_name, spec, data, db, F, aux):
+    b = _find_mode_grouped_impl(lik_name, spec, data, db, F, aux)
+    return b, (data, db, F, aux, b)
+
+
+def _find_mode_grouped_bwd(lik_name, spec, res, v):
+    from gpboost_tpu import likelihoods as lk
+    fam = lk.get_family(lik_name)
+    data, db, F, aux, b = res
+    y = data.y
+    loc = F + z_mul(spec, data, b)
+    w = -fam.d2_loc(y, loc, aux)
+    # g(b) = b/db - Z' d1(y, F+Zb); dg/db = diag(1/db) + Z'WZ (symmetric)
+    H = ztw_z(spec, data, w) + jnp.diag(1.0 / db)
+    lam = jnp.linalg.solve(H, v)
+
+    def g(db_, F_, aux_):
+        d1 = fam.d_loc(y, F_ + z_mul(spec, data, b), aux_)
+        return b / db_ - zt_mul(spec, data, d1)
+
+    _, vjp = jax.vjp(g, db, F, aux)
+    gdb, gF, gaux = vjp(-lam)
+    return None, gdb, gF, gaux
+
+
+find_mode_grouped.defvjp(_find_mode_grouped_fwd, _find_mode_grouped_bwd)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def nll_laplace(spec: ModelSpec, data: ModelData, cov_pars: jnp.ndarray,
+                aux_pars: Optional[jnp.ndarray],
+                beta: Optional[jnp.ndarray] = None,
+                fixed_effects: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Laplace NLL for grouped REs in b-space:
+
+    nll = -loglik(mode) + 1/2 b'Sigma_b^-1 b
+          + 1/2 logdet(I_q + Sigma_b Z'WZ).
+    """
+    from gpboost_tpu import likelihoods as lk
+    fam = lk.get_family(spec.likelihood)
+    n = data.y.shape[0]
+    F = jnp.zeros(n, data.y.dtype)
+    if beta is not None and data.X is not None:
+        F = F + data.X @ beta
+    if fixed_effects is not None:
+        F = F + fixed_effects
+    aux = aux_pars if aux_pars is not None else jnp.zeros((0,), data.y.dtype)
+    db = _sigma_b_diag(spec, cov_pars, data.y.dtype)
+    b = find_mode_grouped(spec.likelihood, spec, data, db, F, aux)
+    loc = F + z_mul(spec, data, b)
+    w = -fam.d2_loc(data.y, loc, aux)
+    loglik = jnp.sum(fam.log_lik(data.y, loc, aux))
+    quad = jnp.sum(b * b / db)
+    A = jnp.eye(db.shape[0], dtype=db.dtype) + db[:, None] * ztw_z(spec, data, w)
+    sign, logdet = jnp.linalg.slogdet(A)
+    return -(loglik - 0.5 * quad - 0.5 * logdet)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def laplace_mode_and_w(spec, data, cov_pars, aux_pars, fixed_effects):
+    from gpboost_tpu import likelihoods as lk
+    fam = lk.get_family(spec.likelihood)
+    n = data.y.shape[0]
+    F = (jnp.zeros(n, data.y.dtype) if fixed_effects is None
+         else fixed_effects)
+    aux = aux_pars if aux_pars is not None else jnp.zeros((0,), data.y.dtype)
+    db = _sigma_b_diag(spec, cov_pars, data.y.dtype)
+    b = find_mode_grouped(spec.likelihood, spec, data, db, F, aux)
+    loc = F + z_mul(spec, data, b)
+    w = -fam.d2_loc(data.y, loc, aux)
+    return b, w, db
+
+
+@partial(jax.jit, static_argnums=(0,))
+def posterior_b_laplace(spec, data, cov_pars, aux_pars, fixed_effects):
+    """Laplace posterior of b: mean = mode, cov = (Z'WZ + Sigma_b^-1)^-1."""
+    b, w, db = laplace_mode_and_w(spec, data, cov_pars, aux_pars,
+                                  fixed_effects)
+    H = ztw_z(spec, data, w) + jnp.diag(1.0 / db)
+    Hinv = jnp.linalg.inv(H)
+    return b, Hinv
+
+
+@partial(jax.jit, static_argnums=(0,))
+def nll_laplace_value_and_grad(spec, data, cov_pars, aux_pars, beta,
+                               fixed_effects):
+    argnums = [0]
+    if aux_pars is not None:
+        argnums.append(1)
+    if beta is not None:
+        argnums.append(2)
+
+    def f(cp, ap, b):
+        return nll_laplace(spec, data, cp, ap, b, fixed_effects)
+
+    v, grads = jax.value_and_grad(f, argnums=tuple(argnums))(
+        cov_pars, aux_pars, beta)
+    out = [None, None, None]
+    for i, an in enumerate(argnums):
+        out[an] = grads[i]
+    return v, tuple(out)

@@ -65,8 +65,13 @@ def fit(model, data: ModelData, fixed_effects: Optional[jnp.ndarray] = None):
         and chain rule for the log transform happen host-side."""
         theta = np.asarray(theta, dtype=np.float64)
         cov, aux, beta = unpack(jnp.asarray(theta))
-        v, (g_cov, g_aux, g_beta) = laplace.nll_value_and_grad(
-            spec, data, cov, aux, beta, fixed_effects)
+        if getattr(model, "_grouped_only", False):
+            from gpboost_tpu.models import grouped
+            v, (g_cov, g_aux, g_beta) = grouped.nll_laplace_value_and_grad(
+                spec, data, cov, aux, beta, fixed_effects)
+        else:
+            v, (g_cov, g_aux, g_beta) = laplace.nll_value_and_grad(
+                spec, data, cov, aux, beta, fixed_effects)
         g = np.asarray(g_cov) * np.exp(theta[:n_cov])
         parts = [g]
         if n_aux:
