@@ -208,6 +208,15 @@ class GPModel:
             if self.spec.is_gaussian:
                 return float(self._approx.nll_gaussian(cov_pars, y_arr, fe))
             ap = self._aux_pars_array(aux_pars)
+            if (self.matrix_inversion_method == "iterative"
+                    and hasattr(self._approx, "nll_laplace_iterative")):
+                cfg = self.optim_cfg
+                return float(self._approx.nll_laplace_iterative(
+                    cov_pars, y_arr, ap, fe,
+                    num_rand_vec_trace=cfg.num_rand_vec_trace,
+                    cg_tol=cfg.cg_delta_conv,
+                    cg_max_iter=cfg.cg_max_num_it,
+                    seed_rand_vec_trace=cfg.seed_rand_vec_trace))
             return float(self._approx.nll_laplace(cov_pars, y_arr, ap, fe))
         data = self._with_y(y)
         fe = None if fixed_effects is None else jnp.asarray(

@@ -105,6 +105,9 @@ def fit(model, data, fixed_effects: Optional[jnp.ndarray] = None):
         beta = theta[n_cov + n_aux:] if has_coef else None
         return cov, aux, beta
 
+    use_iterative = (getattr(model, "matrix_inversion_method", "cholesky")
+                     == "iterative")
+
     @jax.jit
     def nll_fn(theta):
         cov, aux, beta = unpack(theta)
@@ -112,6 +115,12 @@ def fit(model, data, fixed_effects: Optional[jnp.ndarray] = None):
         if beta is not None:
             xb = data.X @ beta
             fp = xb if fp is None else fp + xb
+        if use_iterative:
+            return vec.nll_laplace_iterative(
+                cov, y, aux, fp,
+                num_rand_vec_trace=max(cfg.num_rand_vec_trace, 200),
+                cg_tol=cfg.cg_delta_conv, cg_max_iter=cfg.cg_max_num_it,
+                seed_rand_vec_trace=cfg.seed_rand_vec_trace)
         return vec.nll_laplace(cov, y, aux, fp)
 
     vgrad = jax.jit(jax.value_and_grad(nll_fn))

@@ -24,6 +24,113 @@ from gpboost_tpu.ops.cov_fns import CovFunction
 LOG_2PI = math.log(2.0 * math.pi)
 
 
+@jax.jit
+def _precision_diag(a, neighbors, d):
+    """diag(B' D^-1 B): 1/d_i + sum_{j: i in nb(j)} a_{j,.}^2 / d_j."""
+    n = d.shape[0]
+    idx = jnp.maximum(neighbors, 0)
+    contrib = jnp.where(neighbors >= 0, a * a / d[:, None], 0.0)
+    return (1.0 / d) + jnp.zeros(n, d.dtype).at[idx.reshape(-1)].add(
+        contrib.reshape(-1))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _find_mode_cg(lik_name, a, d, neighbors, y, F, aux):
+    """Matrix-free posterior mode: solve Q b = d1(y, F+b) with Newton-CG.
+    Implicit differentiation w.r.t. (a, d, F, aux) via one adjoint CG solve."""
+    return _find_mode_cg_impl(lik_name, a, d, neighbors, y, F, aux)
+
+
+def _find_mode_cg_impl(lik_name, a, d, neighbors, y, F, aux):
+    from gpboost_tpu import likelihoods as lk
+    from gpboost_tpu.ops import cg as cgops
+    fam = lk.get_family(lik_name)
+    n = y.shape[0]
+
+    def q_mv(v):
+        return vops.precision_matvec(a, neighbors, d, v)
+
+    def obj(b):
+        return jnp.sum(fam.log_lik(y, F + b, aux)) - 0.5 * jnp.dot(b, q_mv(b))
+
+    diag_q = _precision_diag(a, neighbors, d)
+
+    def newton(state):
+        b, psi, it, conv = state
+        loc = F + b
+        d1 = fam.d_loc(y, loc, aux)
+        w = jnp.maximum(-fam.d2_loc(y, loc, aux), 1e-10)
+        g = d1 - q_mv(b)
+        pre_d = jnp.maximum(diag_q + w, 1e-10)
+
+        def amv(V):  # [n, k]
+            return (jax.vmap(q_mv, in_axes=1, out_axes=1)(V)
+                    + w[:, None] * V)
+
+        delta, _ = cgops.pcg(amv, g, lambda r: r / pre_d[:, None],
+                             tol=1e-6, max_iter=1000)
+
+        def psi_at(t):
+            return obj(b + t * delta)
+
+        def halve(hs):
+            t, _, k = hs
+            return (0.5 * t, psi_at(0.5 * t), k + 1)
+
+        def cond_h(hs):
+            t, val, k = hs
+            return jnp.logical_and(val < psi, k < 20)
+
+        t, psi_new, _ = jax.lax.while_loop(cond_h, halve,
+                                           (1.0, psi_at(1.0), 0))
+        b_new = b + t * delta
+        conv = jnp.abs(psi_new - psi) < 1e-9 * (jnp.abs(psi) + 1e-10)
+        return b_new, psi_new, it + 1, conv
+
+    def cond(state):
+        _, _, it, conv = state
+        return jnp.logical_and(it < 100, jnp.logical_not(conv))
+
+    b0 = jnp.zeros(n, d.dtype)
+    b, _, _, _ = jax.lax.while_loop(cond, newton, (b0, obj(b0), 0, False))
+    return b
+
+
+def _find_mode_cg_fwd(lik_name, a, d, neighbors, y, F, aux):
+    b = _find_mode_cg_impl(lik_name, a, d, neighbors, y, F, aux)
+    return b, (a, d, neighbors, y, F, aux, b)
+
+
+def _find_mode_cg_bwd(lik_name, res, v):
+    from gpboost_tpu import likelihoods as lk
+    from gpboost_tpu.ops import cg as cgops
+    fam = lk.get_family(lik_name)
+    a, d, neighbors, y, F, aux, b = res
+    loc = F + b
+    w = -fam.d2_loc(y, loc, aux)
+    diag_q = _precision_diag(a, neighbors, d)
+    pre_d = jnp.maximum(diag_q + w, 1e-10)
+
+    def amv(V):  # [n, k]
+        qv = jax.vmap(lambda col: vops.precision_matvec(a, neighbors, d, col),
+                      in_axes=1, out_axes=1)(V)
+        return qv + w[:, None] * V
+
+    lam, _ = cgops.pcg(amv, v, lambda r: r / pre_d[:, None],
+                       tol=1e-8, max_iter=1000)
+
+    def g(a_, d_, F_, aux_):
+        d1 = fam.d_loc(y, F_ + b, aux_)
+        return vops.precision_matvec(a_, neighbors, d_, b) - d1
+
+    _, vjp = jax.vjp(g, a, d, F, aux)
+    ga, gd, gF, gaux = vjp(-lam)
+    return ga, gd, None, jnp.zeros_like(y), gF, gaux
+
+
+_find_mode_cg.defvjp(_find_mode_cg_fwd, _find_mode_cg_bwd)
+
+
 class VecchiaGP:
     """State holder for a Vecchia-approximated GP component.
 
@@ -138,6 +245,60 @@ class VecchiaGP:
                 .add(jnp.where(self.neighbors >= 0, a, 0.0)))
         Q = Bmat.T @ (Bmat / d[:, None])
         return Q, d
+
+    # ---- iterative Vecchia-Laplace (matrix-free Newton-CG + stochastic
+    # logdet; matrix_inversion_method='iterative') ----------------------
+    def nll_laplace_iterative(self, cov_pars, y, aux_pars, fixed_part=None,
+                              num_rand_vec_trace: int = 50,
+                              lanczos_steps: int = 50,
+                              cg_tol: float = 1e-3, cg_max_iter: int = 1000,
+                              seed_rand_vec_trace: int = 1):
+        """Laplace NLL with preconditioned CG + stochastic Lanczos logdet —
+        the fork's iterative method (arXiv:2310.12000), O(n m) per matvec,
+        no dense [n, n] matrices.
+        """
+        from gpboost_tpu import likelihoods as lk
+        from gpboost_tpu.ops import cg as cgops
+        fam = lk.get_family(self.likelihood)
+        yp = y[self.perm]
+        Fp = (jnp.zeros(self.n, self.dtype) if fixed_part is None
+              else fixed_part[self.perm])
+        aux = aux_pars if aux_pars is not None else jnp.zeros((0,), self.dtype)
+        a, d = self._latent_factors(cov_pars)
+        nb = self.neighbors
+
+        def q_mv(V):
+            if V.ndim == 1:
+                return vops.precision_matvec(a, nb, d, V)
+            return jax.vmap(lambda col: vops.precision_matvec(a, nb, d, col),
+                            in_axes=1, out_axes=1)(V)
+
+        b = _find_mode_cg(self.likelihood, a, d, nb, yp, Fp, aux)
+        loc = Fp + b
+        w = -fam.d2_loc(yp, loc, aux)
+        loglik = jnp.sum(fam.log_lik(yp, loc, aux))
+        quad = jnp.dot(b, vops.precision_matvec(a, nb, d, b))
+        # A = Q + W matvec (differentiable through a, d, w)
+        def a_mv(V):
+            if V.ndim == 1:
+                return vops.precision_matvec(a, nb, d, V) + w * V
+            return q_mv(V) + w[:, None] * V
+
+        # Jacobi preconditioner on A: diag(Q) + W
+        diag_q = _precision_diag(a, nb, d)
+        pre = cgops.JacobiPreconditioner(
+            jax.lax.stop_gradient(jnp.maximum(diag_q + w, 1e-10)))
+        key = jax.random.PRNGKey(seed_rand_vec_trace)
+        k1, k2 = jax.random.split(key)
+        Z = pre.sample_probes(k1, num_rand_vec_trace)
+        Zg = cgops.rademacher_probes(k2, self.n, num_rand_vec_trace,
+                                     self.dtype)
+        logdet_A = cgops.stochastic_logdet_grad(
+            a_mv, None, Z, lanczos_steps, pre.solve, pre.logdet(),
+            cg_tol, cg_max_iter, probes_grad=Zg)
+        # logdet(Sigma^-1) = -sum log d  (exact)
+        logdet_ratio = logdet_A + jnp.sum(jnp.log(d))
+        return -(loglik - 0.5 * quad - 0.5 * logdet_ratio)
 
     def predict_laplace(self, cov_pars, y, aux_pars, coords_pred,
                         fixed_part=None, fixed_part_pred=None,

@@ -1,0 +1,234 @@
+"""Iterative solvers: preconditioned CG + stochastic Lanczos log-determinants.
+
+TPU-native re-design of the reference fork's defining machinery
+(``include/GPBoost/CG_utils.h`` / ``src/GPBoost/CG_utils.cpp``; papers
+arXiv:2310.12000, 2405.14492):
+
+- ``pcg``: preconditioned conjugate gradients, batched over multiple RHS
+  ([n, k] blocked — the reference's ``CGVecchiaLaplaceVecWinterface`` etc.
+  solve one vector at a time per OpenMP thread; here all probes/RHS advance
+  together as MXU-friendly [n, k] panels).
+- ``lanczos_tridiag``: per-probe Lanczos tridiagonalization (batched over
+  probes), feeding the stochastic logdet estimate
+  ``logdet(A) ~ mean_k ||z_k||^2 e1' U log(L) U' e1``
+  (reference ``LogDetStochTridiag``, CG_utils.h:384).
+- ``stochastic_logdet_grad``: the same quantity with a *Hutchinson surrogate*
+  for gradients: value from Lanczos (stop-gradient), derivative from
+  ``mean_k stop_grad(A^-1 z_k)' A(theta) z_k`` whose theta-gradient is the
+  unbiased trace estimator tr(A^-1 dA) — replacing the reference's
+  hand-written stochastic-trace gradient kernels.
+- preconditioners as (apply, logdet) pairs; low-rank-plus-diagonal (FITC /
+  "predictive_process_plus_diagonal") and Jacobi are matmul-friendly on TPU
+  (the reference's pivoted/incomplete Cholesky are sequential algorithms —
+  SURVEY §7 hard-part 5 — and are deliberately replaced).
+
+Probe vectors: Rademacher or normal (reference ``simProbeVect``,
+CG_utils.h:351-370), generated with JAX PRNG.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def rademacher_probes(key, n: int, num_probes: int, dtype=jnp.float64):
+    return (2.0 * jax.random.bernoulli(key, 0.5, (n, num_probes)) - 1.0
+            ).astype(dtype)
+
+
+def normal_probes(key, n: int, num_probes: int, dtype=jnp.float64):
+    return jax.random.normal(key, (n, num_probes), dtype)
+
+
+def pcg(matvec: Callable, B: jnp.ndarray,
+        precond_solve: Optional[Callable] = None,
+        tol: float = 1e-2, max_iter: int = 1000,
+        x0: Optional[jnp.ndarray] = None):
+    """Batched preconditioned CG: solve A X = B for SPD A, B [n, k].
+
+    All k systems iterate together (per-column alpha/beta); convergence when
+    every column residual norm < tol * ||b||. Returns (X, num_iter).
+    """
+    if B.ndim == 1:
+        X, it = pcg(matvec, B[:, None], precond_solve, tol, max_iter,
+                    None if x0 is None else x0[:, None])
+        return X[:, 0], it
+    n, k = B.shape
+    Pinv = precond_solve if precond_solve is not None else (lambda r: r)
+    X = jnp.zeros_like(B) if x0 is None else x0
+    R = B - matvec(X)
+    Z = Pinv(R)
+    P = Z
+    rz = jnp.sum(R * Z, axis=0)
+    b_norm = jnp.sqrt(jnp.sum(B * B, axis=0))
+    tol_vec = tol * jnp.maximum(b_norm, 1e-30)
+
+    def cond(state):
+        X, R, P, rz, it = state
+        r_norm = jnp.sqrt(jnp.sum(R * R, axis=0))
+        return jnp.logical_and(it < max_iter,
+                               jnp.any(r_norm > tol_vec))
+
+    def body(state):
+        X, R, P, rz, it = state
+        AP = matvec(P)
+        denom = jnp.sum(P * AP, axis=0)
+        alpha = rz / jnp.where(denom > 0, denom, 1e-30)
+        X = X + alpha[None, :] * P
+        R = R - alpha[None, :] * AP
+        Z = Pinv(R)
+        rz_new = jnp.sum(R * Z, axis=0)
+        beta = rz_new / jnp.where(rz > 0, rz, 1e-30)
+        P = Z + beta[None, :] * P
+        return X, R, P, rz_new, it + 1
+
+    X, R, P, rz, it = jax.lax.while_loop(cond, body, (X, R, P, rz, 0))
+    return X, it
+
+
+def lanczos_tridiag(matvec: Callable, Z: jnp.ndarray, num_steps: int,
+                    precond_solve: Optional[Callable] = None):
+    """Batched Lanczos: tridiagonalize (P^-1)A w.r.t. the P-inner product for
+    each probe column of Z [n, k]. Returns (alphas [steps, k],
+    betas [steps-1, k]) of the tridiagonal matrices.
+
+    With preconditioning this is the standard PCG-coupled Lanczos recursion
+    (reference ``CGTridiagVecchiaLaplace``, CG_utils.h:167).
+    """
+    n, k = Z.shape
+    Pinv = precond_solve if precond_solve is not None else (lambda r: r)
+
+    # standard symmetric Lanczos in the P^-1/2 A P^-1/2 sense via the
+    # preconditioned recursion (Saad, Alg. 9.1 adapted):
+    q_prev = jnp.zeros_like(Z)
+    r = Z
+    z = Pinv(r)
+    gamma = jnp.sqrt(jnp.maximum(jnp.sum(r * z, axis=0), 1e-30))
+    q = r / gamma[None, :]
+    qz = z / gamma[None, :]
+
+    def step(carry, _):
+        q_prev, q, qz, beta_prev = carry
+        w = matvec(qz) - beta_prev[None, :] * q_prev
+        alpha = jnp.sum(qz * w, axis=0)
+        w = w - alpha[None, :] * q
+        wz = Pinv(w)
+        beta = jnp.sqrt(jnp.maximum(jnp.sum(w * wz, axis=0), 1e-30))
+        q_new = w / beta[None, :]
+        qz_new = wz / beta[None, :]
+        return (q, q_new, qz_new, beta), (alpha, beta)
+
+    (_, _, _, _), (alphas, betas) = jax.lax.scan(
+        step, (q_prev, q, qz, jnp.zeros(k, Z.dtype)), None, length=num_steps)
+    return alphas, betas[:-1]
+
+
+def _logdet_from_tridiag(alphas, betas, z_norms_sq):
+    """Stochastic logdet from per-probe tridiagonal matrices:
+    logdet ~ mean_k ||z_k||_P^2 * (e1' U log(Lambda) U' e1)."""
+    steps, k = alphas.shape
+
+    def one_probe(a, b, zn):
+        T = (jnp.diag(a) + jnp.diag(b, 1) + jnp.diag(b, -1))
+        evals, evecs = jnp.linalg.eigh(T)
+        evals = jnp.maximum(evals, 1e-30)
+        tau = evecs[0, :]
+        return zn * jnp.sum(tau * tau * jnp.log(evals))
+
+    vals = jax.vmap(one_probe, in_axes=(1, 1, 0))(alphas, betas, z_norms_sq)
+    return jnp.mean(vals)
+
+
+def stochastic_logdet_grad(matvec_of_theta: Callable, theta_free,
+                           Z: jnp.ndarray, num_lanczos_steps: int = 50,
+                           precond_solve: Optional[Callable] = None,
+                           precond_logdet: Optional[jnp.ndarray] = None,
+                           cg_tol: float = 1e-2, cg_max_iter: int = 1000,
+                           probes_grad: Optional[jnp.ndarray] = None):
+    """Differentiable stochastic logdet(A(theta)).
+
+    - value: preconditioned Lanczos quadrature estimate of
+      logdet(P^-1 A) + logdet(P); the value probes ``Z`` must be ~ N(0, P)
+      (use the preconditioner's ``sample_probes``) for unbiasedness.
+    - gradient: Hutchinson surrogate mean_k sg(A^-1 z)' A(theta) z whose
+      theta-derivative is the unbiased tr(A^-1 dA/dtheta). Its probes must
+      have E[z z'] = I — pass Rademacher ``probes_grad`` (the value probes
+      are N(0, P)-distributed and would give tr(A^-1 dA P)).
+    """
+    # value (no gradient flow through the Lanczos recursion)
+    mv_sg = lambda V: jax.lax.stop_gradient(matvec_of_theta(V))  # noqa: E731
+    alphas, betas = lanczos_tridiag(mv_sg, Z, num_lanczos_steps,
+                                    precond_solve)
+    Pz = precond_solve(Z) if precond_solve is not None else Z
+    z_norms_sq = jnp.sum(Z * Pz, axis=0)
+    val = _logdet_from_tridiag(alphas, betas, z_norms_sq)
+    if precond_logdet is not None:
+        val = val + precond_logdet
+    val = jax.lax.stop_gradient(val)
+
+    # gradient surrogate with identity-covariance probes
+    Zg = probes_grad if probes_grad is not None else Z
+    Ainv_Zg, _ = pcg(mv_sg, Zg, precond_solve, tol=cg_tol,
+                     max_iter=cg_max_iter)
+    Ainv_Zg = jax.lax.stop_gradient(Ainv_Zg)
+    # mean_k z' A^-1 A(theta) z: value is a constant (= n in expectation),
+    # theta-derivative is the Hutchinson estimate of tr(A^-1 dA/dtheta)
+    surrogate = jnp.mean(jnp.sum(Ainv_Zg * matvec_of_theta(Zg), axis=0))
+    return val + surrogate - jax.lax.stop_gradient(surrogate)
+
+
+class LowRankDiagPreconditioner(NamedTuple):
+    """P = U U' + diag(d): Woodbury apply + exact logdet.
+
+    The TPU replacement for pivoted-Cholesky / FITC preconditioners
+    (``cg_preconditioner_type = 'predictive_process_plus_diagonal'``).
+    """
+    U: jnp.ndarray        # [n, r]
+    d: jnp.ndarray        # [n]
+    chol_inner: jnp.ndarray  # chol(I_r + U' diag(1/d) U)
+
+    @staticmethod
+    def create(U: jnp.ndarray, d: jnp.ndarray):
+        r = U.shape[1]
+        inner = jnp.eye(r, dtype=U.dtype) + (U / d[:, None]).T @ U
+        return LowRankDiagPreconditioner(U, d, jnp.linalg.cholesky(inner))
+
+    def solve(self, R: jnp.ndarray) -> jnp.ndarray:
+        Rd = R / (self.d[:, None] if R.ndim == 2 else self.d)
+        inner = self.U.T @ Rd
+        sol = jax.scipy.linalg.cho_solve((self.chol_inner, True), inner)
+        corr = self.U @ sol
+        corr = corr / (self.d[:, None] if R.ndim == 2 else self.d)
+        return Rd - corr
+
+    def logdet(self) -> jnp.ndarray:
+        return (2.0 * jnp.sum(jnp.log(jnp.diagonal(self.chol_inner)))
+                + jnp.sum(jnp.log(self.d)))
+
+    def sample_probes(self, key, num_probes: int) -> jnp.ndarray:
+        """Probes ~ N(0, P): y = U e_r + sqrt(d) e_n (needed so the
+        preconditioned Lanczos quadrature is unbiased for logdet(A)-logdet(P))."""
+        k1, k2 = jax.random.split(key)
+        n, r = self.U.shape
+        e_r = jax.random.normal(k1, (r, num_probes), self.U.dtype)
+        e_n = jax.random.normal(k2, (n, num_probes), self.U.dtype)
+        return self.U @ e_r + jnp.sqrt(self.d)[:, None] * e_n
+
+
+class JacobiPreconditioner(NamedTuple):
+    d: jnp.ndarray
+
+    def solve(self, R):
+        return R / (self.d[:, None] if R.ndim == 2 else self.d)
+
+    def logdet(self):
+        return jnp.sum(jnp.log(self.d))
+
+    def sample_probes(self, key, num_probes: int) -> jnp.ndarray:
+        e = jax.random.normal(key, (self.d.shape[0], num_probes),
+                              self.d.dtype)
+        return jnp.sqrt(self.d)[:, None] * e
