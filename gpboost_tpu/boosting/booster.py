@@ -83,9 +83,25 @@ class Booster:
             lambda_l1=float(p.get("lambda_l1", 0.0)),
             lambda_l2=float(p.get("lambda_l2", 0.0)),
             min_gain_to_split=float(p.get("min_gain_to_split", 0.0)))
+        self.boosting_type = p.get("boosting", p.get("boosting_type", "gbdt"))
+        # DART settings (reference src/LightGBM/boosting/dart.hpp)
+        self.drop_rate = float(p.get("drop_rate", 0.1))
+        self.max_drop = int(p.get("max_drop", 50))
+        self.skip_drop = float(p.get("skip_drop", 0.5))
+        self.uniform_drop = bool(p.get("uniform_drop", False))
+        self.xgboost_dart_mode = bool(p.get("xgboost_dart_mode", False))
+        self._dart_rng = np.random.default_rng(int(p.get("drop_seed", 4)))
+        self._tree_weights: List[float] = []
+        # GOSS settings (goss.hpp)
+        self.top_rate = float(p.get("top_rate", 0.2))
+        self.other_rate = float(p.get("other_rate", 0.1))
         self.bagging_fraction = float(p.get("bagging_fraction", 1.0))
         self.bagging_freq = int(p.get("bagging_freq", 0))
         self.feature_fraction = float(p.get("feature_fraction", 1.0))
+        if self.boosting_type == "rf":
+            if not (self.bagging_freq > 0 and self.bagging_fraction < 1.0):
+                self.bagging_freq = 1
+                self.bagging_fraction = min(self.bagging_fraction, 0.632)
         self.use_gp_model_for_validation = bool(
             p.get("use_gp_model_for_validation", True))
         self.leaves_newton_update = bool(p.get("leaves_newton_update", False))
@@ -142,23 +158,115 @@ class Booster:
         return len(self.trees) // self.num_models
 
     # ------------------------------------------------------------------
+    def _tree_train_pred(self, tree: Tree) -> np.ndarray:
+        vals, _ = predict_tree_binned(
+            self.train_set.binned, jnp.asarray(tree.split_feature),
+            jnp.asarray(tree.threshold_bin), jnp.asarray(tree.left),
+            jnp.asarray(tree.right), tree.max_depth_used + 1,
+            jnp.asarray(tree.leaf_value))
+        return np.asarray(vals)
+
+    def _dart_drop(self):
+        """Select and temporarily remove dropped trees from the train score
+        (``DART::DroppingTrees``, dart.hpp:97-147). Returns drop indices."""
+        it = self.current_iteration()
+        drop = []
+        if it > 0 and self._dart_rng.random() >= self.skip_drop:
+            drop_rate = self.drop_rate
+            if self.uniform_drop:
+                if self.max_drop > 0:
+                    drop_rate = min(drop_rate, self.max_drop / max(it, 1))
+                for i in range(it):
+                    if self._dart_rng.random() < drop_rate:
+                        drop.append(i)
+                        if len(drop) >= self.max_drop:
+                            break
+            else:
+                sum_w = sum(self._tree_weights) or 1.0
+                inv_avg = len(self._tree_weights) / sum_w
+                if self.max_drop > 0:
+                    drop_rate = min(drop_rate,
+                                    self.max_drop * inv_avg / sum_w)
+                for i in range(it):
+                    if self._dart_rng.random() < (
+                            drop_rate * self._tree_weights[i] * inv_avg):
+                        drop.append(i)
+                        if len(drop) >= self.max_drop:
+                            break
+        n = self.train_set.num_data
+        for i in drop:
+            self._score[:n] -= self._tree_train_pred(self.trees[i])
+        return drop
+
+    def _dart_normalize(self, drop):
+        """Scale dropped trees by k/(k+1) and restore scores
+        (``DART::Normalize``, dart.hpp:158-200, non-xgboost mode)."""
+        k = float(len(drop))
+        n = self.train_set.num_data
+        for i in drop:
+            tree = self.trees[i]
+            factor = k / (k + 1.0)
+            # valid scores see the delta (factor - 1) * old_pred
+            for vi, vset in enumerate(self.valid_sets):
+                vvals, _ = predict_tree_raw(
+                    jnp.asarray(vset.raw_data), jnp.asarray(tree.split_feature),
+                    jnp.asarray(tree.threshold), jnp.asarray(tree.left),
+                    jnp.asarray(tree.right), jnp.asarray(tree.leaf_value),
+                    tree.max_depth_used + 1)
+                self._valid_scores[vi] += (factor - 1.0) * np.asarray(vvals)
+            tree.leaf_value = tree.leaf_value * factor
+            tree.shrinkage *= factor
+            # train score: add back the rescaled tree
+            self._score[:n] += self._tree_train_pred(tree)
+            self._tree_weights[i] *= factor
+
     def update(self, train_set=None, fobj=None):
         """One boosting iteration (``GBDT::TrainOneIter``, gbdt.cpp:404)."""
         ds = self.train_set
         n = ds.num_data
+        dart_drop = None
+        if self.boosting_type == "dart":
+            dart_drop = self._dart_drop()
+        if self.boosting_type == "rf":
+            # RF: gradients always at the constant init score (rf.hpp)
+            base = np.full_like(self._score, self.init_score[0]
+                                if self.num_models == 1 else 0.0)
+            score_for_grad = base
+        else:
+            score_for_grad = self._score
         if fobj is not None:
-            grad, hess = fobj(self._score, ds)
+            grad, hess = fobj(score_for_grad, ds)
             grad = np.asarray(grad, dtype=np.float64)
             hess = np.asarray(hess, dtype=np.float64)
         else:
-            grad, hess = self.objective.get_gradients(self._score)
+            grad, hess = self.objective.get_gradients(score_for_grad)
             grad = np.asarray(grad, dtype=np.float64)
             hess = np.asarray(hess, dtype=np.float64)
 
         it = self.current_iteration()
         # bagging (gbdt.cpp:255)
         row_mask = None
-        if self.bagging_freq > 0 and self.bagging_fraction < 1.0 and \
+        if self.boosting_type == "goss":
+            # gradient one-side sampling (goss.hpp:108-150)
+            if it >= int(1.0 / max(self.learning_rate, 1e-10)):
+                g_abs = np.abs(grad[:n]) * np.sqrt(np.maximum(hess[:n], 0))
+                top_k = max(1, int(self.top_rate * n))
+                other_k = max(1, int(self.other_rate * n))
+                order = np.argsort(-g_abs)
+                top_idx = order[:top_k]
+                rest = order[top_k:]
+                sampled = self._rng.choice(rest, size=min(other_k, len(rest)),
+                                           replace=False)
+                keep = np.zeros(n, dtype=bool)
+                keep[top_idx] = True
+                keep[sampled] = True
+                mult = (n - top_k) / max(other_k, 1)
+                grad = grad.copy()
+                hess = hess.copy()
+                grad[sampled] *= mult
+                hess[sampled] *= mult
+                row_mask = jnp.asarray(keep)
+        elif self.bagging_freq > 0 and self.bagging_fraction < 1.0 and \
                 it % self.bagging_freq == 0 or (
                 self.bagging_fraction < 1.0 and self.bagging_freq > 0):
             keep = self._rng.random(n) < self.bagging_fraction
@@ -189,14 +297,31 @@ class Booster:
                     and isinstance(self.objective, GPBoostObjective)
                     and self.gp_model.spec.is_gaussian):
                 self._newton_update_leaves(tree, row_leaf)
-            tree.add_shrinkage(self.learning_rate)
+            if self.boosting_type == "dart":
+                k = len(dart_drop)
+                shrink = (self.learning_rate / (1.0 + k)
+                          if not self.xgboost_dart_mode else
+                          (self.learning_rate if k == 0 else
+                           self.learning_rate / (self.learning_rate + k)))
+                tree.add_shrinkage(shrink)
+                self._tree_weights.append(shrink)
+            elif self.boosting_type == "rf":
+                pass  # no shrinkage; trees are averaged
+            else:
+                tree.add_shrinkage(self.learning_rate)
             self.trees.append(tree)
-            vals, _ = predict_tree_binned(
-                ds.binned, jnp.asarray(tree.split_feature),
-                jnp.asarray(tree.threshold_bin), jnp.asarray(tree.left),
-                jnp.asarray(tree.right), tree.max_depth_used + 1,
-                jnp.asarray(tree.leaf_value))
-            self._score[m * n:(m + 1) * n] += np.asarray(vals)
+            vals = self._tree_train_pred(tree)
+            if self.boosting_type == "rf":
+                t = self.current_iteration()
+                if not hasattr(self, "_rf_tree_sum"):
+                    self._rf_tree_sum = np.zeros_like(self._score)
+                    self._rf_valid_sums = [np.zeros_like(s)
+                                           for s in self._valid_scores]
+                self._rf_tree_sum[m * n:(m + 1) * n] += vals
+                base = self.init_score[0] if self.num_models == 1 else 0.0
+                self._score = base + self._rf_tree_sum / t
+            else:
+                self._score[m * n:(m + 1) * n] += vals
             # update validation scores incrementally
             for vi, vset in enumerate(self.valid_sets):
                 vvals, _ = predict_tree_raw(
@@ -205,7 +330,16 @@ class Booster:
                     jnp.asarray(tree.right), jnp.asarray(tree.leaf_value),
                     tree.max_depth_used + 1)
                 nv = vset.num_data
-                self._valid_scores[vi][m * nv:(m + 1) * nv] += np.asarray(vvals)
+                if self.boosting_type == "rf":
+                    t = self.current_iteration()
+                    self._rf_valid_sums[vi][m * nv:(m + 1) * nv] += np.asarray(vvals)
+                    base = self.init_score[0] if self.num_models == 1 else 0.0
+                    self._valid_scores[vi] = base + self._rf_valid_sums[vi] / t
+                else:
+                    self._valid_scores[vi][m * nv:(m + 1) * nv] += np.asarray(vvals)
+        if self.boosting_type == "dart" and dart_drop is not None:
+            self._dart_normalize(dart_drop)
+            # weight bookkeeping for the new tree happened at shrinkage time
         return False
 
     def _newton_update_leaves(self, tree: Tree, row_leaf):
@@ -278,6 +412,13 @@ class Booster:
         raw = self._predict_raw(data, num_iteration)
         if pred_leaf:
             return self._predict_leaf(data, num_iteration)
+        if pred_contrib:
+            from gpboost_tpu.boosting.shap import predict_contrib
+            limit = (len(self.trees) if num_iteration in (None, -1, 0)
+                     else min(num_iteration * self.num_models,
+                              len(self.trees)))
+            base = self.init_score[0] if self.num_models == 1 else 0.0
+            return predict_contrib(self.trees[:limit], data, base)
         if self.gp_model is not None and gp_coords_pred is not None or (
                 self.gp_model is not None and group_data_pred is not None):
             return self._predict_with_gp(
@@ -304,6 +445,9 @@ class Booster:
                 jnp.asarray(tree.leaf_value), tree.max_depth_used + 1)
             m = k % self.num_models
             score[m * n:(m + 1) * n] += np.asarray(vals)
+        if getattr(self, "boosting_type", "gbdt") == "rf" and limit > 0:
+            base = self.init_score[0] if self.num_models == 1 else 0.0
+            score = base + (score - base) / (limit // self.num_models)
         return score
 
     def _predict_leaf(self, data, num_iteration=None):
@@ -384,6 +528,46 @@ class Booster:
         return out
 
     # ------------------------------------------------------------------
+    def refit(self, data, label, decay_rate: float = 0.9, **kwargs):
+        """Refit leaf values on new data, keeping tree structures
+        (``Booster.refit``, ``basic.py:3686``): new_leaf = decay * old +
+        (1 - decay) * estimate-from-new-data."""
+        data = np.asarray(data, dtype=np.float64)
+        if data.ndim == 1:
+            data = data[:, None]
+        label = np.asarray(label, dtype=np.float64).ravel()
+        obj = create_objective(self.objective_name, self.params)
+        obj.init(label, None)
+        n = data.shape[0]
+        score = np.zeros(n * self.num_models)
+        if self.num_models == 1:
+            score += self.init_score[0]
+        Xj = jnp.asarray(data)
+        for k, tree in enumerate(self.trees):
+            grad, hess = obj.get_gradients(score)
+            m = k % self.num_models
+            g = grad[m * n:(m + 1) * n]
+            h = hess[m * n:(m + 1) * n]
+            _, nodes = predict_tree_raw(
+                Xj, jnp.asarray(tree.split_feature), jnp.asarray(tree.threshold),
+                jnp.asarray(tree.left), jnp.asarray(tree.right),
+                jnp.asarray(tree.leaf_value), tree.max_depth_used + 1)
+            nodes = np.asarray(nodes)
+            leaf_nodes = tree.leaf_index_order()
+            for ln in leaf_nodes:
+                mask = nodes == ln
+                if mask.sum() > 0:
+                    new_val = (-g[mask].sum()
+                               / (h[mask].sum() + 1e-15)) * tree.shrinkage
+                    tree.leaf_value[ln] = (decay_rate * tree.leaf_value[ln]
+                                           + (1 - decay_rate) * new_val)
+            vals, _ = predict_tree_raw(
+                Xj, jnp.asarray(tree.split_feature), jnp.asarray(tree.threshold),
+                jnp.asarray(tree.left), jnp.asarray(tree.right),
+                jnp.asarray(tree.leaf_value), tree.max_depth_used + 1)
+            score[m * n:(m + 1) * n] += np.asarray(vals)
+        return self
+
     def feature_importance(self, importance_type: str = "split",
                            iteration: Optional[int] = None):
         F = self.train_set.num_features if self.train_set is not None else (
@@ -415,6 +599,7 @@ class Booster:
             "params": {k: v for k, v in self.params.items()
                        if isinstance(v, (int, float, str, bool, list))},
             "objective": self.objective_name,
+            "boosting_type": getattr(self, "boosting_type", "gbdt"),
             "num_class": self.num_class,
             "num_models": self.num_models,
             "init_score": self.init_score.tolist(),
@@ -428,6 +613,7 @@ class Booster:
     def _load_dict(self, d):
         self.params = d.get("params", {})
         self.objective_name = d["objective"]
+        self.boosting_type = d.get("boosting_type", "gbdt")
         self.num_class = d.get("num_class", 1)
         self.num_models = d.get("num_models", 1)
         self.init_score = np.asarray(d["init_score"], dtype=np.float64)

@@ -121,6 +121,7 @@ class Tree:
     right: np.ndarray           # [M] int32
     leaf_value: np.ndarray      # [M] float64 (0 for internal)
     is_leaf: np.ndarray         # [M] bool
+    node_count: np.ndarray = None  # [M] float64 training cover (for SHAP)
     num_leaves: int = 0
     max_depth_used: int = 1
     shrinkage: float = 1.0
@@ -133,6 +134,8 @@ class Tree:
             "left": self.left.tolist(), "right": self.right.tolist(),
             "leaf_value": self.leaf_value.tolist(),
             "is_leaf": self.is_leaf.tolist(),
+            "node_count": (None if self.node_count is None
+                           else self.node_count.tolist()),
             "num_leaves": self.num_leaves,
             "max_depth_used": self.max_depth_used,
             "shrinkage": self.shrinkage,
@@ -148,6 +151,8 @@ class Tree:
             right=np.asarray(d["right"], np.int32),
             leaf_value=np.asarray(d["leaf_value"], np.float64),
             is_leaf=np.asarray(d["is_leaf"], bool),
+            node_count=(None if d.get("node_count") is None
+                        else np.asarray(d["node_count"], np.float64)),
             num_leaves=int(d["num_leaves"]),
             max_depth_used=int(d["max_depth_used"]),
             shrinkage=float(d.get("shrinkage", 1.0)))
@@ -284,9 +289,12 @@ def grow_tree(binned: jnp.ndarray, num_bins_per_feat: jnp.ndarray,
         if is_leaf[leaf_id]:
             leaf_value[leaf_id] = leaf_output(g_sum, h_sum)
 
+    node_count = np.zeros(max_nodes, np.float64)
+    for node_id, (_, _, cnt) in stats_cache.items():
+        node_count[node_id] = cnt
     tree = Tree(split_feature=feature, threshold=np.zeros(max_nodes),
                 threshold_bin=threshold_bin, left=left, right=right,
-                leaf_value=leaf_value, is_leaf=is_leaf,
+                leaf_value=leaf_value, is_leaf=is_leaf, node_count=node_count,
                 num_leaves=num_leaves, max_depth_used=max_depth_used)
     return tree, row_leaf
 

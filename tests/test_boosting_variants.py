@@ -1,0 +1,85 @@
+"""DART / GOSS / RF boosting variants, SHAP, refit."""
+import numpy as np
+import pytest
+
+import gpboost_tpu as gpb
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(5)
+    n, F = 2000, 8
+    X = rng.uniform(size=(n, F))
+    y = (2 * X[:, 0] + np.sin(5 * X[:, 1]) + (X[:, 2] > 0.5)
+         + 0.1 * rng.standard_normal(n))
+    return X, y
+
+
+def test_dart(data):
+    X, y = data
+    ds = gpb.Dataset(X, label=y)
+    bst = gpb.train({"objective": "regression", "boosting": "dart",
+                     "drop_rate": 0.2, "verbose": -1}, ds,
+                    num_boost_round=50)
+    pred = bst.predict(X)
+    assert np.mean((pred - y) ** 2) < 0.3 * np.var(y)
+    # DART must have renormalized some trees (shrinkage != lr for some)
+    shr = {round(t.shrinkage, 6) for t in bst.trees}
+    assert len(shr) > 1
+
+
+def test_goss(data):
+    X, y = data
+    ds = gpb.Dataset(X, label=y)
+    bst = gpb.train({"objective": "regression", "boosting": "goss",
+                     "top_rate": 0.2, "other_rate": 0.1, "verbose": -1}, ds,
+                    num_boost_round=60)
+    pred = bst.predict(X)
+    assert np.mean((pred - y) ** 2) < 0.15 * np.var(y)
+
+
+def test_rf(data):
+    X, y = data
+    ds = gpb.Dataset(X, label=y)
+    bst = gpb.train({"objective": "regression", "boosting": "rf",
+                     "bagging_fraction": 0.6, "bagging_freq": 1,
+                     "feature_fraction": 0.8, "verbose": -1}, ds,
+                    num_boost_round=40)
+    pred = bst.predict(X)
+    # RF prediction is the average of unshrunk trees
+    assert np.mean((pred - y) ** 2) < 0.3 * np.var(y)
+    assert abs(np.mean(pred) - np.mean(y)) < 0.2
+    # save/load keeps averaging semantics
+    s = bst.model_to_string()
+    bst2 = gpb.Booster(model_str=s)
+    np.testing.assert_allclose(bst2.predict(X), pred)
+
+
+def test_shap_sums_to_prediction(data):
+    X, y = data
+    ds = gpb.Dataset(X, label=y)
+    bst = gpb.train({"objective": "regression", "num_leaves": 7,
+                     "verbose": -1}, ds, num_boost_round=5)
+    sub = X[:20]
+    contrib = bst.predict(sub, pred_contrib=True)
+    assert contrib.shape == (20, X.shape[1] + 1)
+    raw = bst.predict(sub, raw_score=True)
+    np.testing.assert_allclose(contrib.sum(axis=1), raw, atol=1e-6)
+    # informative features get most attribution
+    imp = np.abs(contrib[:, :-1]).mean(axis=0)
+    assert set(np.argsort(imp)[-3:]) == {0, 1, 2}
+
+
+def test_refit(data):
+    X, y = data
+    ds = gpb.Dataset(X, label=y)
+    bst = gpb.train({"objective": "regression", "verbose": -1}, ds,
+                    num_boost_round=20)
+    rng = np.random.default_rng(9)
+    X2 = rng.uniform(size=(1000, X.shape[1]))
+    y2 = (2 * X2[:, 0] + np.sin(5 * X2[:, 1]) + (X2[:, 2] > 0.5)
+          + 0.1 * rng.standard_normal(1000)) + 1.0  # shifted target
+    before = np.mean((bst.predict(X2) - y2) ** 2)
+    bst.refit(X2, y2, decay_rate=0.5)
+    after = np.mean((bst.predict(X2) - y2) ** 2)
+    assert after < before
