@@ -21,7 +21,9 @@ from gpboost_tpu.boosting import metrics as metrics_mod
 from gpboost_tpu.boosting.dataset import Dataset
 from gpboost_tpu.boosting.objectives import GPBoostObjective, create_objective
 from gpboost_tpu.boosting.tree import (GrowerParams, Tree, grow_tree,
-                                       predict_tree_binned, predict_tree_raw)
+                                       predict_tree_binned,
+                                       predict_tree_binned_mixed,
+                                       predict_tree_mixed, predict_tree_raw)
 
 
 def _parse_params(params: dict):
@@ -140,11 +142,9 @@ class Booster:
         if self.num_models == 1:
             score += self.init_score[0]
         for k, tree in enumerate(self.trees):
-            vals, _ = predict_tree_raw(
-                jnp.asarray(data.raw_data), jnp.asarray(tree.split_feature),
-                jnp.asarray(tree.threshold), jnp.asarray(tree.left),
-                jnp.asarray(tree.right), jnp.asarray(tree.leaf_value),
-                tree.max_depth_used + 1)
+            vals, _ = self._tree_raw_pred(
+                tree, jnp.asarray(data.raw_data),
+                jnp.asarray(self._cat_bins_matrix(data.raw_data)))
             mslice = k % self.num_models
             score[mslice * data.num_data:(mslice + 1) * data.num_data] += np.asarray(vals)
         self._valid_scores.append(score)
@@ -158,13 +158,53 @@ class Booster:
         return len(self.trees) // self.num_models
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _tree_has_cat(tree: Tree) -> bool:
+        return (tree.is_categorical is not None
+                and bool(np.any(tree.is_categorical)))
+
     def _tree_train_pred(self, tree: Tree) -> np.ndarray:
-        vals, _ = predict_tree_binned(
-            self.train_set.binned, jnp.asarray(tree.split_feature),
-            jnp.asarray(tree.threshold_bin), jnp.asarray(tree.left),
-            jnp.asarray(tree.right), tree.max_depth_used + 1,
-            jnp.asarray(tree.leaf_value))
+        if self._tree_has_cat(tree):
+            vals, _ = predict_tree_binned_mixed(
+                self.train_set.binned, jnp.asarray(tree.split_feature),
+                jnp.asarray(tree.threshold_bin),
+                jnp.asarray(tree.is_categorical), jnp.asarray(tree.cat_mask),
+                jnp.asarray(tree.left), jnp.asarray(tree.right),
+                tree.max_depth_used + 1, jnp.asarray(tree.leaf_value))
+        else:
+            vals, _ = predict_tree_binned(
+                self.train_set.binned, jnp.asarray(tree.split_feature),
+                jnp.asarray(tree.threshold_bin), jnp.asarray(tree.left),
+                jnp.asarray(tree.right), tree.max_depth_used + 1,
+                jnp.asarray(tree.leaf_value))
         return np.asarray(vals)
+
+    def _cat_bins_matrix(self, data: np.ndarray) -> np.ndarray:
+        """[n, F] category-bin matrix for raw prediction data (0 for
+        non-categorical columns)."""
+        n, F = data.shape
+        out = np.zeros((n, F), dtype=np.int32)
+        cat_maps = getattr(self, "_cat_maps", None)
+        if cat_maps is None and self.train_set is not None:
+            cat_maps = self.train_set.cat_maps
+        for f, lookup in (cat_maps or {}).items():
+            f = int(f)
+            out[:, f] = np.asarray(
+                [lookup.get(v, 0) for v in data[:, f]], dtype=np.int32)
+        return out
+
+    def _tree_raw_pred(self, tree: Tree, Xj, cat_bins_j):
+        if self._tree_has_cat(tree):
+            return predict_tree_mixed(
+                Xj, cat_bins_j, jnp.asarray(tree.split_feature),
+                jnp.asarray(tree.threshold), jnp.asarray(tree.is_categorical),
+                jnp.asarray(tree.cat_mask), jnp.asarray(tree.left),
+                jnp.asarray(tree.right), tree.max_depth_used + 1,
+                jnp.asarray(tree.leaf_value))
+        return predict_tree_raw(
+            Xj, jnp.asarray(tree.split_feature), jnp.asarray(tree.threshold),
+            jnp.asarray(tree.left), jnp.asarray(tree.right),
+            jnp.asarray(tree.leaf_value), tree.max_depth_used + 1)
 
     def _dart_drop(self):
         """Select and temporarily remove dropped trees from the train score
@@ -208,11 +248,9 @@ class Booster:
             factor = k / (k + 1.0)
             # valid scores see the delta (factor - 1) * old_pred
             for vi, vset in enumerate(self.valid_sets):
-                vvals, _ = predict_tree_raw(
-                    jnp.asarray(vset.raw_data), jnp.asarray(tree.split_feature),
-                    jnp.asarray(tree.threshold), jnp.asarray(tree.left),
-                    jnp.asarray(tree.right), jnp.asarray(tree.leaf_value),
-                    tree.max_depth_used + 1)
+                vvals, _ = self._tree_raw_pred(
+                    tree, jnp.asarray(vset.raw_data),
+                    jnp.asarray(self._cat_bins_matrix(vset.raw_data)))
                 self._valid_scores[vi] += (factor - 1.0) * np.asarray(vvals)
             tree.leaf_value = tree.leaf_value * factor
             tree.shrinkage *= factor
@@ -284,12 +322,19 @@ class Booster:
         for m in range(self.num_models):
             g = grad[m * n:(m + 1) * n]
             h = hess[m * n:(m + 1) * n]
+            cat_mask_arr = None
+            if ds.categorical_feature:
+                cat_mask_arr = np.zeros(ds.num_features, dtype=bool)
+                cat_mask_arr[list(ds.categorical_feature)] = True
             tree, row_leaf = grow_tree(
                 ds.binned, jnp.asarray(num_bins), jnp.asarray(g),
                 jnp.asarray(h), ds.max_num_bins, self.grower,
-                row_mask=row_mask)
+                row_mask=row_mask, categorical_mask=cat_mask_arr,
+                max_cat_threshold=int(self.params.get("max_cat_threshold", 32)))
             # real-valued thresholds for raw prediction
             for node in np.flatnonzero(~tree.is_leaf):
+                if tree.is_categorical is not None and tree.is_categorical[node]:
+                    continue
                 tree.threshold[node] = ds.threshold_value(
                     int(tree.split_feature[node]), int(tree.threshold_bin[node]))
             # GPBoost Newton leaf re-solve (gbdt.cpp:463-473)
@@ -324,11 +369,9 @@ class Booster:
                 self._score[m * n:(m + 1) * n] += vals
             # update validation scores incrementally
             for vi, vset in enumerate(self.valid_sets):
-                vvals, _ = predict_tree_raw(
-                    jnp.asarray(vset.raw_data), jnp.asarray(tree.split_feature),
-                    jnp.asarray(tree.threshold), jnp.asarray(tree.left),
-                    jnp.asarray(tree.right), jnp.asarray(tree.leaf_value),
-                    tree.max_depth_used + 1)
+                vvals, _ = self._tree_raw_pred(
+                    tree, jnp.asarray(vset.raw_data),
+                    jnp.asarray(self._cat_bins_matrix(vset.raw_data)))
                 nv = vset.num_data
                 if self.boosting_type == "rf":
                     t = self.current_iteration()
@@ -437,12 +480,10 @@ class Booster:
         if self.num_models == 1:
             score += self.init_score[0]
         Xj = jnp.asarray(data)
+        cat_bins_j = jnp.asarray(self._cat_bins_matrix(data))
         for k in range(limit):
             tree = self.trees[k]
-            vals, _ = predict_tree_raw(
-                Xj, jnp.asarray(tree.split_feature), jnp.asarray(tree.threshold),
-                jnp.asarray(tree.left), jnp.asarray(tree.right),
-                jnp.asarray(tree.leaf_value), tree.max_depth_used + 1)
+            vals, _ = self._tree_raw_pred(tree, Xj, cat_bins_j)
             m = k % self.num_models
             score[m * n:(m + 1) * n] += np.asarray(vals)
         if getattr(self, "boosting_type", "gbdt") == "rf" and limit > 0:
@@ -456,12 +497,10 @@ class Booster:
                  else min(num_iteration * self.num_models, len(self.trees)))
         out = np.zeros((n, limit), dtype=np.int32)
         Xj = jnp.asarray(data)
+        cat_bins_j = jnp.asarray(self._cat_bins_matrix(data))
         for k in range(limit):
             tree = self.trees[k]
-            _, nodes = predict_tree_raw(
-                Xj, jnp.asarray(tree.split_feature), jnp.asarray(tree.threshold),
-                jnp.asarray(tree.left), jnp.asarray(tree.right),
-                jnp.asarray(tree.leaf_value), tree.max_depth_used + 1)
+            _, nodes = self._tree_raw_pred(tree, Xj, cat_bins_j)
             # map node id -> leaf ordinal
             leaf_nodes = tree.leaf_index_order()
             remap = np.zeros(len(tree.is_leaf), dtype=np.int32)
@@ -548,10 +587,8 @@ class Booster:
             m = k % self.num_models
             g = grad[m * n:(m + 1) * n]
             h = hess[m * n:(m + 1) * n]
-            _, nodes = predict_tree_raw(
-                Xj, jnp.asarray(tree.split_feature), jnp.asarray(tree.threshold),
-                jnp.asarray(tree.left), jnp.asarray(tree.right),
-                jnp.asarray(tree.leaf_value), tree.max_depth_used + 1)
+            _, nodes = self._tree_raw_pred(
+                tree, Xj, jnp.asarray(self._cat_bins_matrix(data)))
             nodes = np.asarray(nodes)
             leaf_nodes = tree.leaf_index_order()
             for ln in leaf_nodes:
@@ -561,10 +598,8 @@ class Booster:
                                / (h[mask].sum() + 1e-15)) * tree.shrinkage
                     tree.leaf_value[ln] = (decay_rate * tree.leaf_value[ln]
                                            + (1 - decay_rate) * new_val)
-            vals, _ = predict_tree_raw(
-                Xj, jnp.asarray(tree.split_feature), jnp.asarray(tree.threshold),
-                jnp.asarray(tree.left), jnp.asarray(tree.right),
-                jnp.asarray(tree.leaf_value), tree.max_depth_used + 1)
+            vals, _ = self._tree_raw_pred(
+                tree, Xj, jnp.asarray(self._cat_bins_matrix(data)))
             score[m * n:(m + 1) * n] += np.asarray(vals)
         return self
 
@@ -605,6 +640,10 @@ class Booster:
             "init_score": self.init_score.tolist(),
             "trees": [t.to_dict() for t in self.trees],
             "best_iteration": self.best_iteration,
+            "cat_maps": (None if self.train_set is None
+                         or not self.train_set.cat_maps else
+                         {str(f): {str(k): int(v) for k, v in mp.items()}
+                          for f, mp in self.train_set.cat_maps.items()}),
         }
         if self.gp_model is not None:
             d["gp_model"] = self.gp_model.model_to_dict()
@@ -614,6 +653,10 @@ class Booster:
         self.params = d.get("params", {})
         self.objective_name = d["objective"]
         self.boosting_type = d.get("boosting_type", "gbdt")
+        cm = d.get("cat_maps")
+        self._cat_maps = (None if not cm else
+                          {int(f): {float(k): int(v) for k, v in mp.items()}
+                           for f, mp in cm.items()})
         self.num_class = d.get("num_class", 1)
         self.num_models = d.get("num_models", 1)
         self.init_score = np.asarray(d["init_score"], dtype=np.float64)

@@ -106,6 +106,68 @@ def partition_rows(binned, row_leaf, leaf_id, feature, bin_thresh,
     return jnp.where(in_leaf, new_leaf, row_leaf)
 
 
+@jax.jit
+def partition_rows_categorical(binned, row_leaf, leaf_id, feature,
+                               cat_mask, left_id, right_id):
+    """Categorical split: rows whose category bin is in ``cat_mask`` [B] go
+    left."""
+    in_leaf = row_leaf == leaf_id
+    go_left = cat_mask[binned[:, feature]]
+    new_leaf = jnp.where(go_left, left_id, right_id)
+    return jnp.where(in_leaf, new_leaf, row_leaf)
+
+
+@jax.jit
+def find_best_split_categorical(hist_g, hist_h, hist_c, num_bins_per_feat,
+                                cat_feature_mask, lambda_l1, lambda_l2,
+                                min_data_in_leaf, min_sum_hessian,
+                                min_gain_to_split, max_cat_threshold):
+    """Best sorted-subset categorical split (LightGBM 'many-vs-many':
+    categories sorted by G/H, prefix scan of the sorted order —
+    ``feature_histogram.hpp`` FindBestThresholdCategorical, simplified).
+
+    Returns (feat, k_prefix, gain, ok, sort_order [F, B]) where the left set
+    is the first ``k_prefix+1`` categories of ``sort_order[feat]``.
+    """
+    F, B = hist_g.shape
+    ratio = hist_g / (hist_h + lambda_l2 + 1e-15)
+    bin_ids = jnp.arange(B)[None, :]
+    present = (hist_c > 0) & (bin_ids < num_bins_per_feat[:, None])
+    # absent categories sort to the end
+    sort_key = jnp.where(present, ratio, jnp.inf)
+    order = jnp.argsort(sort_key, axis=1)
+    take = jnp.take_along_axis
+    g_sorted = take(hist_g, order, axis=1)
+    h_sorted = take(hist_h, order, axis=1)
+    c_sorted = take(hist_c, order, axis=1)
+    GL = jnp.cumsum(g_sorted, axis=1)
+    HL = jnp.cumsum(h_sorted, axis=1)
+    CL = jnp.cumsum(c_sorted, axis=1)
+    G = GL[:, -1:]
+    H = HL[:, -1:]
+    C = CL[:, -1:]
+
+    def score(g, h):
+        t = _threshold_l1(g, lambda_l1)
+        return t * t / (h + lambda_l2 + 1e-15)
+
+    gain = score(GL, HL) + score(G - GL, H - HL) - score(G, H)
+    n_present = jnp.sum(present, axis=1, keepdims=True)
+    valid = (bin_ids < (n_present - 1))
+    valid &= (bin_ids < max_cat_threshold)
+    valid &= (CL >= min_data_in_leaf) & ((C - CL) >= min_data_in_leaf)
+    valid &= (HL >= min_sum_hessian) & ((H - HL) >= min_sum_hessian)
+    valid &= cat_feature_mask[:, None]
+    gain = jnp.where(valid, gain, -jnp.inf)
+    flat = jnp.argmax(gain)
+    f_best = flat // B
+    k_best = flat % B
+    g_best = gain[f_best, k_best]
+    ok = g_best > min_gain_to_split
+    return (f_best.astype(jnp.int32), k_best.astype(jnp.int32), g_best, ok,
+            order, GL[f_best, k_best], HL[f_best, k_best], CL[f_best, k_best])
+
+
 @dataclass
 class Tree:
     """Grown tree in flat-array form (reference ``Tree``, ``io/tree.cpp``).
@@ -122,6 +184,8 @@ class Tree:
     leaf_value: np.ndarray      # [M] float64 (0 for internal)
     is_leaf: np.ndarray         # [M] bool
     node_count: np.ndarray = None  # [M] float64 training cover (for SHAP)
+    is_categorical: np.ndarray = None  # [M] bool categorical split marker
+    cat_mask: np.ndarray = None        # [M, B] bool left-set membership
     num_leaves: int = 0
     max_depth_used: int = 1
     shrinkage: float = 1.0
@@ -136,6 +200,10 @@ class Tree:
             "is_leaf": self.is_leaf.tolist(),
             "node_count": (None if self.node_count is None
                            else self.node_count.tolist()),
+            "is_categorical": (None if self.is_categorical is None
+                               else self.is_categorical.tolist()),
+            "cat_mask": (None if self.cat_mask is None
+                         else self.cat_mask.astype(int).tolist()),
             "num_leaves": self.num_leaves,
             "max_depth_used": self.max_depth_used,
             "shrinkage": self.shrinkage,
@@ -153,6 +221,10 @@ class Tree:
             is_leaf=np.asarray(d["is_leaf"], bool),
             node_count=(None if d.get("node_count") is None
                         else np.asarray(d["node_count"], np.float64)),
+            is_categorical=(None if d.get("is_categorical") is None
+                            else np.asarray(d["is_categorical"], bool)),
+            cat_mask=(None if d.get("cat_mask") is None
+                      else np.asarray(d["cat_mask"], bool)),
             num_leaves=int(d["num_leaves"]),
             max_depth_used=int(d["max_depth_used"]),
             shrinkage=float(d.get("shrinkage", 1.0)))
@@ -185,15 +257,27 @@ class GrowerParams:
 def grow_tree(binned: jnp.ndarray, num_bins_per_feat: jnp.ndarray,
               grad: jnp.ndarray, hess: jnp.ndarray, max_num_bins: int,
               params: GrowerParams,
-              row_mask: Optional[jnp.ndarray] = None):
+              row_mask: Optional[jnp.ndarray] = None,
+              categorical_mask: Optional[np.ndarray] = None,
+              max_cat_threshold: int = 32):
     """Grow one tree leaf-wise (best-first), LightGBM-style.
 
+    ``categorical_mask`` [F] marks categorical features: they get
+    sorted-subset splits instead of threshold splits.
     Returns (Tree, row_leaf_node [n] int32 node-id per row).
     """
     n, F = binned.shape
+    has_cat = categorical_mask is not None and bool(np.any(categorical_mask))
+    if has_cat:
+        cat_mask_j = jnp.asarray(categorical_mask)
+        num_bins_numerical = jnp.where(cat_mask_j, 0, num_bins_per_feat)
+    else:
+        num_bins_numerical = num_bins_per_feat
     max_nodes = 2 * params.num_leaves - 1
     feature = np.zeros(max_nodes, np.int32)
     threshold_bin = np.zeros(max_nodes, np.int32)
+    is_categorical = np.zeros(max_nodes, bool)
+    cat_masks = np.zeros((max_nodes, max_num_bins), bool)
     left = np.arange(max_nodes, dtype=np.int32)
     right = np.arange(max_nodes, dtype=np.int32)
     leaf_value = np.zeros(max_nodes, np.float64)
@@ -229,11 +313,23 @@ def grow_tree(binned: jnp.ndarray, num_bins_per_feat: jnp.ndarray,
         cnt = float(jnp.sum(hc))
         stats_cache[leaf_id] = (g_sum, h_sum, cnt)
         f_b, b_b, gain, ok, gl, hl, cl = find_best_split(
-            hg, hh, hc, num_bins_per_feat, l1, l2,
+            hg, hh, hc, num_bins_numerical, l1, l2,
             float(params.min_data_in_leaf), params.min_sum_hessian_in_leaf,
             params.min_gain_to_split)
-        best_cache[leaf_id] = (int(f_b), int(b_b), float(gain), bool(ok),
-                               float(gl), float(hl), float(cl))
+        best = ("num", int(f_b), int(b_b), float(gain), bool(ok),
+                float(gl), float(hl), float(cl), None)
+        if has_cat:
+            (fc, kc, gc, okc, order, glc, hlc, clc) = \
+                find_best_split_categorical(
+                    hg, hh, hc, num_bins_per_feat, cat_mask_j, l1, l2,
+                    float(params.min_data_in_leaf),
+                    params.min_sum_hessian_in_leaf,
+                    params.min_gain_to_split, max_cat_threshold)
+            if bool(okc) and (not best[4] or float(gc) > best[3]):
+                left_cats = np.asarray(order)[int(fc), :int(kc) + 1]
+                best = ("cat", int(fc), int(kc), float(gc), True,
+                        float(glc), float(hlc), float(clc), left_cats)
+        best_cache[leaf_id] = best
 
     compute_leaf(0)
     num_leaves = 1
@@ -244,21 +340,30 @@ def grow_tree(binned: jnp.ndarray, num_bins_per_feat: jnp.ndarray,
         # pick splittable leaf with max gain
         best_leaf, best = None, None
         for leaf_id, b in best_cache.items():
-            if not b[3]:
+            if not b[4]:
                 continue
             if params.max_depth > 0 and depth[leaf_id] >= params.max_depth:
                 continue
-            if best is None or b[2] > best[2]:
+            if best is None or b[3] > best[3]:
                 best_leaf, best = leaf_id, b
         if best_leaf is None:
             break
-        f_b, b_b, gain, _, gl, hl, cl = best
+        kind, f_b, b_b, gain, _, gl, hl, cl, left_cats = best
         g_sum, h_sum, cnt = stats_cache[best_leaf]
         left_id = next_node
         right_id = next_node + 1
         next_node += 2
-        row_leaf = partition_rows(binned, row_leaf, best_leaf, f_b, b_b,
-                                  left_id, right_id)
+        if kind == "cat":
+            mask_b = np.zeros(max_num_bins, bool)
+            mask_b[left_cats] = True
+            row_leaf = partition_rows_categorical(
+                binned, row_leaf, best_leaf, f_b, jnp.asarray(mask_b),
+                left_id, right_id)
+            is_categorical[best_leaf] = True
+            cat_masks[best_leaf] = mask_b
+        else:
+            row_leaf = partition_rows(binned, row_leaf, best_leaf, f_b, b_b,
+                                      left_id, right_id)
         # bookkeeping
         is_leaf[best_leaf] = False
         feature[best_leaf] = f_b
@@ -295,6 +400,7 @@ def grow_tree(binned: jnp.ndarray, num_bins_per_feat: jnp.ndarray,
     tree = Tree(split_feature=feature, threshold=np.zeros(max_nodes),
                 threshold_bin=threshold_bin, left=left, right=right,
                 leaf_value=leaf_value, is_leaf=is_leaf, node_count=node_count,
+                is_categorical=is_categorical, cat_mask=cat_masks,
                 num_leaves=num_leaves, max_depth_used=max_depth_used)
     return tree, row_leaf
 
@@ -328,6 +434,50 @@ def predict_tree_raw(X, feature, threshold, left, right, leaf_value,
         t = threshold[node]
         vals = X[jnp.arange(n), f]
         go_left = vals <= t
+        return jnp.where(go_left, left[node], right[node])
+
+    node = jax.lax.fori_loop(0, max_depth, step, node)
+    return leaf_value[node], node
+
+
+@partial(jax.jit, static_argnums=(8,))
+def predict_tree_mixed(X_num, cat_bins, feature, threshold, is_cat, cat_mask,
+                       left, right, max_depth: int, leaf_value):
+    """Tree evaluation with mixed numerical/categorical splits on raw values.
+
+    ``cat_bins`` [n, F] holds the category-bin index for categorical columns
+    (0 elsewhere); numerical columns compare against real thresholds.
+    """
+    n = X_num.shape[0]
+    node = jnp.zeros(n, dtype=jnp.int32)
+    rows = jnp.arange(n)
+
+    def step(_, node):
+        f = feature[node]
+        num_left = X_num[rows, f] <= threshold[node]
+        cat_left = cat_mask[node, cat_bins[rows, f]]
+        go_left = jnp.where(is_cat[node], cat_left, num_left)
+        return jnp.where(go_left, left[node], right[node])
+
+    node = jax.lax.fori_loop(0, max_depth, step, node)
+    return leaf_value[node], node
+
+
+@partial(jax.jit, static_argnums=(7,))
+def predict_tree_binned_mixed(binned, feature, threshold_bin, is_cat,
+                              cat_mask, left, right, max_depth: int,
+                              leaf_value):
+    """Binned-data evaluation with categorical splits."""
+    n = binned.shape[0]
+    node = jnp.zeros(n, dtype=jnp.int32)
+    rows = jnp.arange(n)
+
+    def step(_, node):
+        f = feature[node]
+        b = binned[rows, f]
+        num_left = b <= threshold_bin[node]
+        cat_left = cat_mask[node, b]
+        go_left = jnp.where(is_cat[node], cat_left, num_left)
         return jnp.where(go_left, left[node], right[node])
 
     node = jax.lax.fori_loop(0, max_depth, step, node)

@@ -83,3 +83,29 @@ def test_refit(data):
     bst.refit(X2, y2, decay_rate=0.5)
     after = np.mean((bst.predict(X2) - y2) ** 2)
     assert after < before
+
+
+def test_categorical_splits():
+    rng = np.random.default_rng(3)
+    n = 3000
+    cat = rng.integers(0, 12, size=n).astype(float)
+    cat_effect = np.array([2.0, -1.5, 0.5, 3.0, -2.0, 0.0, 1.0, -0.5, 2.5,
+                           -3.0, 0.7, -1.0])
+    y = cat_effect[cat.astype(int)] + 0.05 * rng.standard_normal(n)
+    X = cat[:, None]
+    # single 4-leaf tree: subset splits must beat contiguous thresholds
+    ds_plain = gpb.Dataset(X, label=y)
+    bst_plain = gpb.train({"objective": "regression", "num_leaves": 4,
+                           "min_data_in_leaf": 5, "learning_rate": 1.0,
+                           "verbose": -1}, ds_plain, num_boost_round=1)
+    mse_plain = np.mean((bst_plain.predict(X) - y) ** 2)
+    ds_cat = gpb.Dataset(X, label=y, categorical_feature=[0])
+    bst_cat = gpb.train({"objective": "regression", "num_leaves": 4,
+                         "min_data_in_leaf": 5, "learning_rate": 1.0,
+                         "verbose": -1}, ds_cat, num_boost_round=1)
+    mse_cat = np.mean((bst_cat.predict(X) - y) ** 2)
+    assert mse_cat < 0.5 * mse_plain
+    assert any(bst_cat._tree_has_cat(t) for t in bst_cat.trees)
+    # save/load round trip with categorical splits
+    bst2 = gpb.Booster(model_str=bst_cat.model_to_string())
+    np.testing.assert_allclose(bst2.predict(X), bst_cat.predict(X))
