@@ -104,6 +104,13 @@ class Booster:
             if not (self.bagging_freq > 0 and self.bagging_fraction < 1.0):
                 self.bagging_freq = 1
                 self.bagging_fraction = min(self.bagging_fraction, 0.632)
+        mono = p.get("monotone_constraints", None)
+        if mono is not None:
+            if isinstance(mono, str):
+                mono = [int(v) for v in mono.strip("()[] ").split(",")]
+            self._monotone = np.asarray(mono, dtype=np.int32)
+        else:
+            self._monotone = None
         self.use_gp_model_for_validation = bool(
             p.get("use_gp_model_for_validation", True))
         self.leaves_newton_update = bool(p.get("leaves_newton_update", False))
@@ -330,7 +337,8 @@ class Booster:
                 ds.binned, jnp.asarray(num_bins), jnp.asarray(g),
                 jnp.asarray(h), ds.max_num_bins, self.grower,
                 row_mask=row_mask, categorical_mask=cat_mask_arr,
-                max_cat_threshold=int(self.params.get("max_cat_threshold", 32)))
+                max_cat_threshold=int(self.params.get("max_cat_threshold", 32)),
+                monotone_constraints=self._monotone)
             # real-valued thresholds for raw prediction
             for node in np.flatnonzero(~tree.is_leaf):
                 if tree.is_categorical is not None and tree.is_categorical[node]:

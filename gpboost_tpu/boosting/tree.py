@@ -57,7 +57,8 @@ def _threshold_l1(g, l1):
 @partial(jax.jit, static_argnums=())
 def find_best_split(hist_g, hist_h, hist_c, num_bins_per_feat,
                     lambda_l1, lambda_l2, min_data_in_leaf,
-                    min_sum_hessian, min_gain_to_split):
+                    min_sum_hessian, min_gain_to_split,
+                    monotone=None):
     """Best (feature, bin, gain) over all features.
 
     Vectorized over [F, B]: left stats are prefix sums over bins; split at
@@ -85,6 +86,14 @@ def find_best_split(hist_g, hist_h, hist_c, num_bins_per_feat,
     valid = (bin_ids < (num_bins_per_feat[:, None] - 1))
     valid &= (CL >= min_data_in_leaf) & (CR >= min_data_in_leaf)
     valid &= (HL >= min_sum_hessian) & (HR >= min_sum_hessian)
+    if monotone is not None:
+        # basic monotone-constraint feasibility (monotone_constraints.hpp):
+        # +1 requires left_output <= right_output, -1 the reverse
+        left_out = -_threshold_l1(GL, lambda_l1) / (HL + lambda_l2 + 1e-15)
+        right_out = -_threshold_l1(GR, lambda_l1) / (HR + lambda_l2 + 1e-15)
+        mono = monotone[:, None]
+        valid &= jnp.where(mono > 0, left_out <= right_out, True)
+        valid &= jnp.where(mono < 0, left_out >= right_out, True)
     gain = jnp.where(valid, gain, -jnp.inf)
     flat = jnp.argmax(gain)
     f_best = flat // B
@@ -259,7 +268,8 @@ def grow_tree(binned: jnp.ndarray, num_bins_per_feat: jnp.ndarray,
               params: GrowerParams,
               row_mask: Optional[jnp.ndarray] = None,
               categorical_mask: Optional[np.ndarray] = None,
-              max_cat_threshold: int = 32):
+              max_cat_threshold: int = 32,
+              monotone_constraints: Optional[np.ndarray] = None):
     """Grow one tree leaf-wise (best-first), LightGBM-style.
 
     ``categorical_mask`` [F] marks categorical features: they get
@@ -289,6 +299,7 @@ def grow_tree(binned: jnp.ndarray, num_bins_per_feat: jnp.ndarray,
     row_leaf = jnp.zeros(n, dtype=jnp.int32)
     if row_mask is None:
         row_mask = jnp.ones(n, dtype=bool)
+    bounds = {0: (-np.inf, np.inf)}  # monotone output bounds per node
 
     l1 = params.lambda_l1
     l2 = params.lambda_l2
@@ -312,10 +323,12 @@ def grow_tree(binned: jnp.ndarray, num_bins_per_feat: jnp.ndarray,
         h_sum = float(jnp.sum(hh))
         cnt = float(jnp.sum(hc))
         stats_cache[leaf_id] = (g_sum, h_sum, cnt)
+        mono_j = (None if monotone_constraints is None
+                  else jnp.asarray(monotone_constraints, jnp.int32))
         f_b, b_b, gain, ok, gl, hl, cl = find_best_split(
             hg, hh, hc, num_bins_numerical, l1, l2,
             float(params.min_data_in_leaf), params.min_sum_hessian_in_leaf,
-            params.min_gain_to_split)
+            params.min_gain_to_split, monotone=mono_j)
         best = ("num", int(f_b), int(b_b), float(gain), bool(ok),
                 float(gl), float(hl), float(cl), None)
         if has_cat:
@@ -371,6 +384,24 @@ def grow_tree(binned: jnp.ndarray, num_bins_per_feat: jnp.ndarray,
         left[best_leaf] = left_id
         right[best_leaf] = right_id
         is_leaf[left_id] = is_leaf[right_id] = True
+        lo, hi = bounds.get(best_leaf, (-np.inf, np.inf))
+        bounds[left_id] = (lo, hi)
+        bounds[right_id] = (lo, hi)
+        if (monotone_constraints is not None and kind == "num"
+                and monotone_constraints[f_b] != 0):
+            g_sum_p, h_sum_p, _ = stats_cache[best_leaf]
+            lo_, hi_ = lo, hi
+            l_out = float(-_threshold_l1(jnp.asarray(gl), l1)
+                          / (hl + l2 + 1e-15))
+            r_out = float(-_threshold_l1(jnp.asarray(g_sum_p - gl), l1)
+                          / (h_sum_p - hl + l2 + 1e-15))
+            mid = 0.5 * (min(max(l_out, lo_), hi_) + min(max(r_out, lo_), hi_))
+            if monotone_constraints[f_b] > 0:
+                bounds[left_id] = (lo, min(hi, mid))
+                bounds[right_id] = (max(lo, mid), hi)
+            else:
+                bounds[left_id] = (max(lo, mid), hi)
+                bounds[right_id] = (lo, min(hi, mid))
         depth[left_id] = depth[right_id] = depth[best_leaf] + 1
         max_depth_used = max(max_depth_used, int(depth[left_id]))
         num_leaves += 1
@@ -389,10 +420,14 @@ def grow_tree(binned: jnp.ndarray, num_bins_per_feat: jnp.ndarray,
         compute_leaf(left_id, hist_left)
         compute_leaf(right_id, hist_right)
 
-    # leaf values
+    # leaf values (clipped to monotone bounds where applicable)
     for leaf_id, (g_sum, h_sum, cnt) in stats_cache.items():
         if is_leaf[leaf_id]:
-            leaf_value[leaf_id] = leaf_output(g_sum, h_sum)
+            v = leaf_output(g_sum, h_sum)
+            if monotone_constraints is not None:
+                lo, hi = bounds.get(leaf_id, (-np.inf, np.inf))
+                v = min(max(v, lo), hi)
+            leaf_value[leaf_id] = v
 
     node_count = np.zeros(max_nodes, np.float64)
     for node_id, (_, _, cnt) in stats_cache.items():

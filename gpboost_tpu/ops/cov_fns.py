@@ -262,7 +262,10 @@ def euclidean_distance(c1: jnp.ndarray, c2: jnp.ndarray) -> jnp.ndarray:
     sq2 = jnp.sum(c2 * c2, axis=-1)[None, :]
     cross = jnp.matmul(c1, c2.T, precision=jax.lax.Precision.HIGHEST)
     d2 = jnp.maximum(sq1 + sq2 - 2.0 * cross, 0.0)
-    return jnp.sqrt(d2)
+    # double-where: sqrt'(0) = inf would poison gradients when coordinates are
+    # parameter-scaled (ARD/space-time) and i == j distances are exactly 0
+    safe = jnp.where(d2 > 0.0, d2, 1.0)
+    return jnp.where(d2 > 0.0, jnp.sqrt(safe), 0.0)
 
 
 @dataclass(frozen=True)

@@ -109,3 +109,23 @@ def test_categorical_splits():
     # save/load round trip with categorical splits
     bst2 = gpb.Booster(model_str=bst_cat.model_to_string())
     np.testing.assert_allclose(bst2.predict(X), bst_cat.predict(X))
+
+
+def test_monotone_constraints():
+    rng = np.random.default_rng(11)
+    n = 3000
+    x = rng.uniform(size=(n, 2))
+    # increasing in x0 with bumps, plus noise
+    y = 2 * x[:, 0] + 0.3 * np.sin(8 * x[:, 0]) + x[:, 1] \
+        + 0.05 * rng.standard_normal(n)
+    ds = gpb.Dataset(x, label=y)
+    bst = gpb.train({"objective": "regression",
+                     "monotone_constraints": [1, 0], "num_leaves": 31,
+                     "verbose": -1}, ds, num_boost_round=50)
+    grid = np.linspace(0.01, 0.99, 60)
+    for x1 in (0.2, 0.8):
+        Xg = np.column_stack([grid, np.full_like(grid, x1)])
+        pred = bst.predict(Xg)
+        assert np.all(np.diff(pred) >= -1e-10), "monotonicity violated"
+    # still fits reasonably
+    assert np.mean((bst.predict(x) - y) ** 2) < 0.15 * np.var(y)

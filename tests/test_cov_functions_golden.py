@@ -1,0 +1,144 @@
+"""ARD / space-time covariance golden tests + misc covariance coverage.
+
+References: ``test_GPModel_gaussian_process.R`` "Space-time..." (:2265) and
+"ARD..." (:2643) blocks.
+"""
+import numpy as np
+import pytest
+
+from gpboost_tpu import GPModel
+from gpboost_tpu.utils.rng import sim_rand_unif, sim_rand_normal
+
+TOL_STRICT = 1e-5
+
+
+class TestSpaceTime:
+    @pytest.fixture(scope="class")
+    def st(self, gp_fixture_data):
+        f = gp_fixture_data
+        n = f["n"]
+        time = np.arange(1, n + 1, dtype=float)
+        us = sim_rand_unif(n, 0.6418)
+        nt = 20
+        for i in range(1, nt + 1):
+            time[(us < i / nt) & (us >= (i - 1) / nt)] = i
+        rho_time, rho = 2.0, 0.1
+        scaled = np.column_stack([time / rho_time, f["coords"] / rho])
+        D_ST = np.sqrt(((scaled[:, None] - scaled[None]) ** 2).sum(-1))
+        Sigma = np.exp(-D_ST) + 1e-20 * np.eye(n)
+        eps_ST = np.linalg.cholesky(Sigma) @ sim_rand_normal(n, 0.688)
+        y = eps_ST + f["X"] @ f["beta"] + f["xi"]
+        return dict(time=time, y=y, f=f)
+
+    def test_nll_shape_05(self, st):
+        """R:2292-2296: nll(0.1, 1.6, 1.0, 0.2) = 272.1497719."""
+        f = st["f"]
+        m = GPModel(gp_coords=np.column_stack([st["time"], f["coords"]]),
+                    cov_function="matern_space_time", cov_fct_shape=0.5)
+        nll = m.neg_log_likelihood(cov_pars=[0.1, 1.6, 1.0, 0.2], y=st["y"])
+        assert abs(nll - 272.1497719) < TOL_STRICT
+
+    def test_nll_shape_15(self, st):
+        """R:2325-2329: 288.6072086."""
+        f = st["f"]
+        m = GPModel(gp_coords=np.column_stack([st["time"], f["coords"]]),
+                    cov_function="matern_space_time", cov_fct_shape=1.5)
+        nll = m.neg_log_likelihood(cov_pars=[0.1, 1.6, 1.0, 0.2], y=st["y"])
+        assert abs(nll - 288.6072086) < TOL_STRICT
+
+    def test_nll_shape_25(self, st):
+        """R:2352-2356: 296.7149408."""
+        f = st["f"]
+        m = GPModel(gp_coords=np.column_stack([st["time"], f["coords"]]),
+                    cov_function="matern_space_time", cov_fct_shape=2.5)
+        nll = m.neg_log_likelihood(cov_pars=[0.1, 1.6, 1.0, 0.2], y=st["y"])
+        assert abs(nll - 296.7149408) < TOL_STRICT
+
+    def test_fit_lbfgs(self, st):
+        """R:2297-2307: estimates (5.8e-5, 0.272, 1.018, 1.350, 0.116) and
+        coefs (1.959, 2.169), nll 138.1879339."""
+        f = st["f"]
+        y = st["y"]
+        time = st["time"]
+        iu = np.triu_indices(f["n"], 1)
+        dt = np.abs(time[:, None] - time[None, :])[iu]
+        init = [np.var(y, ddof=1) / 2, np.var(y, ddof=1) / 2,
+                np.mean(dt) / 3, np.mean(f["D"][iu]) / 3]
+        m = GPModel(gp_coords=np.column_stack([time, f["coords"]]),
+                    cov_function="matern_space_time", cov_fct_shape=0.5)
+        m.fit(y=y, X=f["X"], params={"optimizer_cov": "lbfgs",
+                                     "init_cov_pars": init})
+        assert abs(m.get_current_neg_log_likelihood() - 138.1879339) < 1e-2
+        np.testing.assert_allclose(
+            m.get_coef(), [1.9593121521, 2.1693074509], atol=5e-2)
+
+
+class TestARD:
+    @pytest.fixture(scope="class")
+    def ard(self, gp_fixture_data):
+        f = gp_fixture_data
+        n, d = f["n"], 3
+        x = sim_rand_unif(n * d, 0.981)
+        coords = np.column_stack([x[:n], x[n:2 * n], x[2 * n:]])
+        rhos = np.array([0.2, 0.4, 0.3])
+        scaled = coords / rhos[None, :]
+        D = np.sqrt(((scaled[:, None] - scaled[None]) ** 2).sum(-1))
+        Sigma = np.exp(-D) + 1e-20 * np.eye(n)
+        eps = np.linalg.cholesky(Sigma) @ sim_rand_normal(n, 0.978688)
+        y = eps + f["X"] @ f["beta"] + f["xi"]
+        return dict(coords=coords, y=y, f=f)
+
+    def test_nll_matern_ard(self, ard):
+        """R:2670-2674: nll(0.1, 1.6, 0.1, 0.2, 0.15) = 249.4821103."""
+        m = GPModel(gp_coords=ard["coords"], cov_function="matern_ard",
+                    cov_fct_shape=0.5)
+        nll = m.neg_log_likelihood(cov_pars=[0.1, 1.6, 0.1, 0.2, 0.15],
+                                   y=ard["y"])
+        assert abs(nll - 249.4821103) < TOL_STRICT
+
+    def test_fit_matern_ard(self, ard):
+        """R:2676-2680: coef ~ (2.268, 1.722), nll at optimum."""
+        f = ard["f"]
+        y = ard["y"]
+        coords = ard["coords"]
+        init = [np.var(y, ddof=1) / 2, np.var(y, ddof=1) / 2]
+        for i in range(3):
+            di = np.abs(coords[:, i][:, None] - coords[:, i][None, :])
+            init.append(np.mean(di[np.triu_indices(f["n"], 1)]) / 3)
+        m = GPModel(gp_coords=coords, cov_function="matern_ard",
+                    cov_fct_shape=0.5)
+        m.fit(y=y, X=f["X"], params={"optimizer_cov": "lbfgs",
+                                     "init_cov_pars": init})
+        np.testing.assert_allclose(
+            m.get_coef(), [2.268094879, 1.721694800], atol=5e-2)
+        # estimated ranges in the right ballpark of (0.35, 0.56, 0.33)
+        cov = m.get_cov_pars()
+        np.testing.assert_allclose(cov[2:], [0.352, 0.557, 0.332], rtol=0.3)
+
+
+class TestGaussianCov:
+    def test_gaussian_cov_nll_self_consistent(self, gp_fixture_data):
+        """gaussian (sq-exp) covariance NLL vs direct numpy computation."""
+        f = gp_fixture_data
+        y = f["eps"] + f["xi"]
+        m = GPModel(gp_coords=f["coords"], cov_function="gaussian")
+        nll = m.neg_log_likelihood(cov_pars=[0.1, 1.6, 0.2], y=y)
+        psi = 1.6 * np.exp(-(f["D"] / 0.2) ** 2) + 0.1 * np.eye(f["n"])
+        L = np.linalg.cholesky(psi)
+        al = np.linalg.solve(L, y)
+        ref = 0.5 * (al @ al + 2 * np.log(np.diag(L)).sum()
+                     + f["n"] * np.log(2 * np.pi))
+        assert abs(nll - ref) < 1e-8
+
+    def test_powered_exponential_self_consistent(self, gp_fixture_data):
+        f = gp_fixture_data
+        y = f["eps"] + f["xi"]
+        m = GPModel(gp_coords=f["coords"], cov_function="powered_exponential",
+                    cov_fct_shape=1.5)
+        nll = m.neg_log_likelihood(cov_pars=[0.1, 1.6, 0.2], y=y)
+        psi = 1.6 * np.exp(-(f["D"] / 0.2) ** 1.5) + 0.1 * np.eye(f["n"])
+        L = np.linalg.cholesky(psi)
+        al = np.linalg.solve(L, y)
+        ref = 0.5 * (al @ al + 2 * np.log(np.diag(L)).sum()
+                     + f["n"] * np.log(2 * np.pi))
+        assert abs(nll - ref) < 1e-8
