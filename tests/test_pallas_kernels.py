@@ -1,0 +1,40 @@
+"""Pallas kernel parity tests (run in interpreter mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpboost_tpu.boosting.tree import build_histogram
+from gpboost_tpu.ops.kernels.histogram import histogram_pallas
+
+
+def test_histogram_pallas_matches_scatter():
+    rng = np.random.default_rng(0)
+    n, F, B = 3000, 10, 64
+    binned = jnp.asarray(rng.integers(0, B, size=(n, F)), dtype=jnp.int32)
+    g = jnp.asarray(rng.standard_normal(n))
+    h = jnp.abs(jnp.asarray(rng.standard_normal(n)))
+    mask = jnp.asarray(rng.random(n) < 0.8)
+    hg, hh, hc = histogram_pallas(binned, g, h, mask, B)
+    rg, rh, rc = build_histogram(binned, g, h, mask, B)
+    np.testing.assert_allclose(np.asarray(hg), np.asarray(rg), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(hh), np.asarray(rh), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(hc), np.asarray(rc), atol=1e-6)
+
+
+def test_vecchia_factors_pallas_interpret():
+    from gpboost_tpu.ops import vecchia as vops
+    from gpboost_tpu.ops.cov_fns import CovFunction
+    from gpboost_tpu.ops.kernels.vecchia_factors import vecchia_factors_pallas
+    rng = np.random.default_rng(0)
+    n, m = 1024, 10
+    coords = jnp.asarray(rng.uniform(size=(n, 2)), dtype=jnp.float32)
+    nb = vops.find_neighbors(coords, m, method="exact")
+    cov_fn = CovFunction.create("exponential")
+    cp = jnp.asarray([1.0, 0.1], jnp.float32)
+    a1, d1 = vops.build_factors(cov_fn, cp, coords, nb,
+                                jnp.float32(0.25), True)
+    a2, d2 = vecchia_factors_pallas(cp, coords, nb, jnp.float32(0.25), True,
+                                    0.5, chunk=256)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=2e-5)
