@@ -544,9 +544,14 @@ class Booster:
             gp_coords_pred=gp_coords_pred,
             gp_rand_coef_data_pred=gp_rand_coef_data_pred,
             cluster_ids_pred=cluster_ids_pred, predict_var=predict_var)
-        train_score = self._score[:self.train_set.num_data]
+        if self.train_set is not None:
+            train_score = self._score[:self.train_set.num_data]
+            train_label = self.train_set.label
+        else:  # loaded model: embedded training label/score
+            train_score = self._loaded_train_score
+            train_label = self._loaded_train_label
         if gp.spec.is_gaussian:
-            resid = self.train_set.label - train_score
+            resid = train_label - train_score
             gp_pred = gp.predict(y=resid, predict_response=not pred_latent,
                                  **pred_kwargs)
             out = {"response_mean": raw + gp_pred["mu"],
@@ -556,7 +561,7 @@ class Booster:
                    "random_effect_cov": gp_pred.get("cov")}
         else:
             if pred_latent:
-                gp_pred = gp.predict(y=self.train_set.label,
+                gp_pred = gp.predict(y=train_label,
                                      fixed_effects=train_score,
                                      predict_response=False, **pred_kwargs)
                 out = {"fixed_effect": raw,
@@ -564,7 +569,7 @@ class Booster:
                        "random_effect_cov": gp_pred.get("cov"),
                        "response_mean": None, "response_var": None}
             else:
-                gp_pred = gp.predict(y=self.train_set.label,
+                gp_pred = gp.predict(y=train_label,
                                      fixed_effects=train_score,
                                      fixed_effects_pred=raw,
                                      predict_response=True, **pred_kwargs)
@@ -655,6 +660,10 @@ class Booster:
         }
         if self.gp_model is not None:
             d["gp_model"] = self.gp_model.model_to_dict()
+            # combined prediction needs the training label and raw score
+            d["train_label"] = self.train_set.label.tolist()
+            d["train_score"] = np.asarray(
+                self._score[:self.train_set.num_data]).tolist()
         return d
 
     def _load_dict(self, d):
@@ -672,6 +681,13 @@ class Booster:
         self.best_iteration = d.get("best_iteration", -1)
         self.train_set = None
         self.gp_model = None
+        if d.get("gp_model") is not None:
+            from gpboost_tpu.models.gp_model import GPModel
+            self.gp_model = GPModel.from_dict(d["gp_model"])
+            self._loaded_train_label = np.asarray(d.get("train_label"),
+                                                  dtype=np.float64)
+            self._loaded_train_score = np.asarray(d.get("train_score"),
+                                                  dtype=np.float64)
         self.valid_sets = []
         self.valid_names = []
         self._valid_scores = []

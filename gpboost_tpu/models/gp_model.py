@@ -862,13 +862,22 @@ class GPModel:
                 k_gp += 1
         return names
 
-    def model_to_dict(self):
-        """Serialize (``GPModel.model_to_dict``, ``basic.py:6445``)."""
+    def model_to_dict(self, include_data: bool = True):
+        """Serialize (``GPModel.model_to_dict``, ``basic.py:6445``).
+
+        Like the reference, the training data needed to re-create predictions
+        (raw group labels / coordinates / y / X) is embedded in the file.
+        """
         d = {
             "likelihood": self.likelihood,
             "cov_function": self.cov_function_name,
             "cov_fct_shape": self.cov_fct_shape,
             "gp_approx": self.gp_approx,
+            "num_neighbors": self.num_neighbors,
+            "vecchia_ordering": self.vecchia_ordering,
+            "num_ind_points": self.num_ind_points,
+            "ind_points_selection": self.ind_points_selection,
+            "seed": self.seed,
             "cov_pars": None if self.cov_pars_ is None else list(
                 np.asarray(self.cov_pars_, dtype=np.float64)),
             "coefs": None if self.coefs_ is None else list(
@@ -877,12 +886,84 @@ class GPModel:
                 np.asarray(self.aux_pars_, dtype=np.float64)),
             "num_data": self.num_data,
         }
+        if include_data:
+            data = self.data
+            if data.group_codes is not None:
+                n_base = len(self._group_maps)
+                gd = np.empty((self.num_data, n_base), dtype=object)
+                for j in range(n_base):
+                    gd[:, j] = self._group_maps[j][
+                        np.asarray(data.group_codes)[:, j]]
+                d["group_data"] = gd.astype(str).tolist()
+            if data.coords is not None:
+                d["gp_coords"] = np.asarray(data.coords).tolist()
+            if data.slope_data is not None:
+                d["group_rand_coef_data"] = np.asarray(data.slope_data).tolist()
+                d["ind_effect_group_rand_coef"] = [
+                    1 for c in self.spec.components
+                    if isinstance(c, GroupedRESpec) and c.is_slope]
+            if data.gp_rand_coef_data is not None:
+                d["gp_rand_coef_data"] = np.asarray(
+                    data.gp_rand_coef_data).tolist()
+            if data.cluster_codes is not None:
+                d["cluster_ids"] = np.asarray(data.cluster_codes).tolist()
+            if data.y is not None:
+                d["y"] = np.asarray(data.y).tolist()
+            if data.X is not None:
+                d["X"] = np.asarray(data.X).tolist()
         return d
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "GPModel":
+        """Rebuild a GPModel from ``model_to_dict`` output
+        (``GPModel(model_dict=...)`` in the reference)."""
+        kwargs = dict(
+            likelihood=d.get("likelihood", "gaussian"),
+            cov_function=d.get("cov_function", "matern"),
+            cov_fct_shape=d.get("cov_fct_shape", 1.5),
+            gp_approx=d.get("gp_approx", "none"),
+            num_neighbors=d.get("num_neighbors"),
+            vecchia_ordering=d.get("vecchia_ordering", "random"),
+            num_ind_points=d.get("num_ind_points", 500),
+            ind_points_selection=d.get("ind_points_selection", "kmeans++"),
+            seed=d.get("seed", 0))
+        if d.get("group_data") is not None:
+            kwargs["group_data"] = np.asarray(d["group_data"])
+        if d.get("gp_coords") is not None:
+            kwargs["gp_coords"] = np.asarray(d["gp_coords"], dtype=np.float64)
+        if d.get("group_rand_coef_data") is not None:
+            kwargs["group_rand_coef_data"] = np.asarray(
+                d["group_rand_coef_data"], dtype=np.float64)
+            kwargs["ind_effect_group_rand_coef"] = d.get(
+                "ind_effect_group_rand_coef", [1])
+        if d.get("gp_rand_coef_data") is not None:
+            kwargs["gp_rand_coef_data"] = np.asarray(
+                d["gp_rand_coef_data"], dtype=np.float64)
+        if d.get("cluster_ids") is not None:
+            kwargs["cluster_ids"] = np.asarray(d["cluster_ids"])
+        model = cls(**kwargs)
+        if d.get("cov_pars") is not None:
+            model.cov_pars_ = np.asarray(d["cov_pars"], dtype=np.float64)
+        if d.get("coefs") is not None:
+            model.coefs_ = np.asarray(d["coefs"], dtype=np.float64)
+        if d.get("aux_pars") is not None:
+            model.aux_pars_ = np.asarray(d["aux_pars"], dtype=np.float64)
+        if d.get("y") is not None:
+            model.data = model._with_y(np.asarray(d["y"], dtype=np.float64))
+            if d.get("X") is not None:
+                model.data.X = jnp.asarray(
+                    np.asarray(d["X"], dtype=np.float64), dtype=model.dtype)
+        return model
 
     def save_model(self, filename):
         with open(filename, "w") as f:
             json.dump(self.model_to_dict(), f)
         return self
+
+    @classmethod
+    def load_model(cls, filename) -> "GPModel":
+        with open(filename) as f:
+            return cls.from_dict(json.load(f))
 
 
 def _is_variance_index(spec, a, idx):

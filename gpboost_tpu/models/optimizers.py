@@ -141,6 +141,9 @@ def gradient_descent(value_fn: Callable, grad_fn: Callable,
         theta_after_grad = cand_after_grad
         theta = cand
         history.append(nll_new)
+        if cfg.trace:
+            print(f"GPModel trace: iter {it + 1}, nll = {nll_new:.6f}, "
+                  f"pars = {np.round(np.exp(theta), 6)}")
         if callback is not None:
             callback(it, theta, nll_new)
         if cfg.convergence_criterion == "relative_change_in_log_likelihood":
@@ -196,6 +199,9 @@ def fisher_scoring(value_fn: Callable, grad_fn: Callable, fisher_fn: Callable,
             break
         theta = cand
         history.append(nll_new)
+        if cfg.trace:
+            print(f"GPModel trace (fisher_scoring): iter {it + 1}, "
+                  f"nll = {nll_new:.6f}, pars = {np.round(np.exp(theta), 6)}")
         if callback is not None:
             callback(it, theta, nll_new)
         if cfg.convergence_criterion == "relative_change_in_log_likelihood":

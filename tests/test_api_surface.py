@@ -130,3 +130,26 @@ def test_plotting(data):
     assert ax2 is not None
     ax3 = gpb.partial_dependence_plot(bst, X[:100], 0, num_points=5)
     assert ax3 is not None
+
+
+def test_combined_model_persistence(data, tmp_path):
+    X, y = data
+    rng = np.random.default_rng(12)
+    groups = rng.integers(0, 15, size=len(y))
+    y2 = y + 0.5 * rng.standard_normal(15)[groups]
+    gp = gpb.GPModel(group_data=groups)
+    ds = gpb.Dataset(X, label=y2)
+    bst = gpb.train({"objective": "regression", "verbose": -1}, ds,
+                    num_boost_round=10, gp_model=gp)
+    p1 = bst.predict(X[:10], group_data_pred=groups[:10], pred_latent=False)
+    path = tmp_path / "combined.json"
+    bst.save_model(str(path))
+    bst2 = gpb.Booster(model_file=str(path))
+    p2 = bst2.predict(X[:10], group_data_pred=groups[:10], pred_latent=False)
+    np.testing.assert_allclose(p2["response_mean"], p1["response_mean"])
+    np.testing.assert_allclose(bst2.gp_model.get_cov_pars(),
+                               gp.get_cov_pars())
+    # standalone GPModel round trip
+    gp.save_model(str(tmp_path / "gp.json"))
+    gp2 = gpb.GPModel.load_model(str(tmp_path / "gp.json"))
+    np.testing.assert_allclose(gp2.get_cov_pars(), gp.get_cov_pars())
