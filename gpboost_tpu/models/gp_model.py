@@ -332,6 +332,9 @@ class GPModel:
         fe = fixed_effects if fixed_effects is not None else offset
         fe_arr = None if fe is None else jnp.asarray(
             np.asarray(fe, dtype=np.float64), dtype=self.dtype)
+        # the offset is part of the model state for later predictions
+        # (reference: offset stored at fit time, ``GLMM with an offset`` tests)
+        self._train_fixed_effects = fe_arr
 
         if self._approx is not None:
             from gpboost_tpu.models import vecchia_fit
@@ -540,6 +543,8 @@ class GPModel:
             np.asarray(cov_pars if cov_pars is not None else self.cov_pars_,
                        dtype=np.float64), dtype=self.dtype)
         data = self._with_y(y) if y is not None else self.data
+        if fixed_effects is None:
+            fixed_effects = getattr(self, "_train_fixed_effects", None)
         beta = (None if self.coefs_ is None
                 else jnp.asarray(self.coefs_, dtype=self.dtype))
 

@@ -1,0 +1,91 @@
+"""Combined GP + grouped-random-effects golden tests
+(``test_GPModel_combined_GP_random_effects.R``)."""
+import numpy as np
+import pytest
+
+from gpboost_tpu import GPModel
+from gpboost_tpu.utils.rng import sim_rand_unif, sim_rand_normal
+
+TOL_MEDIUM = 1e-3
+
+
+@pytest.fixture(scope="module")
+def cb(gp_fixture_data):
+    f = gp_fixture_data
+    n, m = f["n"], 10
+    group = np.repeat(np.arange(1, m + 1), n // m)
+    b_gr_1 = sim_rand_normal(m, 0.56)
+    eps = f["eps"] + b_gr_1[group - 1]
+    y = eps + f["xi"]
+    return dict(f=f, group=group, y=y)
+
+
+class TestCombinedGaussian:
+    def test_fit_fisher(self, cb):
+        """R:85-93: fisher_scoring -> (0.02262645, 0.61471473, 1.02446559,
+        0.11177327) in 7 iterations."""
+        f = cb["f"]
+        y = cb["y"]
+        iu = np.triu_indices(f["n"], 1)
+        v = np.var(y, ddof=1)
+        m = GPModel(gp_coords=f["coords"], cov_function="exponential",
+                    group_data=cb["group"])
+        m.fit(y=y, params={"optimizer_cov": "fisher_scoring",
+                           "init_cov_pars": [v / 2, v / 2, v / 2,
+                                             np.mean(f["D"][iu]) / 3]})
+        np.testing.assert_allclose(
+            m.get_cov_pars(),
+            [0.02262645, 0.61471473, 1.02446559, 0.11177327], atol=5e-3)
+
+    def test_fit_gd(self, cb):
+        """R:72-78: GD nesterov -> estimates ~ (0.0292, 0.6146, 1.0219,
+        0.1133); trajectory-dependent, so loose."""
+        f = cb["f"]
+        y = cb["y"]
+        iu = np.triu_indices(f["n"], 1)
+        v = np.var(y, ddof=1)
+        m = GPModel(gp_coords=f["coords"], cov_function="exponential",
+                    group_data=cb["group"])
+        m.fit(y=y, params={"optimizer_cov": "gradient_descent",
+                           "lr_cov": 0.15, "use_nesterov_acc": True,
+                           "acc_rate_cov": 0.8, "delta_rel_conv": 1e-6,
+                           "init_cov_pars": [v / 2, v / 2, v / 2,
+                                             np.mean(f["D"][iu]) / 3]})
+        cov = m.get_cov_pars()
+        np.testing.assert_allclose(
+            cov, [0.02924971, 0.61463579, 1.02189002, 0.11327419],
+            rtol=0.3, atol=1e-2)
+
+    def test_predict(self, cb):
+        """R:96-112: predictions with mixed GP + grouped components and an
+        unseen group level (9999)."""
+        f = cb["f"]
+        y = cb["y"]
+        m = GPModel(gp_coords=f["coords"], cov_function="exponential",
+                    group_data=cb["group"])
+        m.fit(y=y, params={"optimizer_cov": "fisher_scoring"})
+        coord_test = np.array([[0.1, 0.9], [0.2, 0.4], [0.7, 0.55]])
+        group_test = np.array([1, 2, 9999])
+        pred = m.predict(y=y, gp_coords_pred=coord_test,
+                         group_data_pred=group_test, predict_cov_mat=True)
+        expected_mu = np.array([0.3769074, 0.6779193, 0.1803276])
+        expected_cov = np.array(
+            [0.619329940, 0.007893047, 0.001356784, 0.007893047, 0.402082274,
+             -0.014950019, 0.001356784, -0.014950019,
+             1.046082243]).reshape(3, 3)
+        assert np.sum(np.abs(pred["mu"] - expected_mu)) < TOL_MEDIUM
+        assert np.sum(np.abs(pred["cov"] - expected_cov)) < 5 * TOL_MEDIUM
+
+    def test_predict_given_pars(self, cb):
+        """R:127-131 with cov_pars (0.02, 1, 1.2, 0.9)."""
+        f = cb["f"]
+        y = cb["y"]
+        m = GPModel(gp_coords=f["coords"], cov_function="exponential",
+                    group_data=cb["group"])
+        coord_test = np.array([[0.1, 0.9], [0.2, 0.4], [0.7, 0.55]])
+        group_test = np.array([1, 2, 9999])
+        pred = m.predict(y=y, gp_coords_pred=coord_test,
+                         group_data_pred=group_test,
+                         cov_pars=[0.02, 1.0, 1.2, 0.9], predict_cov_mat=True)
+        expected_mu = np.array([0.3995192, 0.6775987, 0.3710522])
+        assert np.sum(np.abs(pred["mu"] - expected_mu)) < TOL_MEDIUM
