@@ -75,7 +75,8 @@ class Booster:
         self.num_class = int(p.get("num_class", 1))
         self.objective = create_objective(
             self.objective_name, p, gp_model=gp_model)
-        self.objective.init(train_set.label, train_set.weight)
+        self.objective.init(train_set.label, train_set.weight,
+                    group=train_set.group)
         self.learning_rate = float(p.get("learning_rate", 0.1))
         self.grower = GrowerParams(
             num_leaves=int(p.get("num_leaves", 31)),

@@ -99,6 +99,25 @@ def multi_error(y, prob_flat, weight=None, num_class=2):
     return float(np.average(p.argmax(axis=0) != y.astype(int), weights=weight))
 
 
+def ndcg_at_k(y, score, group, k=5):
+    """NDCG@k averaged over queries (``dcg_calculator.cpp``)."""
+    starts = np.concatenate([[0], np.cumsum(group)]).astype(int)
+    vals = []
+    for q in range(len(starts) - 1):
+        a, b = starts[q], starts[q + 1]
+        rel = y[a:b]
+        sc = score[a:b]
+        order = np.argsort(-sc)
+        gains = 2.0 ** rel[order[:k]] - 1.0
+        disc = 1.0 / np.log2(np.arange(2, len(gains) + 2))
+        dcg = np.sum(gains * disc)
+        iorder = np.argsort(-rel)
+        igains = 2.0 ** rel[iorder[:k]] - 1.0
+        idcg = np.sum(igains * disc[:len(igains)])
+        vals.append(dcg / idcg if idcg > 0 else 1.0)
+    return float(np.mean(vals))
+
+
 # metric registry: name -> (fn(label, converted_pred, weight), higher_better)
 METRICS = {
     "l2": (l2, False), "mse": (l2, False),

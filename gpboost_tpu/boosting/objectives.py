@@ -30,9 +30,10 @@ class Objective:
     is_constant_hessian = False
     num_model_per_iteration = 1
 
-    def init(self, label, weight):
+    def init(self, label, weight, group=None):
         self.label = label
         self.weight = weight
+        self.group = group
 
     def boost_from_average(self) -> float:
         return 0.0
@@ -173,6 +174,106 @@ class Mape(Objective):
         label_safe = np.where(np.abs(self.label) > 1e-10, self.label, 1e-10)
         g = np.sign(score - self.label) / np.abs(label_safe)
         return self._apply_weight(g, np.ones_like(score))
+
+
+class Tobit(Objective):
+    """Censored-normal Tobit / Grabit objective
+    (``regression_objective.hpp:872``, Sigrist & Hirnschall 2019)."""
+    name = "tobit"
+
+    def __init__(self, sigma=1.0, yl=0.0, yu=1.0):
+        if sigma <= 0:
+            raise ValueError("'sigma' must be greater than zero")
+        if yu <= yl:
+            raise ValueError("'yl' must be smaller than 'yu'")
+        self.sigma = sigma
+        self.yl = yl
+        self.yu = yu
+
+    def init(self, label, weight, group=None):
+        super().init(label, weight, group)
+        if np.any(label < self.yl - 1e-6 * abs(self.yl)) or \
+                np.any(label > self.yu + 1e-6 * abs(self.yu)):
+            raise ValueError("Labels must lie in [yl, yu] for tobit")
+
+    def get_gradients(self, score):
+        from scipy.stats import norm
+        s = self.sigma
+        s2i = 1.0 / (s * s)
+        diff = (self.label - score) / s
+        logpdf = norm.logpdf(diff)
+        logcdf_lo = norm.logcdf(diff)
+        logcdf_hi = norm.logcdf(-diff)
+        lower = self.label <= self.yl
+        upper = self.label >= self.yu
+        g = -diff / s
+        h = np.full_like(score, s2i)
+        r_lo = np.exp(logpdf - logcdf_lo)
+        g = np.where(lower, r_lo / s, g)
+        h = np.where(lower, r_lo * s2i * diff + r_lo * r_lo * s2i, h)
+        r_hi = np.exp(logpdf - logcdf_hi)
+        g = np.where(upper, -r_hi / s, g)
+        h = np.where(upper, -r_hi * s2i * diff + r_hi * r_hi * s2i, h)
+        return self._apply_weight(g, h)
+
+
+class LambdaRank(Objective):
+    """LambdaMART / LambdaRank pairwise objective with |delta NDCG| weighting
+    (``rank_objective.hpp``). Host-side per-query pair loop."""
+    name = "lambdarank"
+
+    def __init__(self, sigmoid=1.0, truncation_level=30):
+        self.sigmoid = sigmoid
+        self.truncation_level = truncation_level
+
+    def init(self, label, weight, group=None):
+        super().init(label, weight, group)
+        if group is None:
+            raise ValueError("lambdarank requires query 'group' information")
+        self.query_starts = np.concatenate([[0], np.cumsum(group)]).astype(int)
+
+    def _inverse_max_dcg(self, rel, k):
+        order = np.argsort(-rel)
+        gains = (2.0 ** rel[order[:k]] - 1.0)
+        discounts = 1.0 / np.log2(np.arange(2, min(k, len(rel)) + 2))
+        idcg = np.sum(gains * discounts[:len(gains)])
+        return 1.0 / idcg if idcg > 0 else 0.0
+
+    def get_gradients(self, score):
+        n = len(self.label)
+        grad = np.zeros(n)
+        hess = np.zeros(n)
+        for q in range(len(self.query_starts) - 1):
+            a, b = self.query_starts[q], self.query_starts[q + 1]
+            rel = self.label[a:b]
+            sc = score[a:b]
+            nq = b - a
+            if nq < 2:
+                continue
+            inv_idcg = self._inverse_max_dcg(rel, self.truncation_level)
+            if inv_idcg == 0:
+                continue
+            rank = np.empty(nq, dtype=int)
+            rank[np.argsort(-sc)] = np.arange(nq)
+            disc = 1.0 / np.log2(rank + 2.0)
+            gain = 2.0 ** rel - 1.0
+            for i in range(nq):
+                for j in range(nq):
+                    if rel[i] <= rel[j]:
+                        continue
+                    if min(rank[i], rank[j]) >= self.truncation_level:
+                        continue
+                    d_ndcg = abs((gain[i] - gain[j])
+                                 * (disc[i] - disc[j])) * inv_idcg
+                    rho = 1.0 / (1.0 + np.exp(
+                        self.sigmoid * (sc[i] - sc[j])))
+                    lam = rho * d_ndcg * self.sigmoid
+                    grad[a + i] -= lam
+                    grad[a + j] += lam
+                    h = rho * (1 - rho) * d_ndcg * self.sigmoid ** 2
+                    hess[a + i] += h
+                    hess[a + j] += h
+        return grad, np.maximum(hess, 1e-10)
 
 
 class Binary(Objective):
@@ -369,6 +470,13 @@ def create_objective(name: str, params: dict, gp_model=None) -> Objective:
         return Binary()
     if name == "cross_entropy":
         return CrossEntropy()
+    if name == "tobit":
+        return Tobit(sigma=params.get("sigma", 1.0),
+                     yl=params.get("yl", 0.0), yu=params.get("yu", 1.0))
+    if name in ("lambdarank", "rank_xendcg"):
+        return LambdaRank(sigmoid=params.get("sigmoid", 1.0),
+                          truncation_level=params.get(
+                              "lambdarank_truncation_level", 30))
     if name == "multiclass":
         return Multiclass(num_class=params.get("num_class", 2))
     raise ValueError(f"Unknown objective: {name}")

@@ -87,7 +87,8 @@ class GPBoostModel:
             callbacks=None):
         y_proc = self._process_label(np.asarray(y))
         ds = Dataset(X, label=y_proc, weight=sample_weight,
-                     init_score=init_score, max_bin=self.max_bin)
+                     init_score=init_score, max_bin=self.max_bin,
+                     group=getattr(self, "_group", None))
         valid_sets = None
         valid_names = None
         if eval_set:

@@ -129,3 +129,35 @@ def test_monotone_constraints():
         assert np.all(np.diff(pred) >= -1e-10), "monotonicity violated"
     # still fits reasonably
     assert np.mean((bst.predict(x) - y) ** 2) < 0.15 * np.var(y)
+
+
+def test_tobit():
+    rng = np.random.default_rng(0)
+    n = 1000
+    X = rng.uniform(size=(n, 5))
+    latent = 2 * X[:, 0] - 1 + 0.3 * rng.standard_normal(n)
+    y = np.clip(latent, 0.0, 1.0)
+    ds = gpb.Dataset(X, label=y)
+    bst = gpb.train({"objective": "tobit", "sigma": 0.3, "yl": 0.0,
+                     "yu": 1.0, "verbose": -1}, ds, num_boost_round=30)
+    corr = np.corrcoef(bst.predict(X), latent)[0, 1]
+    assert corr > 0.85
+
+
+def test_lambdarank_and_ndcg():
+    rng = np.random.default_rng(1)
+    nq, per = 50, 20
+    rel = rng.integers(0, 4, size=nq * per).astype(float)
+    Xr = rng.uniform(size=(nq * per, 4))
+    Xr[:, 0] = rel + 0.3 * rng.standard_normal(nq * per)
+    group = np.full(nq, per)
+    dsr = gpb.Dataset(Xr, label=rel, group=group)
+    bstr = gpb.train({"objective": "lambdarank", "verbose": -1}, dsr,
+                     num_boost_round=20)
+    from gpboost_tpu.boosting.metrics import ndcg_at_k
+    sc = bstr.predict(Xr)
+    assert ndcg_at_k(rel, sc, group) > 0.9
+    # sklearn ranker wrapper
+    est = gpb.GPBoostRanker(n_estimators=10)
+    est.fit(Xr, rel, group=group)
+    assert ndcg_at_k(rel, est.predict(Xr), group) > 0.85
