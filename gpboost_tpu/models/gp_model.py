@@ -205,6 +205,14 @@ class GPModel:
             self._validate_y(np.asarray(y_arr))
             fe = None if fixed_effects is None else jnp.asarray(
                 fixed_effects, dtype=self.dtype)
+            if self.spec.is_gaussian and self.gp_approx == "vecchia_latent":
+                # latent-process Vecchia + iid noise: cov_pars = GP pars (no
+                # nugget), nugget passed/estimated as an aux parameter
+                # (R: neg_log_likelihood(cov_pars[-1], aux_pars=nugget))
+                ap = (jnp.atleast_1d(jnp.asarray(aux_pars, dtype=self.dtype))
+                      if aux_pars is not None else
+                      jnp.ones((1,), self.dtype))
+                return float(self._approx.nll_laplace(cov_pars, y_arr, ap, fe))
             if self.spec.is_gaussian:
                 return float(self._approx.nll_gaussian(cov_pars, y_arr, fe))
             ap = self._aux_pars_array(aux_pars)
@@ -566,7 +574,7 @@ class GPModel:
             cp = np.asarray(gp_coords_pred, dtype=np.float64)
             if cp.ndim == 1:
                 cp = cp[:, None]
-            if self.spec.is_gaussian:
+            if self.spec.is_gaussian and self.gp_approx != "vecchia_latent":
                 fixed_part = fe
                 mean, var = self._approx.predict_gaussian(
                     cov_pars_arr, y_arr, cp, fixed_part,

@@ -18,11 +18,17 @@ def fit(model, data, fixed_effects: Optional[jnp.ndarray] = None):
     y_np = np.asarray(y)
     has_coef = data.X is not None
 
+    latent_gaussian = (model.spec.is_gaussian
+                       and model.gp_approx == "vecchia_latent")
     init_cov = (cfg.init_cov_pars if cfg.init_cov_pars is not None
                 else model._default_init_cov_pars(y_np))
+    if latent_gaussian and len(init_cov) == model.spec.num_cov_par:
+        # latent parametrization: nugget moves to the aux slot
+        model.aux_pars_ = np.atleast_1d(np.asarray(init_cov[0]))
+        init_cov = np.asarray(init_cov[1:])
     n_cov = len(init_cov)
 
-    if model.spec.is_gaussian:
+    if model.spec.is_gaussian and not latent_gaussian:
         beta_holder = {"beta": None}
         if has_coef:
             Xn = np.asarray(data.X)

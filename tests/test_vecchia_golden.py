@@ -131,3 +131,27 @@ class TestVecchiaLaplace:
         pred = m.predict(y=y, gp_coords_pred=vf["coords"][:5],
                          predict_var=True, predict_response=True)
         assert np.all(np.isfinite(pred["mu"]))
+
+
+class TestVecchiaLatent:
+    def test_nll_matches_exact(self, vf):
+        """R:717-722: vecchia_latent nn=n-1 with aux nugget == exact NLL."""
+        y = vf["eps"] + vf["xi"]
+        m = GPModel(gp_coords=vf["coords"], cov_function="exponential",
+                    gp_approx="vecchia_latent", num_neighbors=vf["n"] - 1,
+                    vecchia_ordering="none")
+        nll = m.neg_log_likelihood(cov_pars=[1.6, 0.2], y=y, aux_pars=[0.1])
+        assert abs(nll - 124.2549533) < TOL_STRICT
+
+    def test_fit_recovers_optimum(self, vf):
+        y = vf["eps"] + vf["xi"]
+        m = GPModel(gp_coords=vf["coords"], cov_function="exponential",
+                    gp_approx="vecchia_latent", num_neighbors=vf["n"] - 1,
+                    vecchia_ordering="none")
+        m.fit(y=y, params={"optimizer_cov": "lbfgs",
+                           "init_cov_pars": [np.var(y) / 2, np.var(y) / 2,
+                                             0.2]})
+        # exact-model optimum: var 1.0761, range 0.1135, nugget 0.0328
+        np.testing.assert_allclose(m.get_cov_pars(), [1.0761, 0.1135],
+                                   rtol=5e-2)
+        np.testing.assert_allclose(m.get_aux_pars(), [0.0328], rtol=2e-1)
