@@ -35,10 +35,15 @@ LOG_2PI = math.log(2.0 * math.pi)
 
 
 def build_psi(spec: ModelSpec, data: ModelData, cov_pars: jnp.ndarray) -> jnp.ndarray:
-    """Full marginal covariance Psi = sigma2_err I + Sigma_total. [n, n]."""
+    """Full marginal covariance Psi = sigma2_err diag(1/w) + Sigma_total.
+
+    With observation ``weights`` the error variance is sigma2 / w_i
+    (reference weights semantics: weight k == k replicates)."""
     sigma2, comp_pars = split_cov_pars(spec, cov_pars)
     sig = total_re_cov(spec, data, comp_pars)
     n = sig.shape[0]
+    if data.weights is not None:
+        return sig + jnp.diag(sigma2 / data.weights)
     return sig + sigma2 * jnp.eye(n, dtype=sig.dtype)
 
 
@@ -81,6 +86,8 @@ def _psi_tilde(spec: ModelSpec, data: ModelData, ratio_pars: jnp.ndarray) -> jnp
     _, comp_pars = split_cov_pars(spec, full)
     sig = total_re_cov(spec, data, comp_pars)
     n = sig.shape[0]
+    if data.weights is not None:
+        return sig + jnp.diag(1.0 / data.weights)
     return sig + jnp.eye(n, dtype=sig.dtype)
 
 

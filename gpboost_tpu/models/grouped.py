@@ -119,17 +119,24 @@ def nll_gaussian(spec: ModelSpec, data: ModelData, cov_pars: jnp.ndarray,
     sigma2 = cov_pars[0]
     comp_vars = cov_pars[1:]
     db = _sigma_b_diag(spec, comp_vars, r.dtype)
-    ztz = ztz_matrix(spec, data)
-    q = ztz.shape[0]
+    w = data.weights
     n = r.shape[0]
-    # M = sigma2 Sigma_b^-1 + Z'Z
-    M = ztz + jnp.diag(sigma2 / db)
+    if w is None:
+        ztwz = ztz_matrix(spec, data)
+        rw = r
+        log_w_sum = 0.0
+    else:
+        ztwz = ztw_z(spec, data, w)
+        rw = w * r
+        log_w_sum = jnp.sum(jnp.log(w))
+    # M = sigma2 Sigma_b^-1 + Z'WZ  (Psi = sigma2 diag(1/w) + Z Sigma_b Z')
+    M = ztwz + jnp.diag(sigma2 / db)
     L = jnp.linalg.cholesky(M)
-    ztr = zt_mul(spec, data, r)
+    ztr = zt_mul(spec, data, rw)
     t = jax.scipy.linalg.solve_triangular(L, ztr, lower=True)
-    quad = (jnp.dot(r, r) - jnp.dot(t, t)) / sigma2
-    # logdet Psi = n log s2 + logdet(M) - logdet(s2 Sigma_b^-1)
-    logdet = (n * jnp.log(sigma2)
+    quad = (jnp.dot(r, rw) - jnp.dot(t, t)) / sigma2
+    # logdet Psi = n log s2 - sum log w + logdet(M) - logdet(s2 Sigma_b^-1)
+    logdet = (n * jnp.log(sigma2) - log_w_sum
               + 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
               - jnp.sum(jnp.log(sigma2 / db)))
     return 0.5 * (quad + logdet + n * LOG_2PI)
@@ -147,16 +154,24 @@ def nll_profiled(spec: ModelSpec, data: ModelData, ratio_vars: jnp.ndarray,
     if fixed_effects is not None:
         r = r - fixed_effects
     db = _sigma_b_diag(spec, ratio_vars, r.dtype)
-    ztz = ztz_matrix(spec, data)
+    w = data.weights
     n = r.shape[0]
-    M = ztz + jnp.diag(1.0 / db)
+    if w is None:
+        ztwz = ztz_matrix(spec, data)
+        rw = r
+        log_w_sum = 0.0
+    else:
+        ztwz = ztw_z(spec, data, w)
+        rw = w * r
+        log_w_sum = jnp.sum(jnp.log(w))
+    M = ztwz + jnp.diag(1.0 / db)
     L = jnp.linalg.cholesky(M)
-    ztr = zt_mul(spec, data, r)
+    ztr = zt_mul(spec, data, rw)
     t = jax.scipy.linalg.solve_triangular(L, ztr, lower=True)
-    yt_psit_inv_y = jnp.dot(r, r) - jnp.dot(t, t)
+    yt_psit_inv_y = jnp.dot(r, rw) - jnp.dot(t, t)
     sigma2_hat = yt_psit_inv_y / n
     logdet_tilde = (2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
-                    + jnp.sum(jnp.log(db)))
+                    + jnp.sum(jnp.log(db)) - log_w_sum)
     nll = 0.5 * (n * (jnp.log(sigma2_hat) + LOG_2PI + 1.0) + logdet_tilde)
     return nll, sigma2_hat
 
@@ -285,19 +300,21 @@ def find_mode_grouped(lik_name: str, spec: ModelSpec, data: ModelData,
 
 def _find_mode_grouped_impl(lik_name, spec, data, db, F, aux):
     from gpboost_tpu import likelihoods as lk
+    from gpboost_tpu.models.laplace import _weighted_fns
     fam = lk.get_family(lik_name)
+    ll_fn, d1_fn, d2_fn = _weighted_fns(fam, data.weights)
     y = data.y
     q = db.shape[0]
 
     def obj(b):
         loc = F + z_mul(spec, data, b)
-        return jnp.sum(fam.log_lik(y, loc, aux)) - 0.5 * jnp.sum(b * b / db)
+        return jnp.sum(ll_fn(y, loc, aux)) - 0.5 * jnp.sum(b * b / db)
 
     def step(state):
         b, psi, it, conv = state
         loc = F + z_mul(spec, data, b)
-        d1 = fam.d_loc(y, loc, aux)
-        w = jnp.maximum(-fam.d2_loc(y, loc, aux), 1e-10)
+        d1 = d1_fn(y, loc, aux)
+        w = jnp.maximum(-d2_fn(y, loc, aux), 1e-10)
         g = zt_mul(spec, data, d1) - b / db
         # H = Z'WZ + Sigma_b^-1
         H = ztw_z(spec, data, w) + jnp.diag(1.0 / db)
@@ -350,17 +367,19 @@ def _find_mode_grouped_fwd(lik_name, spec, data, db, F, aux):
 
 def _find_mode_grouped_bwd(lik_name, spec, res, v):
     from gpboost_tpu import likelihoods as lk
+    from gpboost_tpu.models.laplace import _weighted_fns
     fam = lk.get_family(lik_name)
     data, db, F, aux, b = res
+    ll_fn, d1_fn, d2_fn = _weighted_fns(fam, data.weights)
     y = data.y
     loc = F + z_mul(spec, data, b)
-    w = -fam.d2_loc(y, loc, aux)
+    w = -d2_fn(y, loc, aux)
     # g(b) = b/db - Z' d1(y, F+Zb); dg/db = diag(1/db) + Z'WZ (symmetric)
     H = ztw_z(spec, data, w) + jnp.diag(1.0 / db)
     lam = jnp.linalg.solve(H, v)
 
     def g(db_, F_, aux_):
-        d1 = fam.d_loc(y, F_ + z_mul(spec, data, b), aux_)
+        d1 = d1_fn(y, F_ + z_mul(spec, data, b), aux_)
         return b / db_ - zt_mul(spec, data, d1)
 
     _, vjp = jax.vjp(g, db, F, aux)
@@ -390,11 +409,13 @@ def nll_laplace(spec: ModelSpec, data: ModelData, cov_pars: jnp.ndarray,
     if fixed_effects is not None:
         F = F + fixed_effects
     aux = aux_pars if aux_pars is not None else jnp.zeros((0,), data.y.dtype)
+    from gpboost_tpu.models.laplace import _weighted_fns
+    ll_fn, d1_fn, d2_fn = _weighted_fns(fam, data.weights)
     db = _sigma_b_diag(spec, cov_pars, data.y.dtype)
     b = find_mode_grouped(spec.likelihood, spec, data, db, F, aux)
     loc = F + z_mul(spec, data, b)
-    w = -fam.d2_loc(data.y, loc, aux)
-    loglik = jnp.sum(fam.log_lik(data.y, loc, aux))
+    w = -d2_fn(data.y, loc, aux)
+    loglik = jnp.sum(ll_fn(data.y, loc, aux))
     quad = jnp.sum(b * b / db)
     A = jnp.eye(db.shape[0], dtype=db.dtype) + db[:, None] * ztw_z(spec, data, w)
     sign, logdet = jnp.linalg.slogdet(A)

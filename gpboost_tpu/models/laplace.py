@@ -44,25 +44,34 @@ MAX_HALVING = 20
 # ---------------------------------------------------------------------------
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
-def find_mode(lik_name: str, sigma, y, F, aux):
-    """Posterior mode b* of log p(y|F+b) - 1/2 b' Sigma^-1 b. Differentiable
-    w.r.t. (sigma, F, aux) via the implicit function theorem."""
-    return _find_mode_fwd_impl(lik_name, sigma, y, F, aux)
+def find_mode(lik_name: str, sigma, y, F, aux, obs_weights=None):
+    """Posterior mode b* of sum w_i log p(y_i|F+b) - 1/2 b' Sigma^-1 b.
+    Differentiable w.r.t. (sigma, F, aux) via the implicit function theorem."""
+    return _find_mode_fwd_impl(lik_name, sigma, y, F, aux, obs_weights)
 
 
-def _find_mode_fwd_impl(lik_name, sigma, y, F, aux):
+def _weighted_fns(fam, obs_weights):
+    if obs_weights is None:
+        return fam.log_lik, fam.d_loc, fam.d2_loc
+    return (lambda y, l, a: obs_weights * fam.log_lik(y, l, a),
+            lambda y, l, a: obs_weights * fam.d_loc(y, l, a),
+            lambda y, l, a: obs_weights * fam.d2_loc(y, l, a))
+
+
+def _find_mode_fwd_impl(lik_name, sigma, y, F, aux, obs_weights=None):
     fam = lk.get_family(lik_name)
+    ll_fn, d1_fn, d2_fn = _weighted_fns(fam, obs_weights)
     n = y.shape[0]
     dtype = sigma.dtype
 
     def loglik_sum(b):
-        return jnp.sum(fam.log_lik(y, F + b, aux))
+        return jnp.sum(ll_fn(y, F + b, aux))
 
     def newton_step(state):
         b, a, psi, it, step_ok = state
         loc = F + b
-        d1 = fam.d_loc(y, loc, aux)
-        w = -fam.d2_loc(y, loc, aux)
+        d1 = d1_fn(y, loc, aux)
+        w = -d2_fn(y, loc, aux)
         w_safe = jnp.maximum(w, 1e-10)  # quasi-Newton safeguard for
         # non-log-concave families (reference: fisher_laplace variant)
         sw = jnp.sqrt(w_safe)
@@ -110,30 +119,31 @@ def _find_mode_fwd_impl(lik_name, sigma, y, F, aux):
     return b
 
 
-def _find_mode_fwd(lik_name, sigma, y, F, aux):
-    b = _find_mode_fwd_impl(lik_name, sigma, y, F, aux)
-    return b, (sigma, y, F, aux, b)
+def _find_mode_fwd(lik_name, sigma, y, F, aux, obs_weights=None):
+    b = _find_mode_fwd_impl(lik_name, sigma, y, F, aux, obs_weights)
+    return b, (sigma, y, F, aux, b, obs_weights)
 
 
 def _find_mode_bwd(lik_name, res, v):
     """Adjoint: solve (I + W Sigma) lam = v, then pull back through
     g(b; sigma, F, aux) = b - Sigma d1(y, F+b, aux)."""
-    sigma, y, F, aux, b = res
+    sigma, y, F, aux, b, obs_weights = res
     fam = lk.get_family(lik_name)
+    _, d1_fn, d2_fn = _weighted_fns(fam, obs_weights)
     n = b.shape[0]
     loc = F + b
-    w = -fam.d2_loc(y, loc, aux)
+    w = -d2_fn(y, loc, aux)
     # dg/db = I + Sigma W; its transpose is I + W Sigma
     M_T = jnp.eye(n, dtype=sigma.dtype) + w[:, None] * sigma
     lam = jnp.linalg.solve(M_T, v)
 
     def g(sigma_, F_, aux_):
-        d1 = fam.d_loc(y, F_ + b, aux_)
+        d1 = d1_fn(y, F_ + b, aux_)
         return b - sigma_ @ d1
 
     _, vjp = jax.vjp(g, sigma, F, aux)
     gs, gF, gaux = vjp(-lam)
-    return gs, jnp.zeros_like(y), gF, gaux
+    return gs, jnp.zeros_like(y), gF, gaux, None
 
 
 find_mode.defvjp(_find_mode_fwd, _find_mode_bwd)
@@ -222,14 +232,15 @@ find_mode_prec.defvjp(_find_mode_prec_fwd, _find_mode_prec_bwd)
 # Laplace-approximate negative log marginal likelihood
 # ---------------------------------------------------------------------------
 
-def _laplace_nll_from_sigma(lik_name, sigma, y, F, aux):
+def _laplace_nll_from_sigma(lik_name, sigma, y, F, aux, obs_weights=None):
     fam = lk.get_family(lik_name)
+    ll_fn, d1_fn, d2_fn = _weighted_fns(fam, obs_weights)
     n = y.shape[0]
-    b = find_mode(lik_name, sigma, y, F, aux)
+    b = find_mode(lik_name, sigma, y, F, aux, obs_weights)
     loc = F + b
-    d1 = fam.d_loc(y, loc, aux)
-    w = -fam.d2_loc(y, loc, aux)
-    loglik = jnp.sum(fam.log_lik(y, loc, aux))
+    d1 = d1_fn(y, loc, aux)
+    w = -d2_fn(y, loc, aux)
+    loglik = jnp.sum(ll_fn(y, loc, aux))
     # at the mode Sigma^-1 b = d1, so b' Sigma^-1 b = b . d1
     quad = jnp.dot(b, d1)
     # logdet(I + W Sigma) via LU (W may be negative for t/beta likelihoods)
@@ -255,7 +266,8 @@ def neg_log_marginal_likelihood(spec: ModelSpec, data: ModelData,
     if fixed_effects is not None:
         F = F + fixed_effects
     aux = aux_pars if aux_pars is not None else jnp.zeros((0,), sigma.dtype)
-    return _laplace_nll_from_sigma(spec.likelihood, sigma, data.y, F, aux)
+    return _laplace_nll_from_sigma(spec.likelihood, sigma, data.y, F, aux,
+                                   data.weights)
 
 
 @partial(jax.jit, static_argnums=(0,))

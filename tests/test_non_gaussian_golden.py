@@ -252,3 +252,45 @@ class TestGammaGrouped:
         m = GPModel(group_data=ng["group"], likelihood="gamma")
         with pytest.raises(ValueError):
             m.fit(y=y, params={"optimizer_cov": "lbfgs"})
+
+
+class TestWeights:
+    """Observation weights (reference 'Use of weights' blocks,
+    test_GPModel_non_Gaussian_data.R:266-312): weight k == k replicates."""
+
+    def test_weight_one_is_noop(self, ng):
+        y = (sim_rand_unif(ng["n"], 0.823431) < 0.5).astype(float)
+        m1 = GPModel(group_data=ng["group"], likelihood="bernoulli_probit",
+                     weights=np.ones(ng["n"]))
+        m0 = GPModel(group_data=ng["group"], likelihood="bernoulli_probit")
+        assert abs(m1.neg_log_likelihood(cov_pars=[0.9], y=y)
+                   - m0.neg_log_likelihood(cov_pars=[0.9], y=y)) < 1e-8
+
+    def test_probit_weight_two_equals_duplication(self, ng):
+        rng = np.random.default_rng(0)
+        coords = rng.uniform(size=(80, 2))
+        yb = (rng.uniform(size=80) < 0.5).astype(float)
+        mw = GPModel(gp_coords=coords, cov_function="exponential",
+                     likelihood="bernoulli_probit", weights=2 * np.ones(80))
+        md = GPModel(gp_coords=np.concatenate([coords, coords + 1e-9]),
+                     cov_function="exponential",
+                     likelihood="bernoulli_probit")
+        v2 = mw.neg_log_likelihood(cov_pars=[0.5, 0.1], y=yb)
+        vd = md.neg_log_likelihood(cov_pars=[0.5, 0.1],
+                                   y=np.concatenate([yb, yb]))
+        assert abs(v2 - vd) < 1e-4
+
+    def test_gaussian_weighted_nugget(self):
+        rng = np.random.default_rng(0)
+        coords = rng.uniform(size=(80, 2))
+        D = np.sqrt(((coords[:, None] - coords[None]) ** 2).sum(-1))
+        yg = rng.standard_normal(80)
+        w = rng.uniform(0.5, 2.0, size=80)
+        mg = GPModel(gp_coords=coords, cov_function="exponential", weights=w)
+        nll = mg.neg_log_likelihood(cov_pars=[0.1, 1.0, 0.2], y=yg)
+        psi = np.exp(-D / 0.2) + np.diag(0.1 / w)
+        L = np.linalg.cholesky(psi)
+        al = np.linalg.solve(L, yg)
+        ref = 0.5 * (al @ al + 2 * np.log(np.diag(L)).sum()
+                     + 80 * np.log(2 * np.pi))
+        assert abs(nll - ref) < 1e-5
