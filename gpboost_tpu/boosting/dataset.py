@@ -37,6 +37,10 @@ class Dataset:
                  group=None):
         if params:
             max_bin = int(params.get("max_bin", max_bin))
+        if isinstance(data, str):
+            # file path: native multithreaded CSV/TSV parser
+            from gpboost_tpu.native import load_table
+            data = load_table(data)
         data = np.asarray(data, dtype=np.float64)
         if data.ndim == 1:
             data = data[:, None]

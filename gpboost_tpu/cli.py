@@ -49,13 +49,13 @@ def _coerce(v: str):
 
 
 def load_data(path: str, has_header: bool, label_column: str):
-    """CSV/TSV loader (reference io/parser.cpp autodetect, simplified)."""
-    delimiter = None
+    """CSV/TSV loader: native multithreaded parser (reference io/parser.cpp
+    equivalent) with numpy fallback."""
     with open(path) as f:
         first = f.readline()
     delimiter = "\t" if "\t" in first else ","
-    data = np.genfromtxt(path, delimiter=delimiter,
-                         skip_header=1 if has_header else 0)
+    from gpboost_tpu.native import load_table
+    data = load_table(path, sep=delimiter, has_header=has_header)
     label_idx = 0
     if label_column.startswith("name:"):
         names = first.strip().split(delimiter)

@@ -361,7 +361,7 @@ class GPModel:
                                  "adam", "lbfgs_linesearch_nocedal_wright"):
             result = self._fit_gaussian_profiled(spec, data, init, cfg, has_coef,
                                                  fe_arr)
-        else:
+        else:  # fisher_scoring / newton
             result = self._fit_gaussian_full(spec, data, init, cfg, has_coef,
                                              fe_arr)
         self._fit_result = result
@@ -504,9 +504,20 @@ class GPModel:
                 spec, data, jnp.asarray(theta, dtype=self.dtype),
                 beta_holder["beta"], fe_arr)
 
-        def fisher_fn(theta):
-            return gaussian.fisher_information(
-                spec, data, jnp.asarray(theta, dtype=self.dtype))
+        if cfg.optimizer_cov == "newton":
+            # observed-information Newton: Hessian of the NLL via autodiff
+            # (reference 'newton' optimizer, re_model_template.h)
+            hess_fn = jax.jit(jax.hessian(
+                lambda th: gaussian.neg_log_likelihood(
+                    spec, data, jnp.exp(th), beta_holder["beta"], fe_arr)),
+                static_argnums=())
+
+            def fisher_fn(theta):
+                return hess_fn(jnp.asarray(theta, dtype=self.dtype))
+        else:
+            def fisher_fn(theta):
+                return gaussian.fisher_information(
+                    spec, data, jnp.asarray(theta, dtype=self.dtype))
 
         def cb(it, theta, nll):
             if has_coef:

@@ -153,3 +153,22 @@ def test_combined_model_persistence(data, tmp_path):
     gp.save_model(str(tmp_path / "gp.json"))
     gp2 = gpb.GPModel.load_model(str(tmp_path / "gp.json"))
     np.testing.assert_allclose(gp2.get_cov_pars(), gp.get_cov_pars())
+
+
+def test_native_loader(tmp_path):
+    from gpboost_tpu.native import load_table, native_loader_available
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal((500, 7))
+    data[::13, 2] = np.nan
+    path = tmp_path / "t.csv"
+    np.savetxt(path, data, delimiter=",")
+    arr = load_table(str(path))
+    np.testing.assert_allclose(arr, data, equal_nan=True, atol=1e-12)
+    # TSV with header
+    with open(tmp_path / "t.tsv", "w") as f:
+        f.write("a\tb\n1.5\t2.5\n3\t4\n")
+    arr2 = load_table(str(tmp_path / "t.tsv"), has_header=True)
+    np.testing.assert_allclose(arr2, [[1.5, 2.5], [3, 4]])
+    # Dataset accepts a file path directly
+    ds = gpb.Dataset(str(path), label=np.arange(500, dtype=float))
+    assert ds.num_data == 500 and ds.num_features == 7

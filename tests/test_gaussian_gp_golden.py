@@ -212,3 +212,20 @@ class TestPrediction:
         expected_cov_diag = np.array([6.218737e-01, 3.535390e-01, 4.202154e-01])
         assert np.sum(np.abs(pred["mu"] - expected_mu)) < 1e-3
         assert np.sum(np.abs(np.diag(pred["cov"]) - expected_cov_diag)) < 1e-3
+
+
+class TestNewton:
+    def test_newton_matches_reference(self, gp_fixture_data):
+        """R:224-230: newton -> (0.03282998, 1.07612393, 0.11353614), 7 its."""
+        f = gp_fixture_data
+        y = f["eps"] + f["xi"]
+        iu = np.triu_indices(f["n"], 1)
+        m = GPModel(gp_coords=f["coords"], cov_function="exponential")
+        m.fit(y=y, params={
+            "optimizer_cov": "newton", "lr_cov": 1.0,
+            "use_nesterov_acc": False,
+            "init_cov_pars": [np.var(y, ddof=1) / 2, np.var(y, ddof=1) / 2,
+                              np.mean(f["D"][iu]) / 3]})
+        np.testing.assert_allclose(
+            m.get_cov_pars(), [0.03282998, 1.07612393, 0.11353614], atol=1e-4)
+        assert m.num_it_ == 7
