@@ -191,6 +191,8 @@ class GPModel:
             elif k == "init_aux_pars":
                 self.aux_pars_ = np.atleast_1d(
                     np.asarray(v, dtype=np.float64))
+            elif k == "estimate_cov_par_index":
+                cfg.estimate_cov_par_index = np.asarray(v, dtype=np.int32)
         return self
 
     # ------------------------------------------------------------------
@@ -357,8 +359,12 @@ class GPModel:
         has_coef = data.X is not None
 
         spec = self.spec
-        if cfg.optimizer_cov in ("gradient_descent", "lbfgs", "nelder_mead",
-                                 "adam", "lbfgs_linesearch_nocedal_wright"):
+        if cfg.estimate_cov_par_index is not None and \
+                np.any(np.asarray(cfg.estimate_cov_par_index) == 0):
+            result = self._fit_gaussian_masked(spec, data, init, cfg,
+                                               has_coef, fe_arr)
+        elif cfg.optimizer_cov in ("gradient_descent", "lbfgs", "nelder_mead",
+                                   "adam", "lbfgs_linesearch_nocedal_wright"):
             result = self._fit_gaussian_profiled(spec, data, init, cfg, has_coef,
                                                  fe_arr)
         else:  # fisher_scoring / newton
@@ -483,6 +489,71 @@ class GPModel:
         result.params = self.cov_pars_
         self.current_nll_ = float(final_nll)
         return result
+
+    def _fit_gaussian_masked(self, spec, data, init, cfg, has_coef, fe_arr):
+        """Fit with some covariance parameters held fixed
+        (``estimate_cov_par_index``; R tests fix subsets at their inits).
+        Full (non-profiled) parametrization, L-BFGS on the free entries."""
+        mask = np.asarray(cfg.estimate_cov_par_index, dtype=bool)
+        log_init = np.log(np.maximum(np.asarray(init, np.float64), 1e-300))
+        free_idx = np.flatnonzero(mask)
+        beta_holder = {"beta": None}
+        if has_coef:
+            Xn = np.asarray(data.X)
+            beta_holder["beta"] = jnp.asarray(
+                cfg.init_coef if cfg.init_coef is not None else
+                np.linalg.lstsq(Xn, np.asarray(data.y), rcond=None)[0],
+                dtype=self.dtype)
+
+        def full_theta(theta_free):
+            full = log_init.copy()
+            full[free_idx] = theta_free
+            return full
+
+        def vg(theta_free):
+            th = jnp.asarray(full_theta(np.asarray(theta_free)),
+                             dtype=self.dtype)
+
+            def f(t):
+                return gaussian.neg_log_likelihood(
+                    spec, data, jnp.exp(t), beta_holder["beta"], fe_arr)
+            v, g = jax.value_and_grad(f)(th)
+            return float(v), np.asarray(g)[free_idx]
+
+        def coef_update(theta_free):
+            if not has_coef:
+                return
+            full = jnp.exp(jnp.asarray(full_theta(np.asarray(theta_free)),
+                                       dtype=self.dtype))
+            beta_holder["beta"] = gaussian.wls_coefficients(spec, data, full,
+                                                            fe_arr)
+
+        theta0 = log_init[free_idx]
+        if has_coef:
+            coef_update(theta0)
+        if len(free_idx) > 0:
+            for _ in range(3 if has_coef else 1):
+                result = optimizers.lbfgs(vg, theta0, cfg)
+                theta0 = np.log(result.params)
+                coef_update(theta0)
+            theta_fin = np.log(result.params)
+            num_it = result.num_it
+        else:
+            theta_fin = np.zeros(0)
+            num_it = 0
+        full_fin = full_theta(theta_fin)
+        self.cov_pars_ = np.exp(full_fin)
+        self.coefs_ = (None if beta_holder["beta"] is None
+                       else np.asarray(beta_holder["beta"]))
+        nll = float(gaussian.neg_log_likelihood(
+            spec, data, jnp.asarray(np.exp(full_fin), dtype=self.dtype),
+            beta_holder["beta"], fe_arr))
+        self.current_nll_ = nll
+        from gpboost_tpu.models.optimizers import OptimResult
+        res = OptimResult(params=self.cov_pars_, nll=nll, num_it=num_it,
+                          converged=True)
+        self.num_it_ = num_it
+        return res
 
     # -- full-parametrization path (fisher_scoring / newton)
     def _fit_gaussian_full(self, spec, data, init, cfg, has_coef, fe_arr):

@@ -64,6 +64,7 @@ class OptimConfig:
     init_cov_pars: Optional[np.ndarray] = None
     init_coef: Optional[np.ndarray] = None
     std_dev: bool = False
+    estimate_cov_par_index: Optional[np.ndarray] = None
 
 
 @dataclass
