@@ -140,6 +140,24 @@ def cv(params: dict, train_set: Dataset, num_boost_round: int = 100,
                     use_gp_model_for_validation=use_gp_model_for_validation)
         cvb.append(bst)
         per_fold_curves.append(evals.get("valid", {}))
+    # GPBoostOOS: estimate covariance parameters on out-of-sample errors
+    # (reference gpb.cv(fit_GP_cov_pars_OOS=True), engine.py:540)
+    if fit_GP_cov_pars_OOS and gp_model is not None:
+        best_iters = []
+        for c in per_fold_curves:
+            if c:
+                curve = next(iter(c.values()))
+                best_iters.append(int(np.argmin(curve)) + 1)
+        nbr = max(best_iters) if best_iters else num_boost_round
+        oos_score = np.zeros(n)
+        for k, test_idx in enumerate(fold_idx):
+            test_idx = np.asarray(test_idx, dtype=int)
+            oos_score[test_idx] = cvb.boosters[k]._predict_raw(
+                train_set.raw_data[test_idx], num_iteration=nbr)
+        if gp_model.spec.is_gaussian:
+            gp_model.fit(y=train_set.label - oos_score)
+        else:
+            gp_model.fit(y=train_set.label, fixed_effects=oos_score)
     # aggregate
     for metric in (per_fold_curves[0] or {}):
         curves = [c[metric] for c in per_fold_curves]

@@ -99,6 +99,17 @@ def multi_error(y, prob_flat, weight=None, num_class=2):
     return float(np.average(p.argmax(axis=0) != y.astype(int), weights=weight))
 
 
+def crps_gaussian(y, mean, var, weight=None):
+    """Continuous ranked probability score for Gaussian predictive
+    distributions (``random_effects_metric.hpp`` crps_gaussian)."""
+    from scipy.stats import norm
+    sd = np.sqrt(np.maximum(var, 1e-300))
+    z = (y - mean) / sd
+    v = sd * (z * (2 * norm.cdf(z) - 1) + 2 * norm.pdf(z)
+              - 1.0 / np.sqrt(np.pi))
+    return float(np.average(v, weights=weight))
+
+
 def ndcg_at_k(y, score, group, k=5):
     """NDCG@k averaged over queries (``dcg_calculator.cpp``)."""
     starts = np.concatenate([[0], np.cumsum(group)]).astype(int)

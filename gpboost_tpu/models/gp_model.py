@@ -929,7 +929,13 @@ class GPModel:
 
     def summary(self):
         print("Covariance parameters:")
-        print(dict(zip(self._cov_par_names(), np.asarray(self.cov_pars_))))
+        if self.std_dev_cov_pars_ is not None:
+            for name, est, sd in zip(self._cov_par_names(),
+                                     np.asarray(self.cov_pars_),
+                                     np.asarray(self.std_dev_cov_pars_)):
+                print(f"  {name}: {est:.6g} (std dev {sd:.6g})")
+        else:
+            print(dict(zip(self._cov_par_names(), np.asarray(self.cov_pars_))))
         if self.coefs_ is not None:
             print("Linear regression coefficients:")
             print(np.asarray(self.coefs_))

@@ -157,3 +157,29 @@ def test_nan_features(reg_data):
     bst = gpb.train({"objective": "regression", "verbose": -1}, ds,
                     num_boost_round=10)
     assert np.all(np.isfinite(bst.predict(Xn)))
+
+
+def test_cv_gpboost_oos(reg_data):
+    """GPBoostOOS: covariance parameters fitted on out-of-sample errors
+    (reference gpb.cv(fit_GP_cov_pars_OOS=True))."""
+    X, y = reg_data
+    rng = np.random.default_rng(3)
+    groups = rng.integers(0, 20, size=len(y))
+    y2 = y + 0.6 * rng.standard_normal(20)[groups]
+    gp = gpb.GPModel(group_data=groups)
+    gpb.cv({"objective": "regression", "verbose": -1},
+           gpb.Dataset(X, label=y2), num_boost_round=20, nfold=3,
+           gp_model=gp, fit_GP_cov_pars_OOS=True, seed=2)
+    pars = gp.get_cov_pars()
+    assert pars is not None and np.all(np.isfinite(pars))
+    assert 0.1 < pars[1] < 1.0  # near true 0.36
+
+
+def test_crps_gaussian_metric():
+    from gpboost_tpu.boosting.metrics import crps_gaussian
+    rng = np.random.default_rng(0)
+    y = rng.standard_normal(500)
+    tight = crps_gaussian(y, y, 0.01 * np.ones(500))
+    calibrated = crps_gaussian(y, np.zeros(500), np.ones(500))
+    wide = crps_gaussian(y, np.zeros(500), 25 * np.ones(500))
+    assert tight < calibrated < wide
