@@ -294,3 +294,65 @@ class TestWeights:
         ref = 0.5 * (al @ al + 2 * np.log(np.diag(L)).sum()
                      + 80 * np.log(2 * np.pi))
         assert abs(nll - ref) < 1e-5
+
+
+class TestNegativeBinomialGrouped:
+    """R:2827-2875 (negative binomial regression)."""
+
+    def _y(self, f):
+        from scipy.stats import nbinom
+        mu = np.exp(f["Z1b"])
+        shape = 1.8
+        p = shape / (shape + mu)
+        return nbinom.ppf(sim_rand_unif(f["n"], 0.156), n=shape, p=p)
+
+    def test_fit(self, ng):
+        y = self._y(ng)
+        m = GPModel(group_data=ng["group"], likelihood="negative_binomial")
+        m.fit(y=y, params={"optimizer_cov": "gradient_descent",
+                           "use_nesterov_acc": True, "lr_cov": 0.1,
+                           "estimate_aux_pars": True, "init_aux_pars": 1.0})
+        np.testing.assert_allclose(m.get_cov_pars(), [0.3356339], rtol=5e-2)
+        np.testing.assert_allclose(m.get_aux_pars(), [1.735066], rtol=2e-1)
+
+    def test_predict_at_reference_pars(self, ng):
+        y = self._y(ng)
+        m = GPModel(group_data=ng["group"], likelihood="negative_binomial")
+        m.aux_pars_ = np.array([1.735066])
+        group_test = np.array([1, 3, 3, 9999])
+        pred = m.predict(y=y, group_data_pred=group_test,
+                         cov_pars=[0.33563392], predict_cov_mat=True,
+                         predict_response=False)
+        expected_mu = np.array([0.1856629, -0.4022728, -0.4022728, 0.0])
+        expected_cov_diag = np.array([0.09849537, 0.13548864, 0.13548864,
+                                      0.33563392])
+        # NB: the reference's quoted predictions used its (unpublished)
+        # GD-fit aux parameter; 1.735066 is its nelder-mead estimate, hence
+        # the slightly loose tolerance here
+        assert np.sum(np.abs(pred["mu"] - expected_mu)) < 2e-2
+        assert np.sum(np.abs(np.diag(pred["cov"]) - expected_cov_diag)) < 5e-3
+        pred_r = m.predict(y=y, group_data_pred=group_test,
+                           cov_pars=[0.33563392], predict_var=True,
+                           predict_response=True)
+        expected_mu_r = np.array([1.2647957, 0.7156755, 0.7156755, 1.18272011])
+        expected_var_r = np.array([2.508242, 1.148106, 1.148106, 2.935353])
+        assert np.sum(np.abs(pred_r["mu"] - expected_mu_r)) < 2e-2
+        assert np.sum(np.abs(pred_r["var"] - expected_var_r)) < 5e-2
+
+
+class TestStudentT:
+    def test_t_likelihood_robust_fit(self, ng):
+        """t likelihood handles outliers (non-log-concave W safeguard)."""
+        rng = np.random.default_rng(0)
+        y = ng["Z1b"] + 0.3 * rng.standard_normal(ng["n"])
+        y[::17] += 8.0  # gross outliers
+        m = GPModel(group_data=ng["group"], likelihood="t")
+        m.fit(y=y, params={"optimizer_cov": "lbfgs", "init_cov_pars": [1.0],
+                           "init_aux_pars": [0.5, 4.0],
+                           "estimate_aux_pars": False})
+        assert np.all(np.isfinite(m.get_cov_pars()))
+        # posterior means should track the group effects despite outliers
+        pred = m.predict(y=y, group_data_pred=ng["group"][:20],
+                         predict_response=False)
+        b_true = ng["Z1b"][:20]
+        assert np.corrcoef(pred["mu"], b_true)[0, 1] > 0.8
