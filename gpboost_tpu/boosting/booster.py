@@ -115,6 +115,8 @@ class Booster:
         self.use_gp_model_for_validation = bool(
             p.get("use_gp_model_for_validation", True))
         self.leaves_newton_update = bool(p.get("leaves_newton_update", False))
+        self.line_search_step_length = bool(
+            p.get("line_search_step_length", False))
         self._rng = np.random.default_rng(int(p.get("seed", 0)))
 
         self.trees: List[Tree] = []
@@ -351,6 +353,8 @@ class Booster:
                     and isinstance(self.objective, GPBoostObjective)
                     and self.gp_model.spec.is_gaussian):
                 self._newton_update_leaves(tree, row_leaf)
+            if self.line_search_step_length:
+                self._line_search_scale(tree)
             if self.boosting_type == "dart":
                 k = len(dart_drop)
                 shrink = (self.learning_rate / (1.0 + k)
@@ -393,6 +397,48 @@ class Booster:
             self._dart_normalize(dart_drop)
             # weight bookkeeping for the new tree happened at shrinkage time
         return False
+
+    def _line_search_scale(self, tree: Tree):
+        """Optimal step length for the new tree (``LineSearchLearningRate``,
+        gbdt.cpp:475-485): scale leaf values by argmin_a loss(F + a * t(x)).
+        Golden-section search on the training objective."""
+        import math
+        vals = self._tree_train_pred(tree)
+        n = self.train_set.num_data
+        base = self._score[:n]
+
+        def loss(alpha):
+            score = base + alpha * vals
+            if isinstance(self.objective, GPBoostObjective):
+                gp = self.gp_model
+                if gp.spec.is_gaussian:
+                    resid = self.train_set.label - score
+                    return gp.neg_log_likelihood(
+                        cov_pars=gp.cov_pars_, y=resid)
+                return gp.neg_log_likelihood(
+                    cov_pars=gp.cov_pars_, y=self.train_set.label,
+                    fixed_effects=score)
+            g, h = self.objective.get_gradients(score)
+            # quadratic surrogate not available generically; use L2-type loss
+            return float(np.sum(g * g))
+
+        lo, hi = 0.0, 10.0
+        invphi = (math.sqrt(5.0) - 1) / 2
+        c = hi - invphi * (hi - lo)
+        d = lo + invphi * (hi - lo)
+        fc, fd = loss(c), loss(d)
+        for _ in range(20):
+            if fc < fd:
+                hi, d, fd = d, c, fc
+                c = hi - invphi * (hi - lo)
+                fc = loss(c)
+            else:
+                lo, c, fc = c, d, fd
+                d = lo + invphi * (hi - lo)
+                fd = loss(d)
+        alpha = 0.5 * (lo + hi)
+        tree.leaf_value = tree.leaf_value * alpha
+        tree.shrinkage *= alpha
 
     def _newton_update_leaves(self, tree: Tree, row_leaf):
         """Leaf re-solve a = (H' Psi^-1 H)^-1 H' Psi^-1 r

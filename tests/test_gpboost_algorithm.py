@@ -172,3 +172,22 @@ class TestLaGaBoost:
         assert p.min() >= 0 and p.max() <= 1
         acc = np.mean((p > 0.5) == yb)
         assert acc > 0.7
+
+
+def test_line_search_step_length(combined_data):
+    """line_search_step_length converges faster at small fixed lr
+    (gbdt.cpp:475-485)."""
+    d = combined_data
+    def run(ls):
+        gp_model = GPModel(group_data=d["group_train"][:, 0])
+        ds = gpb.Dataset(d["X_train"], label=d["y_train"])
+        bst = gpb.train({"learning_rate": 0.05, "max_depth": 4,
+                         "objective": "regression",
+                         "line_search_step_length": ls, "verbose": -1},
+                        ds, num_boost_round=15, gp_model=gp_model)
+        pred = bst.predict(d["X_test"], group_data_pred=d["group_test"][:, 0],
+                           pred_latent=True)
+        return np.sqrt(np.mean((pred["fixed_effect"] - d["f_test"]) ** 2))
+    rmse_ls = run(True)
+    rmse_plain = run(False)
+    assert rmse_ls < rmse_plain
