@@ -45,7 +45,8 @@ ARD_TYPES = frozenset({"matern_ard", "gaussian_ard"})
 SPACE_TIME_TYPES = frozenset({"matern_space_time", "exponential_space_time"})
 SUPPORTED_COV_TYPES = frozenset(
     ISOTROPIC_TYPES | ARD_TYPES | SPACE_TIME_TYPES
-    | {"matern_estimate_shape", "matern_ard_estimate_shape", "linear"}
+    | {"matern_estimate_shape", "matern_ard_estimate_shape", "linear",
+       "space_time_gneiting", "hurst"}
 )
 
 
@@ -313,6 +314,10 @@ class CovFunction:
             return 3
         if t == "matern_ard_estimate_shape":
             return 2 + self.dim_coords
+        if t == "hurst":
+            return 2  # [sigma2, H]
+        if t == "space_time_gneiting":
+            return 7  # [sigma2, a_t, c_s, alpha, nu, beta, delta]
         return 2  # [sigma2, range]
 
     @property
@@ -392,6 +397,37 @@ class CovFunction:
             nu = float(pars[2]) if not isinstance(pars, jnp.ndarray) else None
             raise NotImplementedError(
                 "matern_estimate_shape: pass shape via CovFunction.shape for now")
+        if t == "hurst":
+            # fractional-Brownian-motion covariance (cov_fcts.h HurstCovariance):
+            # C(x, y) = sigma2/2 (|x|^2H + |y|^2H - |x-y|^2H); NOT stationary,
+            # variance not on the diagonal
+            H = pars[1]
+            c2 = coords1 if coords2 is None else coords2
+            nx = jnp.sum(coords1 * coords1, axis=-1)
+            ny = jnp.sum(c2 * c2, axis=-1)
+            dxy = euclidean_distance(coords1, c2) ** 2
+            return (pars[0] / 2.0) * (
+                jnp.power(jnp.maximum(nx[:, None], 1e-300), H)
+                + jnp.power(jnp.maximum(ny[None, :], 1e-300), H)
+                - jnp.power(jnp.maximum(dxy, 1e-300), H)
+                * jnp.where(dxy > 0, 1.0, 0.0))
+        if t == "space_time_gneiting":
+            # Gneiting (2002) non-separable space-time covariance
+            # (cov_fcts.h SpaceTimeGneitingCovariance_vec); coords[:, 0] is
+            # time. pars = [sigma2, a_t, c_s, alpha, nu, beta, delta].
+            c2 = coords1 if coords2 is None else coords2
+            dt = jnp.abs(coords1[:, 0][:, None] - c2[:, 0][None, :])
+            ds = euclidean_distance(coords1[:, 1:], c2[:, 1:])
+            dim_space = coords1.shape[1] - 1
+            a_t, c_s, alpha, nu, beta, delta = (pars[1], pars[2], pars[3],
+                                                pars[4], pars[5], pars[6])
+            d_aux_time = a_t * jnp.power(jnp.maximum(dt, 1e-300),
+                                         2.0 * alpha) * jnp.where(
+                dt > 0, 1.0, 0.0) + 1.0
+            d_aux = c_s * ds / jnp.power(d_aux_time, beta / 2.0)
+            d_aux2 = pars[0] / jnp.power(d_aux_time,
+                                         delta + beta * dim_space / 2.0)
+            return d_aux2 * _matern_correlation(d_aux, float(self.shape))
         # coordinate-based (ARD / space-time)
         cs1 = self.scale_coords(coords1, pars)
         cs2 = cs1 if coords2 is coords1 else self.scale_coords(coords2, pars)

@@ -142,3 +142,38 @@ class TestGaussianCov:
         ref = 0.5 * (al @ al + 2 * np.log(np.diag(L)).sum()
                      + f["n"] * np.log(2 * np.pi))
         assert abs(nll - ref) < 1e-8
+
+
+class TestHurstGneiting:
+    def test_hurst_matches_formula(self):
+        rng = np.random.default_rng(0)
+        import jax.numpy as jnp
+        from gpboost_tpu.ops.cov_fns import CovFunction
+        c = rng.uniform(0.1, 1, size=(20, 1))
+        cf = CovFunction.create("hurst", dim_coords=1)
+        K = np.asarray(cf.cov_matrix(jnp.asarray([1.3, 0.7]),
+                                     coords1=jnp.asarray(c),
+                                     coords2=jnp.asarray(c)))
+        H = 0.7
+        ref = 0.65 * (np.abs(c) ** (2 * H) + np.abs(c.T) ** (2 * H)
+                      - np.abs(c - c.T) ** (2 * H))
+        np.testing.assert_allclose(K, ref, atol=1e-10)
+
+    def test_gneiting_matches_formula(self):
+        rng = np.random.default_rng(0)
+        import jax.numpy as jnp
+        from gpboost_tpu.ops.cov_fns import CovFunction
+        ct = np.column_stack([rng.uniform(size=15),
+                              rng.uniform(size=(15, 2))])
+        cf = CovFunction.create("space_time_gneiting", shape=0.5,
+                                dim_coords=3)
+        pars = np.array([1.2, 0.8, 2.0, 0.9, 0.5, 0.7, 0.3])
+        K = np.asarray(cf.cov_matrix(jnp.asarray(pars),
+                                     coords1=jnp.asarray(ct),
+                                     coords2=jnp.asarray(ct)))
+        dt = np.abs(ct[:, 0][:, None] - ct[:, 0][None, :])
+        ds = np.sqrt(((ct[:, 1:][:, None] - ct[:, 1:][None, :]) ** 2).sum(-1))
+        dat = 0.8 * dt ** (2 * 0.9) + 1
+        da = 2.0 * ds / dat ** (0.7 / 2)
+        da2 = 1.2 / dat ** (0.3 + 0.7 * 2 / 2)
+        np.testing.assert_allclose(K, da2 * np.exp(-da), atol=1e-7)
