@@ -160,6 +160,25 @@ class GPModel:
             and self.data.cluster_codes is None)
 
     # ------------------------------------------------------------------
+    def set_likelihood(self, likelihood: str):
+        """Switch the response likelihood (``GPModel.set_likelihood``; the R
+        tests switch e.g. gamma -> gaussian before fitting)."""
+        new_lik = _canonical_likelihood(likelihood)
+        if new_lik == self.likelihood:
+            return self
+        self.likelihood = new_lik
+        self.spec = ModelSpec(components=self.spec.components,
+                              likelihood=new_lik,
+                              num_data=self.spec.num_data)
+        if self._approx is not None:
+            self._approx.likelihood = new_lik
+        self.optim_cfg.optimizer_cov = ("gradient_descent"
+                                        if self.spec.is_gaussian else "lbfgs")
+        self.num_cov_pars = self.spec.num_cov_par
+        self.cov_pars_ = None
+        self.aux_pars_ = None
+        return self
+
     def set_optim_params(self, params: Optional[dict] = None):
         """Set optimization parameters (``basic.py:5347``)."""
         if not params:
