@@ -20,9 +20,10 @@ import numpy as np
 from gpboost_tpu.boosting import metrics as metrics_mod
 from gpboost_tpu.boosting.dataset import Dataset
 from gpboost_tpu.boosting.objectives import GPBoostObjective, create_objective
-from gpboost_tpu.boosting.tree import (GrowerParams, Tree, grow_tree,
-                                       predict_tree_binned,
+from gpboost_tpu.boosting.tree import (GrowerParams, Tree, fit_linear_leaves,
+                                       grow_tree, predict_tree_binned,
                                        predict_tree_binned_mixed,
+                                       predict_tree_linear,
                                        predict_tree_mixed, predict_tree_raw)
 
 
@@ -117,6 +118,8 @@ class Booster:
         self.leaves_newton_update = bool(p.get("leaves_newton_update", False))
         self.line_search_step_length = bool(
             p.get("line_search_step_length", False))
+        self.linear_tree = bool(p.get("linear_tree", False))
+        self.linear_lambda = float(p.get("linear_lambda", 0.0))
         self._rng = np.random.default_rng(int(p.get("seed", 0)))
 
         self.trees: List[Tree] = []
@@ -174,6 +177,11 @@ class Booster:
                 and bool(np.any(tree.is_categorical)))
 
     def _tree_train_pred(self, tree: Tree) -> np.ndarray:
+        if tree.lin_features is not None:
+            vals, _ = self._tree_raw_pred(
+                tree, jnp.asarray(self.train_set.raw_data),
+                jnp.asarray(self._cat_bins_matrix(self.train_set.raw_data)))
+            return np.asarray(vals)
         if self._tree_has_cat(tree):
             vals, _ = predict_tree_binned_mixed(
                 self.train_set.binned, jnp.asarray(tree.split_feature),
@@ -204,6 +212,19 @@ class Booster:
         return out
 
     def _tree_raw_pred(self, tree: Tree, Xj, cat_bins_j):
+        if tree.lin_features is not None:
+            M = len(tree.is_leaf)
+            B = (tree.cat_mask.shape[1] if tree.cat_mask is not None else 1)
+            return predict_tree_linear(
+                Xj, cat_bins_j, jnp.asarray(tree.split_feature),
+                jnp.asarray(tree.threshold),
+                jnp.asarray(tree.is_categorical if tree.is_categorical
+                            is not None else np.zeros(M, bool)),
+                jnp.asarray(tree.cat_mask if tree.cat_mask is not None
+                            else np.zeros((M, 1), bool)),
+                jnp.asarray(tree.left), jnp.asarray(tree.right),
+                tree.max_depth_used + 1, jnp.asarray(tree.leaf_value),
+                jnp.asarray(tree.lin_features), jnp.asarray(tree.lin_coefs))
         if self._tree_has_cat(tree):
             return predict_tree_mixed(
                 Xj, cat_bins_j, jnp.asarray(tree.split_feature),
@@ -348,6 +369,9 @@ class Booster:
                     continue
                 tree.threshold[node] = ds.threshold_value(
                     int(tree.split_feature[node]), int(tree.threshold_bin[node]))
+            if self.linear_tree:
+                fit_linear_leaves(tree, ds.raw_data, np.asarray(row_leaf),
+                                  g, h, self.linear_lambda)
             # GPBoost Newton leaf re-solve (gbdt.cpp:463-473)
             if (self.leaves_newton_update
                     and isinstance(self.objective, GPBoostObjective)

@@ -195,6 +195,9 @@ class Tree:
     node_count: np.ndarray = None  # [M] float64 training cover (for SHAP)
     is_categorical: np.ndarray = None  # [M] bool categorical split marker
     cat_mask: np.ndarray = None        # [M, B] bool left-set membership
+    # linear-tree leaf models (reference treelearner/linear_tree_learner.cpp):
+    lin_features: np.ndarray = None    # [M, K] int32 feature ids (-1 pad)
+    lin_coefs: np.ndarray = None       # [M, K] float64 coefficients
     num_leaves: int = 0
     max_depth_used: int = 1
     shrinkage: float = 1.0
@@ -213,6 +216,10 @@ class Tree:
                                else self.is_categorical.tolist()),
             "cat_mask": (None if self.cat_mask is None
                          else self.cat_mask.astype(int).tolist()),
+            "lin_features": (None if self.lin_features is None
+                             else self.lin_features.tolist()),
+            "lin_coefs": (None if self.lin_coefs is None
+                          else self.lin_coefs.tolist()),
             "num_leaves": self.num_leaves,
             "max_depth_used": self.max_depth_used,
             "shrinkage": self.shrinkage,
@@ -234,12 +241,18 @@ class Tree:
                             else np.asarray(d["is_categorical"], bool)),
             cat_mask=(None if d.get("cat_mask") is None
                       else np.asarray(d["cat_mask"], bool)),
+            lin_features=(None if d.get("lin_features") is None
+                          else np.asarray(d["lin_features"], np.int32)),
+            lin_coefs=(None if d.get("lin_coefs") is None
+                       else np.asarray(d["lin_coefs"], np.float64)),
             num_leaves=int(d["num_leaves"]),
             max_depth_used=int(d["max_depth_used"]),
             shrinkage=float(d.get("shrinkage", 1.0)))
 
     def add_shrinkage(self, rate: float):
         self.leaf_value = self.leaf_value * rate
+        if self.lin_coefs is not None:
+            self.lin_coefs = self.lin_coefs * rate
         self.shrinkage *= rate
 
     def set_leaf_values(self, values: np.ndarray):
@@ -517,3 +530,97 @@ def predict_tree_binned_mixed(binned, feature, threshold_bin, is_cat,
 
     node = jax.lax.fori_loop(0, max_depth, step, node)
     return leaf_value[node], node
+
+
+def fit_linear_leaves(tree: Tree, X: np.ndarray, row_leaf: np.ndarray,
+                      grad: np.ndarray, hess: np.ndarray,
+                      linear_lambda: float = 0.0):
+    """Fit ridge linear models in the leaves (reference
+    ``LinearTreeLearner``): per leaf, minimize
+    sum_i [g_i v(x_i) + 1/2 h_i v(x_i)^2] over v(x) = c + w'x_path.
+
+    Features used: the split features on the root-to-leaf path. Mutates the
+    tree in place (leaf_value holds the constant, lin_* the linear parts).
+    """
+    M = len(tree.is_leaf)
+    # path features per leaf
+    parents = {}
+    for node in range(M):
+        if not tree.is_leaf[node]:
+            parents[tree.left[node]] = node
+            parents[tree.right[node]] = node
+    leaf_nodes = np.flatnonzero(tree.is_leaf)
+    max_k = 0
+    path_feats = {}
+    for leaf in leaf_nodes:
+        feats = []
+        node = leaf
+        while node in parents:
+            node = parents[node]
+            f = int(tree.split_feature[node])
+            if (tree.is_categorical is None
+                    or not tree.is_categorical[node]) and f not in feats:
+                feats.append(f)
+        path_feats[leaf] = feats
+        max_k = max(max_k, len(feats))
+    if max_k == 0:
+        return tree
+    lin_features = np.full((M, max_k), -1, dtype=np.int32)
+    lin_coefs = np.zeros((M, max_k), dtype=np.float64)
+    rl = np.asarray(row_leaf)
+    for leaf in leaf_nodes:
+        feats = path_feats[leaf]
+        rows = np.flatnonzero(rl == leaf)
+        if len(feats) == 0 or len(rows) < len(feats) + 2:
+            continue
+        Xl = X[np.ix_(rows, feats)]
+        # standardize for conditioning
+        mu = Xl.mean(axis=0)
+        sd = Xl.std(axis=0) + 1e-12
+        Xs = np.column_stack([np.ones(len(rows)), (Xl - mu) / sd])
+        h = hess[rows]
+        g = grad[rows]
+        A = Xs.T @ (Xs * h[:, None]) + (linear_lambda + 1e-6) * np.eye(
+            Xs.shape[1])
+        b = -Xs.T @ g
+        try:
+            beta = np.linalg.solve(A, b)
+        except np.linalg.LinAlgError:
+            continue
+        coefs = beta[1:] / sd
+        const = beta[0] - np.dot(coefs, mu)
+        lin_features[leaf, :len(feats)] = feats
+        lin_coefs[leaf, :len(feats)] = coefs
+        tree.leaf_value[leaf] = const
+    tree.lin_features = lin_features
+    tree.lin_coefs = lin_coefs
+    return tree
+
+
+@partial(jax.jit, static_argnums=(8,))
+def predict_tree_linear(X_num, cat_bins, feature, threshold, is_cat, cat_mask,
+                        left, right, max_depth: int, leaf_value,
+                        lin_features, lin_coefs):
+    """Traverse + evaluate linear leaf models."""
+    n = X_num.shape[0]
+    node = jnp.zeros(n, dtype=jnp.int32)
+    rows = jnp.arange(n)
+
+    def step(_, node):
+        f = feature[node]
+        num_left = X_num[rows, f] <= threshold[node]
+        cat_left = cat_mask[node, cat_bins[rows, f]]
+        go_left = jnp.where(is_cat[node], cat_left, num_left)
+        return jnp.where(go_left, left[node], right[node])
+
+    node = jax.lax.fori_loop(0, max_depth, step, node)
+    vals = leaf_value[node]
+    K = lin_features.shape[1]
+    for k in range(K):
+        f = lin_features[node, k]
+        contrib = jnp.where(f >= 0,
+                            lin_coefs[node, k] * X_num[rows,
+                                                       jnp.maximum(f, 0)],
+                            0.0)
+        vals = vals + contrib
+    return vals, node

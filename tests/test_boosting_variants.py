@@ -161,3 +161,25 @@ def test_lambdarank_and_ndcg():
     est = gpb.GPBoostRanker(n_estimators=10)
     est.fit(Xr, rel, group=group)
     assert ndcg_at_k(rel, est.predict(Xr), group) > 0.85
+
+
+def test_linear_tree():
+    """Linear leaf models (reference LinearTreeLearner) beat constant leaves
+    on piecewise-linear targets."""
+    rng = np.random.default_rng(0)
+    n = 2000
+    X = rng.uniform(size=(n, 4))
+    y = np.where(X[:, 0] > 0.5, 3 * X[:, 1] + 1, -2 * X[:, 1]) \
+        + 0.05 * rng.standard_normal(n)
+    ds = gpb.Dataset(X, label=y)
+    common = {"objective": "regression", "num_leaves": 7,
+              "learning_rate": 0.5, "verbose": -1}
+    b_plain = gpb.train(common, ds, num_boost_round=30)
+    b_lin = gpb.train({**common, "linear_tree": True}, ds,
+                      num_boost_round=30)
+    mse_p = np.mean((b_plain.predict(X) - y) ** 2)
+    mse_l = np.mean((b_lin.predict(X) - y) ** 2)
+    assert mse_l < 0.6 * mse_p
+    # round trip with linear leaves
+    b2 = gpb.Booster(model_str=b_lin.model_to_string())
+    np.testing.assert_allclose(b2.predict(X), b_lin.predict(X))
