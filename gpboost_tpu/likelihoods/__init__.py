@@ -342,3 +342,17 @@ _register(LikelihoodFamily(
     "zero_censored_power_transformed_normal", 2, ("sigma", "lambda"), _ll_zctn,
     response_mean=lambda loc, aux: loc,
     default_aux=(1.0, 1.0)))
+
+
+def _ll_het_single(y, loc, aux):
+    # gaussian_heteroscedastic is a TWO-location family (mean + log-variance,
+    # num_sets_re_=2); the real machinery lives in models/heteroscedastic.py.
+    # This registry entry only provides metadata for generic code paths.
+    raise NotImplementedError(
+        "gaussian_heteroscedastic uses the two-set engine "
+        "(gpboost_tpu.models.heteroscedastic), not the single-location API")
+
+
+_register(LikelihoodFamily(
+    "gaussian_heteroscedastic", 0, (), _ll_het_single,
+    response_mean=lambda loc, aux: loc))

@@ -28,6 +28,7 @@ SUPPORTED_LIKELIHOODS = (
     "gaussian", "bernoulli_probit", "bernoulli_logit", "binary", "binary_probit",
     "binomial_probit", "binomial_logit", "poisson", "gamma", "negative_binomial",
     "negative_binomial_1", "beta", "t", "t_fix_df", "lognormal",
+    "gaussian_heteroscedastic",
 )
 
 
@@ -144,13 +145,22 @@ class GPModel:
         if num_data is None:
             raise ValueError("Either group_data or gp_coords must be provided")
         self.num_data = num_data
+        # gaussian_heteroscedastic: two latent sets (mean + log-variance),
+        # each with its own covariance parameters (reference num_sets_re_=2,
+        # likelihoods.h:258-268; only fisher_laplace is defined for it)
+        self.num_sets_re = 2 if self.likelihood == "gaussian_heteroscedastic" else 1
+        if self.num_sets_re == 2 and self.gp_approx not in (
+                "vecchia",):
+            raise NotImplementedError(
+                "likelihood='gaussian_heteroscedastic' currently requires "
+                "gp_approx='vecchia' (like the reference's test coverage)")
         self.spec = ModelSpec(components=tuple(components),
                               likelihood=self.likelihood, num_data=num_data)
         self.data = data
         self.optim_cfg = optimizers.OptimConfig()
         if not self.spec.is_gaussian:
             self.optim_cfg.optimizer_cov = "lbfgs"
-        self.num_cov_pars = self.spec.num_cov_par
+        self.num_cov_pars = self.spec.num_cov_par * self.num_sets_re
         # Woodbury fast path: grouped-REs-only models never build an [n, n]
         # covariance — everything runs in the q-dim random-effects space
         # (reference use_woodbury_identity_)
@@ -158,6 +168,21 @@ class GPModel:
             len(self.spec.components) > 0
             and all(isinstance(c, GroupedRESpec) for c in self.spec.components)
             and self.data.cluster_codes is None)
+
+    # ------------------------------------------------------------------
+    def set_prediction_data(self, vecchia_pred_type=None,
+                            num_neighbors_pred=None, nsim_var_pred=None,
+                            cg_delta_conv_pred=None, **kwargs):
+        """Prediction-time settings (``GPModel.set_prediction_data``,
+        ``basic.py``). ``vecchia_pred_type`` variants conditioning on all
+        observations are realized by raising ``num_neighbors_pred``;
+        predictive variances are computed exactly (no simulation), so
+        ``nsim_var_pred`` is accepted but unused."""
+        self.vecchia_pred_type = vecchia_pred_type
+        if num_neighbors_pred is not None and self._approx is not None:
+            self._approx.num_neighbors_pred = min(int(num_neighbors_pred),
+                                                  self.num_data)
+        return self
 
     # ------------------------------------------------------------------
     def set_likelihood(self, likelihood: str):
@@ -207,6 +232,10 @@ class GPModel:
                 cfg.init_cov_pars = np.asarray(v, dtype=np.float64)
             elif k == "init_coef":
                 cfg.init_coef = np.asarray(v, dtype=np.float64)
+                # init_coef also becomes the current coefficient state used
+                # by predict() (reference: set_optim_params then predict uses
+                # the new coefficients without re-fitting)
+                self.coefs_ = cfg.init_coef
             elif k == "init_aux_pars":
                 self.aux_pars_ = np.atleast_1d(
                     np.asarray(v, dtype=np.float64))
@@ -343,7 +372,12 @@ class GPModel:
                     mean_dist = float(d[np.triu_indices(m, 1)].mean())
                     for _ in range(extra):
                         pars.append(mean_dist / 3.0)
-        return np.asarray(pars, dtype=np.float64)
+        out = np.asarray(pars, dtype=np.float64)
+        if self.num_sets_re == 2:
+            # additional sets start from the same values
+            # (re_model_template.h:4486-4503)
+            out = np.concatenate([out, out])
+        return out
 
     def fit(self, y, X=None, params=None, offset=None, fixed_effects=None):
         """Estimate covariance (and regression) parameters
@@ -664,6 +698,34 @@ class GPModel:
                 fixed_effects, dtype=self.dtype)
             fep = None if fixed_effects_pred is None else jnp.asarray(
                 fixed_effects_pred, dtype=self.dtype)
+            if self.num_sets_re == 2:
+                cp = np.asarray(gp_coords_pred, dtype=np.float64)
+                if cp.ndim == 1:
+                    cp = cp[:, None]
+                n_p = cp.shape[0]
+                if beta is not None and self.data.X is not None:
+                    p = self.data.X.shape[1]
+                    b1, b2 = beta[:p], beta[p:]
+                    fe_s = jnp.concatenate([self.data.X @ b1,
+                                            self.data.X @ b2])
+                    if fe is not None:
+                        fe_s = fe_s.at[:self.num_data].add(fe)
+                    Xp = (jnp.asarray(np.asarray(X_pred, np.float64),
+                                      dtype=self.dtype)
+                          if X_pred is not None else jnp.zeros(
+                              (n_p, p), self.dtype))
+                    fep_s = jnp.concatenate([Xp @ b1, Xp @ b2])
+                else:
+                    fe_s = fe if fe is None else jnp.concatenate(
+                        [fe, jnp.zeros_like(fe)])
+                    fep_s = None
+                mean, var = self._approx.predict_het(
+                    cov_pars_arr, y_arr, cp, fe_s, fep_s,
+                    bool(predict_response),
+                    bool(predict_var or predict_cov_mat))
+                return {"mu": np.asarray(mean),
+                        "var": None if var is None else np.asarray(var),
+                        "cov": None}
             if beta is not None:
                 xb = self.data.X @ beta if self.data.X is not None else None
                 if X_pred is not None:

@@ -87,6 +87,7 @@ def fit(model, data, fixed_effects: Optional[jnp.ndarray] = None):
 
     # non-Gaussian Vecchia-Laplace
     fam = lk.get_family(model.likelihood)
+    is_het = model.likelihood == "gaussian_heteroscedastic"
     if getattr(model, "aux_pars_", None) is not None:
         init_aux = np.atleast_1d(np.asarray(model.aux_pars_))
     else:
@@ -95,9 +96,20 @@ def fit(model, data, fixed_effects: Optional[jnp.ndarray] = None):
     n_aux = len(init_aux) if (init_aux is not None and estimate_aux) else 0
     aux_fixed = (None if init_aux is None
                  else jnp.asarray(init_aux, dtype=jnp.float64))
-    n_coef = data.X.shape[1] if has_coef else 0
-    init_beta = (cfg.init_coef if (has_coef and cfg.init_coef is not None)
-                 else np.zeros(n_coef))
+    num_sets = getattr(model, "num_sets_re", 1)
+    n_coef = (data.X.shape[1] if has_coef else 0) * num_sets
+    if has_coef and cfg.init_coef is not None:
+        init_beta = cfg.init_coef
+    elif is_het and has_coef:
+        # per-set intercept inits (FindInitialIntercept, likelihoods.h:818-867):
+        # set 0 = mean(y); set 1 = log(var(y) - set-0 RE variance)
+        p = data.X.shape[1]
+        init_beta = np.zeros(n_coef)
+        init_beta[0] = float(np.mean(y_np))
+        sample_var = float(np.var(y_np, ddof=1))
+        init_beta[p] = np.log(max(sample_var - float(init_cov[0]), 1e-6))
+    else:
+        init_beta = np.zeros(n_coef)
 
     theta0 = np.concatenate([
         np.log(np.maximum(np.asarray(init_cov, np.float64), 1e-300)),
@@ -118,6 +130,17 @@ def fit(model, data, fixed_effects: Optional[jnp.ndarray] = None):
     def nll_fn(theta):
         cov, aux, beta = unpack(theta)
         fp = fixed_effects
+        if is_het:
+            # stacked [2n] fixed part: set-0 then set-1 linear predictors
+            if beta is not None:
+                p = data.X.shape[1]
+                fp_s = jnp.concatenate([data.X @ beta[:p], data.X @ beta[p:]])
+            else:
+                fp_s = jnp.zeros(2 * y.shape[0], y.dtype)
+            if fp is not None:
+                fp_s = (fp_s + fp if fp.shape[0] == fp_s.shape[0]
+                        else fp_s.at[:y.shape[0]].add(fp))
+            return vec.nll_laplace(cov, y, aux, fp_s)
         if beta is not None:
             xb = data.X @ beta
             fp = xb if fp is None else fp + xb

@@ -208,6 +208,83 @@ class VecchiaGP:
         return vops.build_factors(self.cov_fn, cov_pars, self.coords_perm,
                                   self.neighbors, None, False)
 
+    def _split_het(self, cov_pars):
+        """Split a two-set parameter vector (``gaussian_heteroscedastic``:
+        cov_pars = [set-0 pars..., set-1 pars...], reference num_sets_re_=2)."""
+        k = self.cov_fn.num_cov_par
+        return cov_pars[:k], cov_pars[k:]
+
+    def _het_fixed_parts(self, fixed_part):
+        """Stacked [2n] fixed effects -> per-set permuted (F1, F2)."""
+        if fixed_part is None:
+            z = jnp.zeros(self.n, self.dtype)
+            return z, z
+        return fixed_part[:self.n][self.perm], fixed_part[self.n:][self.perm]
+
+    def nll_het(self, cov_pars, y, fixed_part=None):
+        """Fisher-Laplace NLL for ``gaussian_heteroscedastic`` (two latent
+        sets with independent Vecchia-approximated priors)."""
+        from gpboost_tpu.models import heteroscedastic as het
+        p1, p2 = self._split_het(cov_pars)
+        Q1, d1 = self._dense_precision(p1)
+        Q2, d2 = self._dense_precision(p2)
+        yp = y[self.perm]
+        F1, F2 = self._het_fixed_parts(fixed_part)
+        return het.nll(Q1, Q2, -jnp.sum(jnp.log(d1)), -jnp.sum(jnp.log(d2)),
+                       yp, F1, F2)
+
+    def predict_het(self, cov_pars, y, coords_pred, fixed_part=None,
+                    fixed_part_pred=None, predict_response=True,
+                    predict_var=False):
+        """Prediction for ``gaussian_heteroscedastic``.
+
+        Latent outputs are the set-0 (mean) GP; response variance adds the
+        expected noise variance E[exp(loc2)] = exp(mu2 + var2/2)
+        (reference ``likelihoods.h:7660-7667``).
+        """
+        from gpboost_tpu.models import heteroscedastic as het
+        p1, p2 = self._split_het(cov_pars)
+        Q1, _ = self._dense_precision(p1)
+        Q2, _ = self._dense_precision(p2)
+        yp = y[self.perm]
+        F1, F2 = self._het_fixed_parts(fixed_part)
+        (b1, w1), (b2, w2) = het.posterior_sets(Q1, Q2, yp, F1, F2)
+        cp = jnp.asarray(coords_pred, self.dtype)
+        n_p = cp.shape[0]
+        F1p = (jnp.zeros(n_p, self.dtype) if fixed_part_pred is None
+               else fixed_part_pred[:n_p])
+        F2p = (jnp.zeros(n_p, self.dtype) if fixed_part_pred is None
+               else fixed_part_pred[n_p:])
+        mu1, var1 = self._posterior_set_pred(p1, Q1, b1, w1, cp)
+        mu2, var2 = self._posterior_set_pred(p2, Q2, b2, w2, cp)
+        mu1 = mu1 + F1p
+        mu2 = mu2 + F2p
+        if predict_response:
+            var_resp = var1 + jnp.exp(mu2 + 0.5 * var2)
+            return mu1, (var_resp if predict_var else None)
+        return mu1, (var1 if predict_var else None)
+
+    def _posterior_set_pred(self, cov_pars_k, Q, b_perm, w_perm, coords_pred):
+        """Posterior latent mean/var of one set at prediction points:
+        mean = local kriging on the mode; var = prior - c_po (Sigma+W^-1)^-1
+        c_op with (Sigma+W^-1)^-1 = W (Q+W)^-1 Q."""
+        b_orig = b_perm[self.inv_perm]
+        nb_pred = vops.find_neighbors_cross(coords_pred, self.coords,
+                                            self.num_neighbors_pred)
+        mean, _ = vops.predict_vecchia_response(
+            self.cov_fn, cov_pars_k, 0.0, self.coords, coords_pred, nb_pred,
+            b_orig, False)
+        M = Q + jnp.diag(w_perm)
+        d_cross = jnp.sqrt(jnp.maximum(
+            jnp.sum((coords_pred[:, None, :]
+                     - self.coords_perm[None, :, :]) ** 2, -1), 0.0))
+        c_po = self.cov_fn.cov_matrix(cov_pars_k, dist=d_cross)
+        z = jnp.linalg.solve(M, Q @ c_po.T)
+        quad = jnp.einsum('pn,n,np->p', c_po, w_perm, z)
+        prior_var = cov_pars_k[0] * jnp.ones(coords_pred.shape[0], self.dtype)
+        var = jnp.maximum(prior_var - quad, 1e-12)
+        return mean, var
+
     def nll_laplace(self, cov_pars: jnp.ndarray, y: jnp.ndarray,
                     aux_pars, fixed_part=None) -> jnp.ndarray:
         """Laplace-approximate NLL with the Vecchia latent precision
@@ -217,6 +294,8 @@ class VecchiaGP:
         Dense logdet/solve path (exact); the CG + stochastic-trace path is the
         iterative upgrade (matrix_inversion_method='iterative').
         """
+        if self.likelihood == "gaussian_heteroscedastic":
+            return self.nll_het(cov_pars, y, fixed_part)
         from gpboost_tpu import likelihoods as lk
         from gpboost_tpu.models.laplace import find_mode_prec
         fam = lk.get_family(self.likelihood)
@@ -334,9 +413,8 @@ class VecchiaGP:
                         -1), 0.0))
             c_po = self.cov_fn.cov_matrix(cov_pars, dist=d_cross)
             # (Sigma + W^-1)^-1 = W (I + Sigma W)^-1 = W M^-1 Q  (M = Q + W)
-            # solve M z = Q c_op  -> var = prior - c_po W z ... use stable form:
-            z = jnp.linalg.solve(M, c_po.T * w_perm[:, None])
-            quad = jnp.einsum('pn,np->p', c_po, z)
+            z = jnp.linalg.solve(M, Q @ c_po.T)
+            quad = jnp.einsum('pn,n,np->p', c_po, w_perm, z)
             d_self = jnp.zeros((cp.shape[0], 1))
             prior_var = cov_pars[0] * jnp.ones(cp.shape[0], self.dtype)
             var = jnp.maximum(prior_var - quad, 1e-12)
