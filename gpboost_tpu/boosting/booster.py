@@ -124,8 +124,8 @@ class Booster:
 
         self.trees: List[Tree] = []
         n = train_set.num_data
-        self.num_models = (self.num_class
-                           if self.objective_name in ("multiclass",) else 1)
+        self.num_models = max(
+            1, getattr(self.objective, "num_model_per_iteration", 1))
         self.init_score = np.zeros(self.num_models)
         if train_set.init_score is not None:
             self._score = np.tile(train_set.init_score, self.num_models).astype(np.float64)
@@ -133,10 +133,11 @@ class Booster:
         else:
             self._score = np.zeros(n * self.num_models)
             self._has_init_score = False
-            if bool(p.get("boost_from_average", True)) and self.num_models == 1:
-                avg = self.objective.boost_from_average()
-                self.init_score[0] = avg
-                self._score += avg
+            if bool(p.get("boost_from_average", True)):
+                self.init_score = np.asarray(self.objective.init_scores(),
+                                             dtype=np.float64)
+                for m in range(self.num_models):
+                    self._score[m * n:(m + 1) * n] += self.init_score[m]
         self.best_iteration = -1
         self.valid_sets: List[Dataset] = []
         self.valid_names: List[str] = []
@@ -152,8 +153,8 @@ class Booster:
         self.valid_sets.append(data)
         self.valid_names.append(name)
         score = np.zeros(data.num_data * self.num_models)
-        if self.num_models == 1:
-            score += self.init_score[0]
+        for m in range(self.num_models):
+            score[m * data.num_data:(m + 1) * data.num_data] += self.init_score[m]
         for k, tree in enumerate(self.trees):
             vals, _ = self._tree_raw_pred(
                 tree, jnp.asarray(data.raw_data),
@@ -298,8 +299,7 @@ class Booster:
             dart_drop = self._dart_drop()
         if self.boosting_type == "rf":
             # RF: gradients always at the constant init score (rf.hpp)
-            base = np.full_like(self._score, self.init_score[0]
-                                if self.num_models == 1 else 0.0)
+            base = np.repeat(self.init_score, n)
             score_for_grad = base
         else:
             score_for_grad = self._score
@@ -377,7 +377,7 @@ class Booster:
                     and isinstance(self.objective, GPBoostObjective)
                     and self.gp_model.spec.is_gaussian):
                 self._newton_update_leaves(tree, row_leaf)
-            if self.line_search_step_length:
+            if self.line_search_step_length and self.num_models == 1:
                 self._line_search_scale(tree)
             if self.boosting_type == "dart":
                 k = len(dart_drop)
@@ -549,6 +549,10 @@ class Booster:
                 predict_var, pred_latent, num_iteration)
         if raw_score:
             return raw
+        if self.objective_name == "mean_scale_regression":
+            # (pred_mean, pred_var) dict (reference basic.py:3674-3680)
+            n = data.shape[0]
+            return {"pred_mean": raw[:n], "pred_var": np.exp(raw[n:])}
         return self.objective.convert_output(raw)
 
     def _predict_raw(self, data, num_iteration=None):
@@ -556,8 +560,8 @@ class Booster:
         limit = (len(self.trees) if num_iteration in (None, -1, 0)
                  else min(num_iteration * self.num_models, len(self.trees)))
         score = np.zeros(n * self.num_models)
-        if self.num_models == 1:
-            score += self.init_score[0]
+        for m in range(self.num_models):
+            score[m * n:(m + 1) * n] += self.init_score[m]
         Xj = jnp.asarray(data)
         cat_bins_j = jnp.asarray(self._cat_bins_matrix(data))
         for k in range(limit):
@@ -599,9 +603,11 @@ class Booster:
             resid = self.train_set.label - self._score[:self.train_set.num_data]
             gp_pred = gp.predict(y=resid, predict_response=True, **pd)
             return raw + gp_pred["mu"]
-        gp_pred = gp.predict(y=self.train_set.label,
-                             fixed_effects=self._score[:self.train_set.num_data],
-                             predict_response=True, **pd)
+        ns = getattr(gp, "num_sets_re", 1)
+        gp_pred = gp.predict(
+            y=self.train_set.label,
+            fixed_effects=self._score[:self.train_set.num_data * ns],
+            predict_response=True, **pd)
         return gp_pred["mu"]
 
     def _predict_with_gp(self, data, raw, group_data_pred,
@@ -615,8 +621,9 @@ class Booster:
             gp_coords_pred=gp_coords_pred,
             gp_rand_coef_data_pred=gp_rand_coef_data_pred,
             cluster_ids_pred=cluster_ids_pred, predict_var=predict_var)
+        ns = getattr(gp, "num_sets_re", 1)
         if self.train_set is not None:
-            train_score = self._score[:self.train_set.num_data]
+            train_score = self._score[:self.train_set.num_data * ns]
             train_label = self.train_set.label
         else:  # loaded model: embedded training label/score
             train_score = self._loaded_train_score
@@ -663,8 +670,8 @@ class Booster:
         obj.init(label, None)
         n = data.shape[0]
         score = np.zeros(n * self.num_models)
-        if self.num_models == 1:
-            score += self.init_score[0]
+        for m in range(self.num_models):
+            score[m * n:(m + 1) * n] += self.init_score[m]
         Xj = jnp.asarray(data)
         for k, tree in enumerate(self.trees):
             grad, hess = obj.get_gradients(score)

@@ -38,6 +38,13 @@ class Objective:
     def boost_from_average(self) -> float:
         return 0.0
 
+    def init_scores(self) -> np.ndarray:
+        """Per-model initial scores (``BoostFromScore(num_tree)``); one entry
+        per tree-per-iteration."""
+        if self.num_model_per_iteration == 1:
+            return np.array([self.boost_from_average()])
+        return np.zeros(self.num_model_per_iteration)
+
     def get_gradients(self, score: np.ndarray):
         raise NotImplementedError
 
@@ -335,6 +342,47 @@ class Multiclass(Objective):
         return (e / e.sum(axis=0, keepdims=True)).reshape(-1)
 
 
+class MeanScaleRegression(Objective):
+    """Heteroscedastic two-ensemble regression: y ~ N(F1(x), exp(F2(x)))
+    (``MeanScaleLoss``, ``regression_objective.hpp:986``). One tree per
+    iteration for the mean and one for the log-variance; the log-variance
+    tree uses Fisher-type hessian exp(-F2) (y-F1)^2 / 2."""
+    name = "mean_scale_regression"
+    num_model_per_iteration = 2
+
+    def init_scores(self):
+        # BoostFromScore: tree 0 = weighted mean, tree 1 = log sample variance
+        if self.weight is not None:
+            sw = np.sum(self.weight)
+            mean = np.sum(self.label * self.weight) / sw
+            var = np.sum(self.label ** 2 * self.weight) / sw - mean ** 2
+        else:
+            mean = np.mean(self.label)
+            var = np.mean(self.label ** 2) - mean ** 2
+        return np.array([mean, np.log(max(var, 1e-20))])
+
+    def get_gradients(self, score):
+        n = len(self.label)
+        F1, F2 = score[:n], score[n:]
+        inv_var = np.exp(-F2)
+        neg_resid = F1 - self.label
+        g1 = inv_var * neg_resid
+        h1 = inv_var
+        h2 = inv_var * neg_resid * neg_resid / 2.0
+        g2 = 0.5 - h2
+        if self.weight is not None:
+            g1, h1 = g1 * self.weight, h1 * self.weight
+            g2, h2 = g2 * self.weight, h2 * self.weight
+        return np.concatenate([g1, g2]), np.concatenate([h1, h2])
+
+    def convert_output(self, score):
+        # metric evaluation sees the mean ensemble (ConvertOutput,
+        # regression_objective.hpp:1040); the full (mean, var) pair is
+        # returned by Booster.predict as a dict
+        n = score.shape[0] // 2
+        return score[:n]
+
+
 class GPBoostObjective(Objective):
     """Objective coupling boosting with a GPModel — the GPBoost / LaGaBoost
     algorithms (``regression_objective.hpp:153-186``).
@@ -350,6 +398,9 @@ class GPBoostObjective(Objective):
         self.gp_model = gp_model
         self.train_gp_model_cov_pars = train_gp_model_cov_pars
         self._warm_cov_pars = None
+        # gaussian_heteroscedastic: one ensemble per latent set
+        # (c_api.cpp:132 sets num_class = GetNumSetsFixedEffects)
+        self.num_model_per_iteration = getattr(gp_model, "num_sets_re", 1)
 
     def boost_from_average(self):
         if self.gp_model.spec.is_gaussian:
@@ -368,6 +419,15 @@ class GPBoostObjective(Objective):
                    "negative_binomial_1", "lognormal"):
             return float(np.log(max(m, 1e-20)))
         return 0.0
+
+    def init_scores(self):
+        if self.num_model_per_iteration == 2:
+            # heteroscedastic sets: [mean(y), log var(y)/2] (half the variance
+            # is left for the random effects, FindInitialIntercept-style)
+            var = float(np.var(self.label))
+            return np.array([float(np.mean(self.label)),
+                             np.log(max(0.5 * var, 1e-6))])
+        return np.array([self.boost_from_average()])
 
     def get_gradients(self, score):
         gp = self.gp_model
@@ -412,11 +472,18 @@ class GPBoostObjective(Objective):
                fixed_effects=np.asarray(score, dtype=np.float64))
 
     def _laplace_grad_F(self, score):
-        from gpboost_tpu.models import laplace
         gp = self.gp_model
-        data = self._data_with_y(self.label)
         cov_pars = jnp.asarray(gp.cov_pars_, dtype=gp.dtype)
         aux = gp._aux_pars_array()
+        if gp._approx is not None:
+            # Vecchia/FITC path (autodiff through the approximation); also
+            # covers the stacked [2n] heteroscedastic score
+            g = gp._approx.grad_F_laplace(
+                cov_pars, jnp.asarray(self.label, dtype=gp.dtype), aux,
+                jnp.asarray(score, dtype=gp.dtype))
+            return np.asarray(g)
+        from gpboost_tpu.models import laplace
+        data = self._data_with_y(self.label)
         g = laplace.gradient_wrt_F(
             gp.spec, data, cov_pars, aux,
             jnp.asarray(score, dtype=gp.dtype))
@@ -470,6 +537,8 @@ def create_objective(name: str, params: dict, gp_model=None) -> Objective:
         return Binary()
     if name == "cross_entropy":
         return CrossEntropy()
+    if name == "mean_scale_regression":
+        return MeanScaleRegression()
     if name == "tobit":
         return Tobit(sigma=params.get("sigma", 1.0),
                      yl=params.get("yl", 0.0), yu=params.get("yu", 1.0))

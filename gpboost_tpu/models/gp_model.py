@@ -115,6 +115,30 @@ class GPModel:
                     cf, num_neighbors=(num_neighbors or 20),
                     ordering=vecchia_ordering, seed=seed,
                     likelihood=_canonical_likelihood(likelihood), dtype=dtype)
+            elif gp_approx in ("full_scale_vecchia",
+                               "full_scale_vecchia_correlation_based"):
+                from gpboost_tpu.models.fsva_model import FSVAGP
+                if group_data is not None or gp_rand_coef_data is not None:
+                    raise NotImplementedError(
+                        "gp_approx='full_scale_vecchia' currently supports a "
+                        "single GP component")
+                if _canonical_likelihood(likelihood) != "gaussian":
+                    raise NotImplementedError(
+                        "gp_approx='full_scale_vecchia' currently supports "
+                        "the gaussian likelihood")
+                self._approx = FSVAGP(
+                    np.asarray(gp_coords, dtype=np.float64).reshape(
+                        len(np.asarray(gp_coords)), -1),
+                    cf, num_neighbors=(num_neighbors or 30),
+                    num_ind_points=num_ind_points,
+                    ind_points_selection=ind_points_selection,
+                    ordering=vecchia_ordering, seed=seed,
+                    likelihood=_canonical_likelihood(likelihood),
+                    neighbor_selection=(
+                        "residual_correlation"
+                        if gp_approx == "full_scale_vecchia_correlation_based"
+                        else "nearest"),
+                    dtype=dtype)
             elif gp_approx in ("fitc", "full_scale_tapering"):
                 from gpboost_tpu.models.fitc_model import FITCGP
                 if group_data is not None or gp_rand_coef_data is not None:
@@ -703,22 +727,27 @@ class GPModel:
                 if cp.ndim == 1:
                     cp = cp[:, None]
                 n_p = cp.shape[0]
+                # stacked [2n]/[2n_p] fixed parts; accept single-set inputs
+                # (applied to set 0) or pre-stacked two-set scores (boosting)
+                fe_s = None
+                if fe is not None:
+                    fe_s = (fe if fe.shape[0] == 2 * self.num_data
+                            else jnp.concatenate([fe, jnp.zeros_like(fe)]))
+                fep_s = None
+                if fep is not None:
+                    fep_s = (fep if fep.shape[0] == 2 * n_p
+                             else jnp.concatenate([fep, jnp.zeros_like(fep)]))
                 if beta is not None and self.data.X is not None:
                     p = self.data.X.shape[1]
                     b1, b2 = beta[:p], beta[p:]
-                    fe_s = jnp.concatenate([self.data.X @ b1,
-                                            self.data.X @ b2])
-                    if fe is not None:
-                        fe_s = fe_s.at[:self.num_data].add(fe)
+                    xb = jnp.concatenate([self.data.X @ b1, self.data.X @ b2])
+                    fe_s = xb if fe_s is None else fe_s + xb
                     Xp = (jnp.asarray(np.asarray(X_pred, np.float64),
                                       dtype=self.dtype)
                           if X_pred is not None else jnp.zeros(
                               (n_p, p), self.dtype))
-                    fep_s = jnp.concatenate([Xp @ b1, Xp @ b2])
-                else:
-                    fe_s = fe if fe is None else jnp.concatenate(
-                        [fe, jnp.zeros_like(fe)])
-                    fep_s = None
+                    xbp = jnp.concatenate([Xp @ b1, Xp @ b2])
+                    fep_s = xbp if fep_s is None else fep_s + xbp
                 mean, var = self._approx.predict_het(
                     cov_pars_arr, y_arr, cp, fe_s, fep_s,
                     bool(predict_response),

@@ -227,6 +227,51 @@ def build_factors(cov_fn: CovFunction, cov_pars: jnp.ndarray,
     return a, d_cond
 
 
+@partial(jax.jit, static_argnums=(0, 6))
+def build_factors_residual(cov_fn: CovFunction, cov_pars: jnp.ndarray,
+                           coords: jnp.ndarray, neighbors: jnp.ndarray,
+                           lr_cols: jnp.ndarray,
+                           nugget: Optional[jnp.ndarray],
+                           include_nugget: bool):
+    """Vecchia factors of the RESIDUAL process of a full-scale (VIF)
+    approximation (``gp_approx='full_scale_vecchia'``).
+
+    The residual covariance is r(s_i, s_j) = k(s_i, s_j) - p_i . p_j where
+    p_i = ``lr_cols[:, i]`` = L_mm^-1 K_m,i (chol_ip_cross_cov in the
+    reference, ``re_model_template.h:4667-4771``). Returns (A, D) with
+    B = I - scatter(A), Lambda^-1 ~ B' D^-1 B, Lambda = Vecchia(residual
+    (+ nugget I when include_nugget)).
+    """
+    n, m = neighbors.shape
+    mask = neighbors >= 0
+    idx = jnp.maximum(neighbors, 0)
+    nb_coords = coords[idx]
+    diffs = nb_coords[:, :, None, :] - nb_coords[:, None, :, :]
+    d_nn = jnp.sqrt(jnp.maximum(jnp.sum(diffs * diffs, -1), 0.0))
+    di = coords[:, None, :] - nb_coords
+    d_in = jnp.sqrt(jnp.maximum(jnp.sum(di * di, -1), 0.0))
+    c_nn = cov_fn.cov_matrix(cov_pars, dist=d_nn)
+    c_in = cov_fn.cov_matrix(cov_pars, dist=d_in[:, None, :])[:, 0, :]
+    # subtract the low-rank (inducing-point) part
+    lr_t = lr_cols.T                              # [n, k]
+    V = lr_t[idx]                                 # [n, m, k]
+    c_nn = c_nn - jnp.einsum('nik,njk->nij', V, V)
+    c_in = c_in - jnp.einsum('nk,nmk->nm', lr_t, V)
+    var_ii = cov_pars[0] - jnp.sum(lr_t * lr_t, axis=1)
+    if include_nugget and nugget is not None:
+        eye = jnp.eye(m, dtype=coords.dtype)
+        c_nn = c_nn + nugget * eye[None]
+        var_ii = var_ii + nugget
+    pair_mask = mask[:, :, None] & mask[:, None, :]
+    eye = jnp.eye(m, dtype=coords.dtype)
+    c_nn = jnp.where(pair_mask, c_nn, eye[None])
+    c_in = jnp.where(mask, c_in, 0.0)
+    a = posdef_solve(c_nn, c_in)
+    a = jnp.where(mask, a, 0.0)
+    d_cond = var_ii - jnp.sum(c_in * a, axis=1)
+    return a, jnp.maximum(d_cond, 1e-12)
+
+
 @jax.jit
 def apply_B(a: jnp.ndarray, neighbors: jnp.ndarray, v: jnp.ndarray):
     """(B v)_i = v_i - sum_k A[i,k] v[nb[i,k]]."""
