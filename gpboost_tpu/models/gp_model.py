@@ -114,7 +114,11 @@ class GPModel:
                         len(np.asarray(gp_coords)), -1),
                     cf, num_neighbors=(num_neighbors or 20),
                     ordering=vecchia_ordering, seed=seed,
-                    likelihood=_canonical_likelihood(likelihood), dtype=dtype)
+                    likelihood=_canonical_likelihood(likelihood),
+                    nugget_in_pars=(
+                        _canonical_likelihood(likelihood) == "gaussian"
+                        and gp_approx == "vecchia"),
+                    dtype=dtype)
             elif gp_approx in ("full_scale_vecchia",
                                "full_scale_vecchia_correlation_based"):
                 from gpboost_tpu.models.fsva_model import FSVAGP
@@ -279,6 +283,8 @@ class GPModel:
             self._validate_y(np.asarray(y_arr))
             fe = None if fixed_effects is None else jnp.asarray(
                 fixed_effects, dtype=self.dtype)
+            if hasattr(self._approx, "ensure_neighbors"):
+                self._approx.ensure_neighbors(np.asarray(cov_pars))
             if self.spec.is_gaussian and self.gp_approx == "vecchia_latent":
                 # latent-process Vecchia + iid noise: cov_pars = GP pars (no
                 # nugget), nugget passed/estimated as an aux parameter
@@ -766,6 +772,8 @@ class GPModel:
             cp = np.asarray(gp_coords_pred, dtype=np.float64)
             if cp.ndim == 1:
                 cp = cp[:, None]
+            if hasattr(self._approx, "ensure_neighbors"):
+                self._approx.ensure_neighbors(np.asarray(cov_pars_arr))
             if self.spec.is_gaussian and self.gp_approx != "vecchia_latent":
                 fixed_part = fe
                 mean, var = self._approx.predict_gaussian(

@@ -46,7 +46,16 @@ def fit(model, data, fixed_effects: Optional[jnp.ndarray] = None):
                 fp = xb if fp is None else fp + xb
             return fp
 
+        eval_count = {"n": 0}
+
         def vg(theta):
+            if hasattr(vec, "ensure_neighbors"):
+                # correlation-based neighbor redetermination at power-of-2
+                # evaluations (re_model_template.h:4630-4656)
+                c = eval_count["n"]
+                if ((c + 1) & c) == 0:
+                    vec.ensure_neighbors(np.exp(np.asarray(theta)))
+                eval_count["n"] += 1
             v, g = vgrad(jnp.asarray(theta, dtype=model.dtype), fixed_part())
             return float(v), np.asarray(g, dtype=np.float64)
 
@@ -125,6 +134,9 @@ def fit(model, data, fixed_effects: Optional[jnp.ndarray] = None):
 
     use_iterative = (getattr(model, "matrix_inversion_method", "cholesky")
                      == "iterative")
+    if hasattr(vec, "ensure_neighbors"):
+        # ARD kernels: determine neighbors in the scaled space of the inits
+        vec.ensure_neighbors(np.exp(theta0[:n_cov]))
 
     @jax.jit
     def nll_fn(theta):

@@ -143,6 +143,7 @@ class VecchiaGP:
                  num_neighbors: int = 20, ordering: str = "random",
                  seed: int = 0, likelihood: str = "gaussian",
                  num_neighbors_pred: Optional[int] = None,
+                 nugget_in_pars: bool = True,
                  dtype=jnp.float64):
         n = coords.shape[0]
         self.n = n
@@ -150,6 +151,7 @@ class VecchiaGP:
         self.likelihood = likelihood
         self.num_neighbors = min(num_neighbors, n - 1)
         self.num_neighbors_pred = num_neighbors_pred or self.num_neighbors
+        self.nugget_in_pars = nugget_in_pars
         self.perm = vops.apply_ordering(n, ordering, seed)
         self.inv_perm = np.argsort(self.perm)
         self.coords = jnp.asarray(coords, dtype=dtype)
@@ -157,20 +159,59 @@ class VecchiaGP:
         self.neighbors = vops.find_neighbors(self.coords_perm,
                                              self.num_neighbors)
         self.dtype = dtype
+        self._ard_neighbors_pars = None
         # persistent jitted value+grad kernels (reused across fit() calls,
-        # e.g. per-boosting-iteration refits)
-        self._vg_gaussian = jax.jit(jax.value_and_grad(
-            lambda th, y, fp: self.nll_gaussian(jnp.exp(th), y, fp)))
+        # e.g. per-boosting-iteration refits); neighbors are a traced
+        # argument so ARD redetermination does not stale the jit cache
+        self._vg_gaussian_jit = jax.jit(
+            lambda th, y, fp, nb: jax.value_and_grad(
+                lambda t: self.nll_gaussian(jnp.exp(t), y, fp, nb))(th))
+
+    def _vg_gaussian(self, th, y, fp):
+        return self._vg_gaussian_jit(th, y, fp, self.neighbors)
+
+    def ensure_neighbors(self, cov_pars_full: np.ndarray):
+        """Redetermine neighbors in the SCALED coordinate space for
+        ARD/space-time kernels (``RedetermineNearestNeighborsVecchia...``,
+        ``re_model_template.h:4630-4656``: neighbor search happens in the
+        transformed space where the kernel is isotropic, re-run when the
+        range parameters change). No-op for isotropic kernels."""
+        if self.cov_fn.is_isotropic or not self.cov_fn.has_coord_scaling:
+            return
+        pars = np.asarray(cov_pars_full, dtype=np.float64)
+        gp_pars = pars[1:] if self.nugget_in_pars else pars
+        if (self._ard_neighbors_pars is not None
+                and np.allclose(gp_pars, self._ard_neighbors_pars)):
+            return
+        scaled = self.cov_fn.scale_coords(
+            self.coords_perm, jnp.asarray(gp_pars, self.dtype))
+        self.neighbors = vops.find_neighbors(scaled, self.num_neighbors)
+        self._ard_neighbors_pars = gp_pars
+
+    def _pred_neighbors(self, gp_pars, coords_pred):
+        """Observed neighbors of prediction points; ARD kernels search in
+        the scaled coordinate space."""
+        cp = jnp.asarray(coords_pred, self.dtype)
+        if not self.cov_fn.is_isotropic and self.cov_fn.has_coord_scaling:
+            g = jnp.asarray(gp_pars, self.dtype)
+            return vops.find_neighbors_cross(
+                self.cov_fn.scale_coords(cp, g),
+                self.cov_fn.scale_coords(self.coords, g),
+                self.num_neighbors_pred)
+        return vops.find_neighbors_cross(cp, self.coords,
+                                         self.num_neighbors_pred)
 
     # ---- Gaussian response-scale Vecchia ------------------------------
     def nll_gaussian(self, cov_pars: jnp.ndarray, y: jnp.ndarray,
-                     fixed_part: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                     fixed_part: Optional[jnp.ndarray] = None,
+                     neighbors=None) -> jnp.ndarray:
         """cov_pars = [nugget, var, range, ...]; Vecchia on Sigma + nugget I."""
+        nb = self.neighbors if neighbors is None else neighbors
         r = y if fixed_part is None else y - fixed_part
         r = r[self.perm]
         a, d = vops.build_factors(self.cov_fn, cov_pars[1:], self.coords_perm,
-                                  self.neighbors, cov_pars[0], True)
-        return vops.vecchia_nll(a, d, self.neighbors, r)
+                                  nb, cov_pars[0], True)
+        return vops.vecchia_nll(a, d, nb, r)
 
     def wls_coef(self, cov_pars, y, X, fixed_effects=None):
         """GLS coefficients with the Vecchia precision: solve
@@ -193,9 +234,7 @@ class VecchiaGP:
                          predict_var=False):
         """Local-kriging prediction conditioning on observed neighbors."""
         r = y if fixed_part is None else y - fixed_part
-        nb_pred = vops.find_neighbors_cross(
-            jnp.asarray(coords_pred, self.dtype), self.coords,
-            self.num_neighbors_pred)
+        nb_pred = self._pred_neighbors(cov_pars[1:], coords_pred)
         mean, var = vops.predict_vecchia_response(
             self.cov_fn, cov_pars[1:], cov_pars[0], self.coords,
             jnp.asarray(coords_pred, self.dtype), nb_pred, r,
@@ -207,6 +246,15 @@ class VecchiaGP:
         """Latent-process factors (no nugget): Sigma^-1 ~ B' D^-1 B."""
         return vops.build_factors(self.cov_fn, cov_pars, self.coords_perm,
                                   self.neighbors, None, False)
+
+    def _cross_cov(self, gp_pars, coords1, coords2):
+        """Cross-covariance handling isotropic and coordinate-scaled kernels."""
+        if self.cov_fn.is_isotropic:
+            d = jnp.sqrt(jnp.maximum(jnp.sum(
+                (coords1[:, None, :] - coords2[None, :, :]) ** 2, -1), 0.0))
+            return self.cov_fn.cov_matrix(gp_pars, dist=d)
+        return self.cov_fn.cov_matrix(gp_pars, coords1=coords1,
+                                      coords2=coords2)
 
     def _split_het(self, cov_pars):
         """Split a two-set parameter vector (``gaussian_heteroscedastic``:
@@ -269,16 +317,12 @@ class VecchiaGP:
         mean = local kriging on the mode; var = prior - c_po (Sigma+W^-1)^-1
         c_op with (Sigma+W^-1)^-1 = W (Q+W)^-1 Q."""
         b_orig = b_perm[self.inv_perm]
-        nb_pred = vops.find_neighbors_cross(coords_pred, self.coords,
-                                            self.num_neighbors_pred)
+        nb_pred = self._pred_neighbors(cov_pars_k, coords_pred)
         mean, _ = vops.predict_vecchia_response(
             self.cov_fn, cov_pars_k, 0.0, self.coords, coords_pred, nb_pred,
             b_orig, False)
         M = Q + jnp.diag(w_perm)
-        d_cross = jnp.sqrt(jnp.maximum(
-            jnp.sum((coords_pred[:, None, :]
-                     - self.coords_perm[None, :, :]) ** 2, -1), 0.0))
-        c_po = self.cov_fn.cov_matrix(cov_pars_k, dist=d_cross)
+        c_po = self._cross_cov(cov_pars_k, coords_pred, self.coords_perm)
         z = jnp.linalg.solve(M, Q @ c_po.T)
         quad = jnp.einsum('pn,n,np->p', c_po, w_perm, z)
         prior_var = cov_pars_k[0] * jnp.ones(coords_pred.shape[0], self.dtype)
@@ -331,7 +375,8 @@ class VecchiaGP:
                               num_rand_vec_trace: int = 50,
                               lanczos_steps: int = 50,
                               cg_tol: float = 1e-3, cg_max_iter: int = 1000,
-                              seed_rand_vec_trace: int = 1):
+                              seed_rand_vec_trace: int = 1,
+                              variance_reduction: bool = True):
         """Laplace NLL with preconditioned CG + stochastic Lanczos logdet —
         the fork's iterative method (arXiv:2310.12000), O(n m) per matvec,
         no dense [n, n] matrices.
@@ -370,11 +415,37 @@ class VecchiaGP:
         key = jax.random.PRNGKey(seed_rand_vec_trace)
         k1, k2 = jax.random.split(key)
         Z = pre.sample_probes(k1, num_rand_vec_trace)
-        Zg = cgops.rademacher_probes(k2, self.n, num_rand_vec_trace,
-                                     self.dtype)
-        logdet_A = cgops.stochastic_logdet_grad(
-            a_mv, None, Z, lanczos_steps, pre.solve, pre.logdet(),
-            cg_tol, cg_max_iter, probes_grad=Zg)
+        if variance_reduction:
+            # optimal-c control variate on the Jacobi preconditioner
+            # (CalcOptimalCVectorized, CG_utils.h:413): P(theta) tracks
+            # A(theta), its trace derivative is exact, and the c-scaled
+            # control error is subtracted per parameter entry
+            def mv_A(th, V):
+                a_, d_, w_ = th
+                if V.ndim == 1:
+                    return vops.precision_matvec(a_, nb, d_, V) + w_ * V
+                qv = jax.vmap(
+                    lambda col: vops.precision_matvec(a_, nb, d_, col),
+                    in_axes=1, out_axes=1)(V)
+                return qv + w_[:, None] * V
+
+            def p_diag(th):
+                a_, d_, w_ = th
+                return jnp.maximum(_precision_diag(a_, nb, d_) + w_, 1e-10)
+
+            def mv_P(th, V):
+                pd = p_diag(th)
+                return pd[:, None] * V if V.ndim == 2 else pd * V
+
+            logdet_A = cgops.stochastic_logdet_grad_vr(
+                mv_A, mv_P, lambda th: jnp.sum(jnp.log(p_diag(th))),
+                (a, d, w), Z, lanczos_steps, pre.solve, cg_tol, cg_max_iter)
+        else:
+            Zg = cgops.rademacher_probes(k2, self.n, num_rand_vec_trace,
+                                         self.dtype)
+            logdet_A = cgops.stochastic_logdet_grad(
+                a_mv, None, Z, lanczos_steps, pre.solve, pre.logdet(),
+                cg_tol, cg_max_iter, probes_grad=Zg)
         # logdet(Sigma^-1) = -sum log d  (exact)
         logdet_ratio = logdet_A + jnp.sum(jnp.log(d))
         return -(loglik - 0.5 * quad - 0.5 * logdet_ratio)
@@ -391,9 +462,7 @@ class VecchiaGP:
         b_perm, w_perm, Q = self._find_mode_dense(cov_pars, y, aux, fixed_part)
         # latent mean at pred points: local kriging on the mode
         b_orig = b_perm[self.inv_perm]
-        nb_pred = vops.find_neighbors_cross(
-            jnp.asarray(coords_pred, self.dtype), self.coords,
-            self.num_neighbors_pred)
+        nb_pred = self._pred_neighbors(cov_pars, coords_pred)
         mean_lat, var_prior = vops.predict_vecchia_response(
             self.cov_fn, cov_pars, 0.0, self.coords,
             jnp.asarray(coords_pred, self.dtype), nb_pred, b_orig, False)
@@ -408,10 +477,7 @@ class VecchiaGP:
             M = Q + jnp.diag(w_perm)
             # cross-cov pred->obs (permuted order for obs)
             cp = jnp.asarray(coords_pred, self.dtype)
-            d_cross = jnp.sqrt(jnp.maximum(
-                jnp.sum((cp[:, None, :] - self.coords_perm[None, :, :]) ** 2,
-                        -1), 0.0))
-            c_po = self.cov_fn.cov_matrix(cov_pars, dist=d_cross)
+            c_po = self._cross_cov(cov_pars, cp, self.coords_perm)
             # (Sigma + W^-1)^-1 = W (I + Sigma W)^-1 = W M^-1 Q  (M = Q + W)
             z = jnp.linalg.solve(M, Q @ c_po.T)
             quad = jnp.einsum('pn,n,np->p', c_po, w_perm, z)

@@ -181,6 +181,79 @@ def stochastic_logdet_grad(matvec_of_theta: Callable, theta_free,
     return val + surrogate - jax.lax.stop_gradient(surrogate)
 
 
+def stochastic_logdet_grad_vr(matvec_A: Callable, matvec_P: Callable,
+                              logdet_P: Callable, theta,
+                              Z: jnp.ndarray, num_lanczos_steps: int = 50,
+                              precond_solve: Optional[Callable] = None,
+                              cg_tol: float = 1e-2, cg_max_iter: int = 1000):
+    """Stochastic logdet(A(theta)) with OPTIMAL-C variance-reduced gradients
+    (reference ``CalcOptimalC`` / ``CalcOptimalCVectorized``,
+    ``CG_utils.h:399,413``; Gyger/Furrer/Sigrist 2024 arXiv:2310.12000 §3.3).
+
+    The preconditioner P(theta) acts as a control variate: the gradient
+    estimator is
+
+        tr(A^-1 dA) ~ mean_k dq_k - c * (mean_k dp_k - d logdet P),
+        q_k = z_k' A^-1 A(theta) P^-1 z_k,   p_k = z_k' P^-1 P(theta) P^-1 z_k,
+        c   = Cov_k(dq_k, dp_k) / Var_k(dp_k)   (per parameter ENTRY),
+
+    with probes z ~ N(0, P). Since tr(P^-1 dP) is known exactly, subtracting
+    the c-scaled control error removes most of the Monte-Carlo variance when
+    P tracks A (measured ~10-100x variance reduction in the reference paper).
+
+    ``matvec_A(theta, V)`` / ``matvec_P(theta, V)`` / ``logdet_P(theta)``
+    must be differentiable in the pytree ``theta``; the value comes from
+    preconditioned Lanczos quadrature exactly like ``stochastic_logdet_grad``.
+    """
+
+    @jax.custom_vjp
+    def _logdet(theta):
+        return _value(theta)
+
+    def _value(theta):
+        mv = lambda V: jax.lax.stop_gradient(matvec_A(theta, V))  # noqa: E731
+        alphas, betas = lanczos_tridiag(mv, Z, num_lanczos_steps,
+                                        precond_solve)
+        Pz = precond_solve(Z) if precond_solve is not None else Z
+        z_norms_sq = jnp.sum(Z * Pz, axis=0)
+        val = _logdet_from_tridiag(alphas, betas, z_norms_sq)
+        return val + logdet_P(theta)
+
+    def _fwd(theta):
+        mv = lambda V: matvec_A(theta, V)  # noqa: E731
+        V = precond_solve(Z) if precond_solve is not None else Z
+        U, _ = pcg(mv, Z, precond_solve, tol=cg_tol, max_iter=cg_max_iter)
+        return _value(theta), (theta, jax.lax.stop_gradient(U),
+                               jax.lax.stop_gradient(V))
+
+    def _bwd(res, lam):
+        theta, U, V = res
+        k = Z.shape[1]
+
+        def q_grad(u, v):
+            return jax.grad(lambda th: jnp.dot(u, matvec_A(th, v)))(theta)
+
+        def p_grad(v):
+            return jax.grad(lambda th: jnp.dot(v, matvec_P(th, v)))(theta)
+
+        G_q = jax.vmap(q_grad, in_axes=(1, 1))(U, V)   # leaves [k, ...]
+        G_p = jax.vmap(p_grad, in_axes=1)(V)
+        G_exact = jax.grad(logdet_P)(theta)
+
+        def combine(gq, gp, gx):
+            mq = jnp.mean(gq, axis=0)
+            mp = jnp.mean(gp, axis=0)
+            cov = jnp.mean((gq - mq) * (gp - mp), axis=0)
+            var = jnp.mean((gp - mp) ** 2, axis=0)
+            c = cov / jnp.maximum(var, 1e-30)
+            return lam * (mq - c * (mp - gx))
+
+        return (jax.tree_util.tree_map(combine, G_q, G_p, G_exact),)
+
+    _logdet.defvjp(_fwd, _bwd)
+    return _logdet(theta)
+
+
 class LowRankDiagPreconditioner(NamedTuple):
     """P = U U' + diag(d): Woodbury apply + exact logdet.
 

@@ -324,6 +324,26 @@ class CovFunction:
     def is_isotropic(self) -> bool:
         return self.cov_fct_type in ISOTROPIC_TYPES
 
+    @property
+    def has_coord_scaling(self) -> bool:
+        """True when the kernel is isotropic in per-dimension SCALED
+        coordinates (ARD / space-time): k(s, s') = sigma2 *
+        corr(||scale(s) - scale(s')||) with unit transformed range
+        (``cov_fcts.h:249`` anisotropic coordinate scaling). This is what
+        makes Vecchia neighbor search + batched factor builds work for
+        anisotropic kernels."""
+        return self.cov_fct_type in ("matern_ard", "gaussian_ard",
+                                     "matern_space_time")
+
+    def corr_from_scaled_dist(self, sdist: jnp.ndarray) -> jnp.ndarray:
+        """Correlation given distances in the SCALED coordinate space."""
+        t = self.cov_fct_type
+        if t in ("matern_ard", "matern_space_time"):
+            return _matern_correlation(sdist, self.shape)
+        if t == "gaussian_ard":
+            return jnp.exp(-sdist * sdist)
+        raise ValueError(f"corr_from_scaled_dist: unsupported type {t}")
+
     # ---- covariance evaluation -------------------------------------------
     def correlation_from_dist(self, dist: jnp.ndarray,
                               pars: jnp.ndarray) -> jnp.ndarray:

@@ -34,6 +34,15 @@ from gpboost_tpu.ops.cov_fns import CovFunction
 LOG_2PI = math.log(2.0 * math.pi)
 
 
+
+def _safe_dist(sq: jnp.ndarray) -> jnp.ndarray:
+    """sqrt with zero (not inf) gradient at 0 — required when distances are
+    differentiated through parameter-scaled coordinates (ARD kernels) and
+    i == j entries are exactly 0 (double-where trick)."""
+    sq = jnp.maximum(sq, 0.0)
+    pos = sq > 0.0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, sq, 1.0)), 0.0)
+
 def apply_ordering(n: int, ordering: str, seed: int = 0,
                    time_col: Optional[np.ndarray] = None) -> np.ndarray:
     """Permutation used before neighbor search (``docs/Main_parameters.rst:184``:
@@ -199,17 +208,26 @@ def build_factors(cov_fn: CovFunction, cov_pars: jnp.ndarray,
     """
     if row_coords is None:
         row_coords = coords
+    scaled = not cov_fn.is_isotropic and cov_fn.has_coord_scaling
+    if scaled:
+        # ARD / space-time: isotropic with unit range in scaled coordinates
+        coords = cov_fn.scale_coords(coords, cov_pars)
+        row_coords = cov_fn.scale_coords(row_coords, cov_pars)
     n, m = neighbors.shape
     mask = neighbors >= 0
     idx = jnp.maximum(neighbors, 0)
     nb_coords = coords[idx]                     # [n, m, d]
     diffs = nb_coords[:, :, None, :] - nb_coords[:, None, :, :]
-    d_nn = jnp.sqrt(jnp.maximum(jnp.sum(diffs * diffs, -1), 0.0))  # [n,m,m]
+    d_nn = _safe_dist(jnp.sum(diffs * diffs, -1))                  # [n,m,m]
     di = row_coords[:, None, :] - nb_coords
-    d_in = jnp.sqrt(jnp.maximum(jnp.sum(di * di, -1), 0.0))        # [n, m]
+    d_in = _safe_dist(jnp.sum(di * di, -1))                        # [n, m]
 
-    c_nn = cov_fn.cov_matrix(cov_pars, dist=d_nn)
-    c_in = cov_fn.cov_matrix(cov_pars, dist=d_in[:, None, :])[:, 0, :]
+    if scaled:
+        c_nn = cov_pars[0] * cov_fn.corr_from_scaled_dist(d_nn)
+        c_in = cov_pars[0] * cov_fn.corr_from_scaled_dist(d_in)
+    else:
+        c_nn = cov_fn.cov_matrix(cov_pars, dist=d_nn)
+        c_in = cov_fn.cov_matrix(cov_pars, dist=d_in[:, None, :])[:, 0, :]
     var_ii = cov_pars[0] * jnp.ones(n, dtype=coords.dtype)
     if include_nugget and nugget is not None:
         eye = jnp.eye(m, dtype=coords.dtype)
@@ -242,16 +260,23 @@ def build_factors_residual(cov_fn: CovFunction, cov_pars: jnp.ndarray,
     B = I - scatter(A), Lambda^-1 ~ B' D^-1 B, Lambda = Vecchia(residual
     (+ nugget I when include_nugget)).
     """
+    scaled = not cov_fn.is_isotropic and cov_fn.has_coord_scaling
+    if scaled:
+        coords = cov_fn.scale_coords(coords, cov_pars)
     n, m = neighbors.shape
     mask = neighbors >= 0
     idx = jnp.maximum(neighbors, 0)
     nb_coords = coords[idx]
     diffs = nb_coords[:, :, None, :] - nb_coords[:, None, :, :]
-    d_nn = jnp.sqrt(jnp.maximum(jnp.sum(diffs * diffs, -1), 0.0))
+    d_nn = _safe_dist(jnp.sum(diffs * diffs, -1))
     di = coords[:, None, :] - nb_coords
-    d_in = jnp.sqrt(jnp.maximum(jnp.sum(di * di, -1), 0.0))
-    c_nn = cov_fn.cov_matrix(cov_pars, dist=d_nn)
-    c_in = cov_fn.cov_matrix(cov_pars, dist=d_in[:, None, :])[:, 0, :]
+    d_in = _safe_dist(jnp.sum(di * di, -1))
+    if scaled:
+        c_nn = cov_pars[0] * cov_fn.corr_from_scaled_dist(d_nn)
+        c_in = cov_pars[0] * cov_fn.corr_from_scaled_dist(d_in)
+    else:
+        c_nn = cov_fn.cov_matrix(cov_pars, dist=d_nn)
+        c_in = cov_fn.cov_matrix(cov_pars, dist=d_in[:, None, :])[:, 0, :]
     # subtract the low-rank (inducing-point) part
     lr_t = lr_cols.T                              # [n, k]
     V = lr_t[idx]                                 # [n, m, k]
@@ -342,14 +367,22 @@ def predict_vecchia_response(cov_fn: CovFunction, cov_pars: jnp.ndarray,
     Returns (mean, var); var includes the nugget iff predict_response.
     """
     n_p, m = nb_pred.shape
+    scaled = not cov_fn.is_isotropic and cov_fn.has_coord_scaling
+    if scaled:
+        coords_obs = cov_fn.scale_coords(coords_obs, cov_pars)
+        coords_pred = cov_fn.scale_coords(coords_pred, cov_pars)
     nb_coords = coords_obs[nb_pred]
     diffs = nb_coords[:, :, None, :] - nb_coords[:, None, :, :]
-    d_nn = jnp.sqrt(jnp.maximum(jnp.sum(diffs * diffs, -1), 0.0))
+    d_nn = _safe_dist(jnp.sum(diffs * diffs, -1))
     di = coords_pred[:, None, :] - nb_coords
-    d_in = jnp.sqrt(jnp.maximum(jnp.sum(di * di, -1), 0.0))
-    c_nn = cov_fn.cov_matrix(cov_pars, dist=d_nn)
+    d_in = _safe_dist(jnp.sum(di * di, -1))
+    if scaled:
+        c_nn = cov_pars[0] * cov_fn.corr_from_scaled_dist(d_nn)
+        c_in = cov_pars[0] * cov_fn.corr_from_scaled_dist(d_in)
+    else:
+        c_nn = cov_fn.cov_matrix(cov_pars, dist=d_nn)
+        c_in = cov_fn.cov_matrix(cov_pars, dist=d_in[:, None, :])[:, 0, :]
     c_nn = c_nn + nugget * jnp.eye(m, dtype=coords_obs.dtype)[None]
-    c_in = cov_fn.cov_matrix(cov_pars, dist=d_in[:, None, :])[:, 0, :]
     a = posdef_solve(c_nn, c_in)
     mean = jnp.sum(a * r_obs[nb_pred], axis=1)
     var = cov_pars[0] - jnp.sum(c_in * a, axis=1)

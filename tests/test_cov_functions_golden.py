@@ -116,6 +116,66 @@ class TestARD:
         np.testing.assert_allclose(cov[2:], [0.352, 0.557, 0.332], rtol=0.3)
 
 
+class TestARDVecchia:
+    """Vecchia approximation with ARD kernels: neighbor search and factor
+    construction happen in the SCALED coordinate space
+    (R:2835-2864; reference redetermines neighbors in the transformed space,
+    ``re_model_template.h:4630-4656``)."""
+
+    @pytest.fixture(scope="class")
+    def ard(self, gp_fixture_data):
+        f = gp_fixture_data
+        n, d = f["n"], 3
+        x = sim_rand_unif(n * d, 0.981)
+        coords = np.column_stack([x[:n], x[n:2 * n], x[2 * n:]])
+        rhos = np.array([0.2, 0.4, 0.3])
+        scaled = coords / rhos[None, :]
+        D = np.sqrt(((scaled[:, None] - scaled[None]) ** 2).sum(-1))
+        Sigma = np.exp(-D) + 1e-20 * np.eye(n)
+        eps = np.linalg.cholesky(Sigma) @ sim_rand_normal(n, 0.978688)
+        y = eps + f["X"] @ f["beta"] + f["xi"]
+        return dict(coords=coords, y=y, f=f)
+
+    def test_nll_vecchia_ard_all_neighbors(self, ard):
+        """nn = n-1 reproduces the dense ARD NLL 249.4821103 (R:2926-2930)."""
+        m = GPModel(gp_coords=ard["coords"], cov_function="matern_ard",
+                    cov_fct_shape=0.5, gp_approx="vecchia",
+                    num_neighbors=99, vecchia_ordering="none")
+        nll = m.neg_log_likelihood(cov_pars=[0.1, 1.6, 0.1, 0.2, 0.15],
+                                   y=ard["y"])
+        assert abs(nll - 249.4821103) < TOL_STRICT
+
+    def test_nll_vecchia_ard_50nn(self, ard):
+        """R:2836-2841: nll = 249.4121769 with 50 neighbors (scaled-space
+        neighbor search at the evaluation parameters)."""
+        m = GPModel(gp_coords=ard["coords"], cov_function="matern_ard",
+                    cov_fct_shape=0.5, gp_approx="vecchia",
+                    num_neighbors=50, vecchia_ordering="none")
+        nll = m.neg_log_likelihood(cov_pars=[0.1, 1.6, 0.1, 0.2, 0.15],
+                                   y=ard["y"])
+        assert abs(nll - 249.4121769) < 1e-4
+
+    def test_fit_vecchia_ard(self, ard):
+        """R:2843-2852: 50-neighbor fit -> coef (2.2746, 1.7217), nll 111.271."""
+        f = ard["f"]
+        y = ard["y"]
+        coords = ard["coords"]
+        init = [np.var(y, ddof=1) / 2, np.var(y, ddof=1) / 2]
+        for i in range(3):
+            di = np.abs(coords[:, i][:, None] - coords[:, i][None, :])
+            init.append(np.mean(di[np.triu_indices(f["n"], 1)]) / 3)
+        m = GPModel(gp_coords=coords, cov_function="matern_ard",
+                    cov_fct_shape=0.5, gp_approx="vecchia",
+                    num_neighbors=50, vecchia_ordering="none")
+        m.fit(y=y, X=f["X"], params={"optimizer_cov": "lbfgs",
+                                     "init_cov_pars": init})
+        np.testing.assert_allclose(
+            m.get_coef(), [2.274632318, 1.721675310], atol=5e-2)
+        assert abs(m.get_current_neg_log_likelihood() - 111.271) < 0.5
+        # neighbors were (re)determined in the scaled space
+        assert m._approx._ard_neighbors_pars is not None
+
+
 class TestGaussianCov:
     def test_gaussian_cov_nll_self_consistent(self, gp_fixture_data):
         """gaussian (sq-exp) covariance NLL vs direct numpy computation."""
