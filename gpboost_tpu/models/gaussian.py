@@ -234,7 +234,8 @@ def predict(spec: ModelSpec, data: ModelData, cov_pars: jnp.ndarray,
             pred_data_self = ModelData(
                 y=None, X=None, group_codes=data_pred.group_codes,
                 slope_data=data_pred.slope_data, coords=data_pred.coords,
-                dists=pred_dists, gp_rand_coef_data=data_pred.gp_rand_coef_data)
+                dists=pred_dists, gp_rand_coef_data=data_pred.gp_rand_coef_data,
+                cluster_codes=data_pred.cluster_codes)
             prior = total_re_cov(spec, pred_data_self, comp_pars)
             cov = prior - v.T @ v
             if predict_response:

@@ -164,7 +164,7 @@ class GPModel:
             self._approx = None
         if cluster_ids is not None:
             cid = np.asarray(cluster_ids)
-            uniq, inv = np.unique(cid.astype(str), return_inverse=True)
+            uniq, inv = np.unique(cid, return_inverse=True)
             data.cluster_codes = jnp.asarray(inv.astype(np.int32))
             self._cluster_map = uniq
         else:
@@ -196,6 +196,24 @@ class GPModel:
             len(self.spec.components) > 0
             and all(isinstance(c, GroupedRESpec) for c in self.spec.components)
             and self.data.cluster_codes is None)
+        # batched per-cluster solves: [C, m, m] blocks + one vmapped Cholesky
+        # instead of a masked [n, n] matrix (SURVEY §2.5 item 8; the cluster
+        # axis is the embarrassing mesh-sharding axis)
+        self._clustered_batched = (
+            self.data.cluster_codes is not None
+            and gp_approx == "none"
+            and len(self.spec.components) == 1
+            and isinstance(self.spec.components[0], GPRESpec)
+            and self.spec.components[0].cov_fn.is_isotropic)
+        self._cluster_blocks = None
+
+    def _get_cluster_blocks(self):
+        if self._cluster_blocks is None:
+            from gpboost_tpu.models import clustered
+            self._cluster_blocks = clustered.prepare_blocks(
+                np.asarray(self.data.cluster_codes),
+                np.asarray(self.data.coords), dtype=self.dtype)
+        return self._cluster_blocks
 
     # ------------------------------------------------------------------
     def set_prediction_data(self, vecchia_pred_type=None,
@@ -314,6 +332,12 @@ class GPModel:
                 from gpboost_tpu.models import grouped
                 return float(grouped.nll_gaussian(self.spec, data, cov_pars,
                                                   None, fe))
+            if self._clustered_batched:
+                from gpboost_tpu.models import clustered
+                r = data.y if fe is None else data.y - fe
+                return float(clustered.nll_gaussian(
+                    self.spec.components[0].cov_fn, cov_pars,
+                    self._get_cluster_blocks(), r))
             return float(gaussian.neg_log_likelihood(
                 self.spec, data, cov_pars, None, fe))
         ap = self._aux_pars_array(aux_pars)
@@ -495,6 +519,18 @@ class GPModel:
         if self._grouped_only:
             from gpboost_tpu.models import grouped
             vg_impl = grouped.nll_profiled_value_and_grad
+        elif self._clustered_batched and self.spec.is_gaussian:
+            from gpboost_tpu.models import clustered
+            blocks = self._get_cluster_blocks()
+            cf = self.spec.components[0].cov_fn
+
+            def vg_impl(spec_, data_, th, beta_, fe_):
+                r = data_.y
+                if beta_ is not None and data_.X is not None:
+                    r = r - data_.X @ beta_
+                if fe_ is not None:
+                    r = r - fe_
+                return clustered.nll_profiled_value_and_grad(cf, th, blocks, r)
         else:
             vg_impl = gaussian.nll_profiled_value_and_grad
 
@@ -532,6 +568,11 @@ class GPModel:
                 yw = grouped.psi_inv_mul(spec, data, full, yv)
                 beta_holder["beta"] = jnp.linalg.solve(data.X.T @ Xw,
                                                        data.X.T @ yw)
+            elif self._clustered_batched:
+                from gpboost_tpu.models import clustered
+                beta_holder["beta"] = clustered.wls_coefficients(
+                    self.spec.components[0].cov_fn, full,
+                    self._get_cluster_blocks(), data.y, data.X, fe_arr)
             else:
                 beta_holder["beta"] = gaussian.wls_coefficients(
                     spec, data, full, fe_arr)
@@ -1003,12 +1044,15 @@ class GPModel:
             gp_rc_p = jnp.asarray(rc, dtype=self.dtype)
         cluster_p = None
         if cluster_ids_pred is not None and self._cluster_map is not None:
-            lookup = {g: i for i, g in enumerate(self._cluster_map)}
+            # raw-value lookup: Python hashing makes 1 == 1.0 match across
+            # int/float id dtypes (reference matches ids numerically)
+            lookup = {g.item() if hasattr(g, "item") else g: i
+                      for i, g in enumerate(self._cluster_map)}
             new_codes: dict = {}
             vals = np.asarray(cluster_ids_pred)
             col = np.empty(len(vals), dtype=np.int32)
             for i, v in enumerate(vals):
-                key = str(v)
+                key = v.item() if hasattr(v, "item") else v
                 if key in lookup:
                     col[i] = lookup[key]
                 else:

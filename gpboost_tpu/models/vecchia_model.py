@@ -376,7 +376,7 @@ class VecchiaGP:
                               lanczos_steps: int = 50,
                               cg_tol: float = 1e-3, cg_max_iter: int = 1000,
                               seed_rand_vec_trace: int = 1,
-                              variance_reduction: bool = True):
+                              variance_reduction: bool = False):
         """Laplace NLL with preconditioned CG + stochastic Lanczos logdet —
         the fork's iterative method (arXiv:2310.12000), O(n m) per matvec,
         no dense [n, n] matrices.

@@ -240,13 +240,31 @@ def stochastic_logdet_grad_vr(matvec_A: Callable, matvec_P: Callable,
         G_p = jax.vmap(p_grad, in_axes=1)(V)
         G_exact = jax.grad(logdet_P)(theta)
 
-        def combine(gq, gp, gx):
+        def pooled_c(gq, gp):
+            # pooled (per-leaf) c: per-entry c estimates from k probes are too
+            # noisy — their estimation bias accumulates over the chain-rule
+            # sum across entries. Pooling over entries keeps the variance
+            # reduction (P tracks A uniformly) at O(1/(k n)) estimation noise.
             mq = jnp.mean(gq, axis=0)
             mp = jnp.mean(gp, axis=0)
-            cov = jnp.mean((gq - mq) * (gp - mp), axis=0)
-            var = jnp.mean((gp - mp) ** 2, axis=0)
-            c = cov / jnp.maximum(var, 1e-30)
-            return lam * (mq - c * (mp - gx))
+            cov = jnp.sum(jnp.mean((gq - mq) * (gp - mp), axis=0))
+            var = jnp.sum(jnp.mean((gp - mp) ** 2, axis=0))
+            return cov / jnp.maximum(var, 1e-30)
+
+        half = k // 2
+
+        def combine(gq, gp, gx):
+            # split-half c: estimating c and the control error from the SAME
+            # probes correlates them (bias = Cov(c_hat, control error), O(1)
+            # in practice — measured). Estimate c on one half, apply to the
+            # other, symmetrize — unbiased and uses every probe.
+            cA = pooled_c(gq[:half], gp[:half])
+            cB = pooled_c(gq[half:], gp[half:])
+            estB = (jnp.mean(gq[half:], axis=0)
+                    - cA * (jnp.mean(gp[half:], axis=0) - gx))
+            estA = (jnp.mean(gq[:half], axis=0)
+                    - cB * (jnp.mean(gp[:half], axis=0) - gx))
+            return lam * 0.5 * (estA + estB)
 
         return (jax.tree_util.tree_map(combine, G_q, G_p, G_exact),)
 

@@ -117,3 +117,33 @@ class TestIterativeVecchiaLaplace:
         cov = m.get_cov_pars()
         assert abs(cov[0] - 0.6875476) < 0.2
         assert abs(cov[1] - 0.1062862) < 0.05
+
+
+class TestOptimalCVarianceReduction:
+    """Optimal-c control-variate trace estimation (CalcOptimalC,
+    CG_utils.h:399,413): unbiased split-half estimator; gradients stay close
+    to the exact dense gradient."""
+
+    def test_vr_gradient_close_to_exact(self):
+        import jax
+        import jax.numpy as jnp
+        from gpboost_tpu.models.vecchia_model import VecchiaGP
+        from gpboost_tpu.ops.cov_fns import CovFunction
+        rng = np.random.default_rng(0)
+        n = 150
+        coords = rng.uniform(size=(n, 2))
+        cf = CovFunction.create("exponential")
+        vec = VecchiaGP(coords, cf, num_neighbors=12, ordering="none",
+                        likelihood="poisson", nugget_in_pars=False)
+        y = jnp.asarray(rng.poisson(np.ones(n)).astype(float))
+        aux = jnp.zeros((0,))
+        cov = jnp.asarray([0.8, 0.15])
+        g_exact = np.asarray(jax.grad(
+            lambda c: vec.nll_laplace(c, y, aux))(cov))
+        f = jax.jit(jax.grad(lambda c, s: vec.nll_laplace_iterative(
+            c, y, aux, num_rand_vec_trace=30, seed_rand_vec_trace=s,
+            variance_reduction=True)), static_argnums=1)
+        gs = np.array([np.asarray(f(cov, s)) for s in range(4)])
+        assert np.all(np.isfinite(gs))
+        rel = np.abs(gs.mean(0) - g_exact) / (np.abs(g_exact) + 1.0)
+        assert np.all(rel < 0.25)
