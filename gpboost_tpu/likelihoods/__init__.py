@@ -56,6 +56,10 @@ class LikelihoodFamily:
     response_var: Optional[Callable] = None
     discrete: bool = False
     default_aux: Tuple[float, ...] = ()
+    # clamp negative observed information to zero (censored likelihoods:
+    # reference SecondDerivNegLogLik* returns 0 when H < 0,
+    # ``information_ll_can_be_exact_zero_``, likelihoods.h:311,319)
+    clip_information: bool = False
 
     def default_aux_pars(self, additional_param=None):
         if self.num_aux_pars == 0:
@@ -73,7 +77,10 @@ class LikelihoodFamily:
 
     def d2_loc(self, y, loc, aux):
         """Diagonal second derivative (elementwise; negative = information)."""
-        return jax.grad(lambda l: jnp.sum(self.d_loc(y, l, aux)))(loc)
+        d2 = jax.grad(lambda l: jnp.sum(self.d_loc(y, l, aux)))(loc)
+        if self.clip_information:
+            d2 = jnp.minimum(d2, 0.0)
+        return d2
 
     def d3_loc(self, y, loc, aux):
         return jax.grad(lambda l: jnp.sum(self.d2_loc(y, l, aux)))(loc)
@@ -342,6 +349,114 @@ _register(LikelihoodFamily(
     "zero_censored_power_transformed_normal", 2, ("sigma", "lambda"), _ll_zctn,
     response_mean=lambda loc, aux: loc,
     default_aux=(1.0, 1.0)))
+
+
+def _ll_zocb(y, loc, aux):
+    # zero_one_censored_transformed_beta (likelihoods.h:306,
+    # LogLikZeroOneCensTransfBeta): y = clip(-u + (1+2u) t, 0, 1),
+    # t ~ Beta(mu phi, (1-mu) phi), mu = sigmoid(loc)
+    from gpboost_tpu.likelihoods.special import (betaln_ad, log_betainc_ad,
+                                                  log1m_betainc_ad)
+    # upper clamp keeps the incomplete-beta quadrature in its accurate range
+    # (reference init caps phi at 100; fitted values are O(10))
+    phi = jnp.clip(aux[0], 1e-12, 1e3)
+    u = jnp.clip(aux[1], 1e-12, 10.0)
+    onep2u = 1.0 + 2.0 * u
+    mu = jnp.clip(jax.nn.sigmoid(loc), 1e-12, 1.0 - 1e-12)
+    # shape floor 0.05: below it the incomplete-beta quadrature loses
+    # higher-order differentiability (a < 0.02 only happens at saturated
+    # |loc| > 7 where the likelihood is flat anyway)
+    a = jnp.clip(mu * phi, 5e-2, None)
+    b = jnp.clip((1.0 - mu) * phi, 5e-2, None)
+    t0 = jnp.clip(u / onep2u, 1e-15, 1.0 - 1e-15)
+    t1 = jnp.clip((1.0 + u) / onep2u, 1e-15, 1.0 - 1e-15)
+    t = jnp.clip((y + u) / onep2u, 1e-15, 1.0 - 1e-15)
+    ll0 = log_betainc_ad(a, b, t0)
+    ll1 = log1m_betainc_ad(a, b, t1)
+    llmid = ((a - 1.0) * jnp.log(t) + (b - 1.0) * jnp.log1p(-t)
+             - betaln_ad(a, b) - jnp.log(onep2u))
+    return jnp.where(y <= 0.0, ll0, jnp.where(y >= 1.0, ll1, llmid))
+
+
+def _zocb_moments(loc, aux):
+    """(E[y|loc], E[y^2|loc]) — XB_FirstMoment_/XB_SecondMoment_
+    (likelihoods.h:11549,11580)."""
+    from gpboost_tpu.likelihoods.special import betainc_ad
+    phi = jnp.clip(aux[0], 1e-12, 1e3)
+    u = jnp.clip(aux[1], 1e-12, 10.0)
+    onep2u = 1.0 + 2.0 * u
+    mu = jnp.clip(jax.nn.sigmoid(loc), 1e-12, 1.0 - 1e-12)
+    a = jnp.clip(mu * phi, 5e-2, None)
+    b = jnp.clip((1.0 - mu) * phi, 5e-2, None)
+    t0 = jnp.clip(u / onep2u, 1e-15, 1.0 - 1e-15)
+    t1 = jnp.clip((1.0 + u) / onep2u, 1e-15, 1.0 - 1e-15)
+    F0 = betainc_ad(a, b, t0)
+    P1 = betainc_ad(b, a, 1.0 - t1)
+    F1 = 1.0 - P1
+    Pmid = F1 - F0
+    Ez1 = (a / (a + b)) * (betainc_ad(a + 1.0, b, t1)
+                           - betainc_ad(a + 1.0, b, t0))
+    m1 = jnp.clip(onep2u * Ez1 - u * Pmid + P1, 0.0, 1.0)
+    coeff2 = a * (a + 1.0) / ((a + b) * (a + b + 1.0))
+    Ez2 = coeff2 * (betainc_ad(a + 2.0, b, t1) - betainc_ad(a + 2.0, b, t0))
+    m2 = jnp.clip(onep2u ** 2 * Ez2 - 2.0 * u * onep2u * Ez1
+                  + u * u * Pmid + P1, 0.0, 1.0)
+    return m1, m2
+
+
+_register(LikelihoodFamily(
+    "zero_one_censored_transformed_beta", 2, ("precision", "u"), _ll_zocb,
+    response_mean=lambda loc, aux: _zocb_moments(loc, aux)[0],
+    response_var=lambda loc, aux: (
+        _zocb_moments(loc, aux)[1] - _zocb_moments(loc, aux)[0] ** 2),
+    default_aux=(20.0, 0.01), clip_information=True))
+
+
+def _ll_zocg(y, loc, aux):
+    # zero_one_censored_shifted_gamma (likelihoods.h:314,
+    # LogLikZeroOneCensGamma): y = clip(z - xi, 0, 1), z ~ Gamma(k, mu/k)
+    from gpboost_tpu.likelihoods.special import (log_gammainc_lower_ad,
+                                                  log_gammainc_upper_ad)
+    k = aux[0]
+    xi = aux[1]
+    loc = jnp.clip(loc, -500.0, 500.0)
+    mu = jnp.exp(loc)
+    th = mu / k
+    ll0 = log_gammainc_lower_ad(k, xi / th)
+    ll1 = log_gammainc_upper_ad(k, (1.0 + xi) / th)
+    z = jnp.maximum(y + xi, 1e-300)
+    llmid = (-k * jnp.log(th) - z / th + (k - 1.0) * jnp.log(z)
+             - gammaln(k))
+    return jnp.where(y <= 0.0, ll0, jnp.where(y >= 1.0, ll1, llmid))
+
+
+def _zocg_moments(loc, aux):
+    """ZOCG_MomentsGivenEta_ (likelihoods.h:11615)."""
+    from gpboost_tpu.likelihoods.special import gammainc_ad
+    k = aux[0]
+    xi = aux[1]
+    mu = jnp.exp(loc)
+    th = mu / k
+    t0 = xi / th
+    t1 = (1.0 + xi) / th
+    Gk0 = gammainc_ad(k, t0)
+    Gk1 = gammainc_ad(k, t1)
+    Pint = Gk1 - Gk0
+    p1 = 1.0 - Gk1
+    M1 = (k * th) * (gammainc_ad(k + 1.0, t1) - gammainc_ad(k + 1.0, t0))
+    Ey = jnp.clip(p1 + M1 - xi * Pint, 0.0, 1.0)
+    M2 = (k * (k + 1.0) * th * th) * (gammainc_ad(k + 2.0, t1)
+                                      - gammainc_ad(k + 2.0, t0))
+    Ey2 = jnp.clip(p1 + M2 - 2.0 * xi * M1 + xi * xi * Pint, 0.0, 1.0)
+    return Ey, Ey2
+
+
+_register(LikelihoodFamily(
+    "zero_one_censored_shifted_gamma", 2, ("shape", "xi"), _ll_zocg,
+    response_mean=lambda loc, aux: _zocg_moments(loc, aux)[0],
+    response_var=lambda loc, aux: (
+        _zocg_moments(loc, aux)[1] - _zocg_moments(loc, aux)[0] ** 2),
+    default_aux=(1.0, 0.1), clip_information=True))
 
 
 def _ll_het_single(y, loc, aux):

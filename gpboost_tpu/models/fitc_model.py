@@ -143,12 +143,30 @@ class FITCGP:
                                  self.taper_mu)
         return Q + T * (sigma - Q)
 
+    def _latent_lowrank(self, cov_pars):
+        """FITC latent Sigma = V'V + diag(dD), V = L_mm^-1 K_mn [m, n]."""
+        d_nm = euclidean_distance(self.coords, self.ind_points)
+        c_nm = self.cov_fn.cov_matrix(cov_pars, dist=d_nm)
+        d_mm = euclidean_distance(self.ind_points, self.ind_points)
+        c_mm = self.cov_fn.cov_matrix(cov_pars, dist=d_mm) + \
+            fops.JITTER * cov_pars[0] * jnp.eye(self.ind_points.shape[0],
+                                                dtype=self.dtype)
+        l_mm = jnp.linalg.cholesky(c_mm)
+        V = jax.scipy.linalg.solve_triangular(l_mm, c_nm.T, lower=True)
+        dD = jnp.maximum(cov_pars[0] - jnp.sum(V * V, axis=0), 1e-10)
+        return V, dD
+
     def nll_laplace(self, cov_pars, y, aux_pars, fixed_part=None):
-        from gpboost_tpu.models.laplace import _laplace_nll_from_sigma
-        sigma = self._latent_sigma(cov_pars)
         F = (jnp.zeros(self.n, self.dtype) if fixed_part is None
              else fixed_part)
         aux = aux_pars if aux_pars is not None else jnp.zeros((0,), self.dtype)
+        if self.gp_approx == "fitc":
+            # scalable O(n m^2) Woodbury path — never builds [n, n]
+            V, dD = self._latent_lowrank(cov_pars)
+            return fitc_laplace_nll_woodbury(self.likelihood, V, dD, y, F,
+                                             aux)
+        from gpboost_tpu.models.laplace import _laplace_nll_from_sigma
+        sigma = self._latent_sigma(cov_pars)
         return _laplace_nll_from_sigma(self.likelihood, sigma, y, F, aux)
 
     def predict_laplace(self, cov_pars, y, aux_pars, coords_pred,
@@ -206,3 +224,152 @@ class FITCGP:
         def f(fe):
             return self.nll_laplace(cov_pars, y, aux_pars, fe)
         return jax.grad(f)(fixed_part)
+
+
+# ---------------------------------------------------------------------------
+# scalable FITC-Laplace: Woodbury mode finding + logdet, O(n m^2)
+# (``FindModePostRandEffCalcMLLFITC``, likelihoods.h:3090 — the reference's
+# FITC Laplace never builds an [n, n] matrix either; here every solve is a
+# diagonal + rank-m Woodbury and the only factorization is an [m, m]
+# Cholesky on the MXU)
+# ---------------------------------------------------------------------------
+
+def _fitc_sigma_mv(V, dD, x):
+    """(V'V + diag(dD)) x for V [m, n]."""
+    if x.ndim == 1:
+        return V.T @ (V @ x) + dD * x
+    return V.T @ (V @ x) + dD[:, None] * x
+
+
+def _woodbury_solve(lam, U2, x):
+    """(diag(lam) + U2' U2)^-1 x with U2 [m, n]."""
+    m = U2.shape[0]
+    xl = x / lam
+    inner = jnp.eye(m, dtype=U2.dtype) + (U2 / lam[None, :]) @ U2.T
+    l_in = jnp.linalg.cholesky(inner)
+    t = jax.scipy.linalg.cho_solve((l_in, True), U2 @ xl)
+    return xl - (U2.T @ t) / lam
+
+
+from functools import partial
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _find_mode_fitc(lik_name, V, dD, y, F, aux):
+    return _find_mode_fitc_impl(lik_name, V, dD, y, F, aux)
+
+
+def _find_mode_fitc_impl(lik_name, V, dD, y, F, aux):
+    """Posterior mode via the stable RW Alg. 3.1 iteration with Woodbury
+    solves: a = c - sqrtW B^-1 sqrtW Sigma c, B = I + sqrtW Sigma sqrtW."""
+    from gpboost_tpu import likelihoods as lk
+    fam = lk.get_family(lik_name)
+    n = y.shape[0]
+    dtype = V.dtype
+
+    def obj(b, a):
+        return jnp.sum(fam.log_lik(y, F + b, aux)) - 0.5 * jnp.dot(a, b)
+
+    def newton(state):
+        b, a, psi, it, conv = state
+        loc = F + b
+        d1 = fam.d_loc(y, loc, aux)
+        w = jnp.maximum(-fam.d2_loc(y, loc, aux), 1e-10)
+        sw = jnp.sqrt(w)
+        c = w * b + d1
+        sc = _fitc_sigma_mv(V, dD, c)
+        lam = 1.0 + w * dD
+        U2 = V * sw[None, :]
+        a_new = c - sw * _woodbury_solve(lam, U2, sw * sc)
+        b_new = _fitc_sigma_mv(V, dD, a_new)
+        db = b_new - b
+        da = a_new - a
+
+        def psi_at(t):
+            return obj(b + t * db, a + t * da)
+
+        def halve(hs):
+            t, _, k = hs
+            return (0.5 * t, psi_at(0.5 * t), k + 1)
+
+        def cond_h(hs):
+            t, val, k = hs
+            return jnp.logical_and(
+                jnp.logical_or(val < psi, jnp.isnan(val)), k < 60)
+
+        t, psi_new, _ = jax.lax.while_loop(cond_h, halve,
+                                           (1.0, psi_at(1.0), 0))
+        b_out = b + t * db
+        a_out = a + t * da
+        conv = jnp.abs(psi_new - psi) < 1e-9 * (jnp.abs(psi) + 1e-10)
+        return b_out, a_out, psi_new, it + 1, conv
+
+    def cond(state):
+        _, _, _, it, conv = state
+        return jnp.logical_and(it < 100, jnp.logical_not(conv))
+
+    b0 = jnp.zeros(n, dtype)
+    psi0 = jnp.sum(fam.log_lik(y, F, aux))
+    b, a, _, _, _ = jax.lax.while_loop(cond, newton, (b0, b0, psi0, 0, False))
+    return b
+
+
+def _find_mode_fitc_fwd(lik_name, V, dD, y, F, aux):
+    b = _find_mode_fitc_impl(lik_name, V, dD, y, F, aux)
+    return b, (V, dD, y, F, aux, b)
+
+
+def _find_mode_fitc_bwd(lik_name, res, v):
+    V, dD, y, F, aux, b = res
+    from gpboost_tpu import likelihoods as lk
+    fam = lk.get_family(lik_name)
+    loc = F + b
+    w = -fam.d2_loc(y, loc, aux)
+    # adjoint system (dg/db)^T lam = (I + W Sigma) lam = v;
+    # I + W Sigma = diag(1 + w dD) + (V w)' V — nonsymmetric Woodbury
+    A = 1.0 + w * dD
+    m = V.shape[0]
+    Vw = V * w[None, :]
+
+    def solve_IpWS(r):
+        rl = r / A
+        inner = jnp.eye(m, dtype=V.dtype) + (V * (w / A)[None, :]) @ V.T
+        t = jnp.linalg.solve(inner, V @ rl)
+        return rl - (Vw.T @ t) / A
+
+    lam = solve_IpWS(v)
+
+    def g(V_, dD_, F_, aux_):
+        d1 = fam.d_loc(y, F_ + b, aux_)
+        return b - _fitc_sigma_mv(V_, dD_, d1)
+
+    _, vjp = jax.vjp(g, V, dD, F, aux)
+    gV, gdD, gF, gaux = vjp(-lam)
+    return gV, gdD, jnp.zeros_like(y), gF, gaux
+
+
+_find_mode_fitc.defvjp(_find_mode_fitc_fwd, _find_mode_fitc_bwd)
+
+
+def fitc_laplace_nll_woodbury(lik_name, V, dD, y, F, aux):
+    """Laplace NLL with FITC latent Sigma = V'V + diag(dD), O(n m^2):
+
+    logdet(I + W Sigma) = sum log(1 + w dD)
+                          + logdet(I_m + U2 diag(1/lam) U2'),  U2 = V sqrtW.
+    """
+    from gpboost_tpu import likelihoods as lk
+    fam = lk.get_family(lik_name)
+    b = _find_mode_fitc(lik_name, V, dD, y, F, aux)
+    loc = F + b
+    d1 = fam.d_loc(y, loc, aux)
+    w = -fam.d2_loc(y, loc, aux)
+    loglik = jnp.sum(fam.log_lik(y, loc, aux))
+    quad = jnp.dot(b, d1)  # Sigma^-1 b = d1 at the mode
+    lam = 1.0 + w * dD
+    sw = jnp.sqrt(jnp.maximum(w, 0.0))
+    U2 = V * sw[None, :]
+    m = V.shape[0]
+    inner = jnp.eye(m, dtype=V.dtype) + (U2 / lam[None, :]) @ U2.T
+    sign, ld_inner = jnp.linalg.slogdet(inner)
+    logdet = jnp.sum(jnp.log(lam)) + ld_inner
+    return -(loglik - 0.5 * quad - 0.5 * logdet)

@@ -28,7 +28,9 @@ SUPPORTED_LIKELIHOODS = (
     "gaussian", "bernoulli_probit", "bernoulli_logit", "binary", "binary_probit",
     "binomial_probit", "binomial_logit", "poisson", "gamma", "negative_binomial",
     "negative_binomial_1", "beta", "t", "t_fix_df", "lognormal",
-    "gaussian_heteroscedastic",
+    "gaussian_heteroscedastic", "zero_inflated_gamma",
+    "zero_censored_power_transformed_normal",
+    "zero_one_censored_transformed_beta", "zero_one_censored_shifted_gamma",
 )
 
 
@@ -384,6 +386,11 @@ class GPModel:
         elif lik == "beta":
             if np.any((y <= 0) | (y >= 1)):
                 raise ValueError("Response must be in (0, 1) for 'beta'")
+        elif lik in ("zero_one_censored_transformed_beta",
+                     "zero_one_censored_shifted_gamma"):
+            if np.any(y < 0) or np.any(y > 1):
+                raise ValueError(
+                    f"Response must be in [0, 1] for likelihood '{lik}'")
 
     def _aux_pars_array(self, aux_pars=None):
         from gpboost_tpu import likelihoods as lk

@@ -43,7 +43,7 @@ MAX_NEWTON_IT = 1000
 # the logdet at that slightly under-converged mode; golden NLL values match
 # only with the same rule.
 NEWTON_TOL = 1e-8
-MAX_HALVING = 20
+MAX_HALVING = 60
 
 
 def loglik(y, loc1, loc2):
@@ -110,7 +110,8 @@ def _find_mode_impl(Q1, Q2, y, F1, F2):
 
         def cond_h(hs):
             t, val, k = hs
-            return jnp.logical_and(val < psi, k < MAX_HALVING)
+            return jnp.logical_and(
+                jnp.logical_or(val < psi, jnp.isnan(val)), k < MAX_HALVING)
 
         t, psi_new, _ = jax.lax.while_loop(cond_h, halve,
                                            (1.0, psi_at(1.0), 0))

@@ -36,7 +36,7 @@ from gpboost_tpu.models.spec import ModelData, ModelSpec
 MAX_NEWTON_IT = 100
 NEWTON_TOL = 1e-8
 ARMIJO_C = 1e-4
-MAX_HALVING = 20
+MAX_HALVING = 60
 
 
 # ---------------------------------------------------------------------------
@@ -99,7 +99,8 @@ def _find_mode_fwd_impl(lik_name, sigma, y, F, aux, obs_weights=None):
 
         def halving_cond(hs):
             t, val, k = hs
-            return jnp.logical_and(val < psi, k < MAX_HALVING)
+            return jnp.logical_and(
+                jnp.logical_or(val < psi, jnp.isnan(val)), k < MAX_HALVING)
 
         t_fin, psi_fin, _ = jax.lax.while_loop(
             halving_cond, halving_body, (1.0, psi_at(1.0), 0))
@@ -186,7 +187,8 @@ def _find_mode_prec_impl(lik_name, Q, y, F, aux):
 
         def cond_h(hs):
             t, val, k = hs
-            return jnp.logical_and(val < psi, k < MAX_HALVING)
+            return jnp.logical_and(
+                jnp.logical_or(val < psi, jnp.isnan(val)), k < MAX_HALVING)
 
         t, psi_new, _ = jax.lax.while_loop(cond_h, halve,
                                            (1.0, psi_at(1.0), 0))

@@ -79,7 +79,8 @@ def _find_mode_cg_impl(lik_name, a, d, neighbors, y, F, aux):
 
         def cond_h(hs):
             t, val, k = hs
-            return jnp.logical_and(val < psi, k < 20)
+            return jnp.logical_and(
+                jnp.logical_or(val < psi, jnp.isnan(val)), k < 60)
 
         t, psi_new, _ = jax.lax.while_loop(cond_h, halve,
                                            (1.0, psi_at(1.0), 0))

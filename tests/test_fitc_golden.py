@@ -114,3 +114,35 @@ class TestFullScaleTapering:
                          predict_var=True, predict_response=False)
         assert np.all(np.isfinite(pred["mu"]))
         assert np.all(pred["var"] >= 0)
+
+
+class TestFITCLaplaceWoodbury:
+    """Scalable O(n m^2) FITC-Laplace (Woodbury mode finding + logdet,
+    ``FindModePostRandEffCalcMLLFITC`` likelihoods.h:3090) must agree with
+    the dense-Sigma Laplace engine exactly."""
+
+    def test_matches_dense(self):
+        import jax
+        import jax.numpy as jnp
+        from gpboost_tpu.models.fitc_model import FITCGP
+        from gpboost_tpu.models.laplace import _laplace_nll_from_sigma
+        from gpboost_tpu.ops.cov_fns import CovFunction
+        rng = np.random.default_rng(0)
+        n = 300
+        coords = rng.uniform(size=(n, 2))
+        cf = CovFunction.create("exponential")
+        gp = FITCGP(coords, cf, num_ind_points=40, likelihood="poisson")
+        y = jnp.asarray(rng.poisson(np.ones(n)).astype(float))
+        cov = jnp.asarray([1.0, 0.15])
+        aux = jnp.zeros((0,))
+        nll_w = float(gp.nll_laplace(cov, y, aux))
+        sigma = gp._latent_sigma(cov)
+        nll_d = float(_laplace_nll_from_sigma(
+            "poisson", sigma, y, jnp.zeros(n), aux))
+        assert abs(nll_w - nll_d) < 1e-5
+        g_w = np.asarray(jax.grad(
+            lambda c: gp.nll_laplace(c, y, aux))(cov))
+        g_d = np.asarray(jax.grad(
+            lambda c: _laplace_nll_from_sigma(
+                "poisson", gp._latent_sigma(c), y, jnp.zeros(n), aux))(cov))
+        np.testing.assert_allclose(g_w, g_d, rtol=1e-6)
