@@ -107,20 +107,44 @@ class GPModel:
                 data.dists = euclidean_distance(data.coords, data.coords)
             if gp_approx in ("vecchia", "vecchia_latent"):
                 from gpboost_tpu.models.vecchia_model import VecchiaGP
-                if group_data is not None or gp_rand_coef_data is not None:
+                if gp_rand_coef_data is not None:
                     raise NotImplementedError(
-                        "gp_approx='vecchia' currently supports a single GP "
-                        "component")
-                self._approx = VecchiaGP(
-                    np.asarray(gp_coords, dtype=np.float64).reshape(
-                        len(np.asarray(gp_coords)), -1),
-                    cf, num_neighbors=(num_neighbors or 20),
-                    ordering=vecchia_ordering, seed=seed,
-                    likelihood=_canonical_likelihood(likelihood),
-                    nugget_in_pars=(
-                        _canonical_likelihood(likelihood) == "gaussian"
-                        and gp_approx == "vecchia"),
-                    dtype=dtype)
+                        "gp_approx='vecchia' does not support GP random "
+                        "coefficients yet")
+                if group_data is not None:
+                    # combined GP + grouped REs: Vecchia GP + low-rank
+                    # Woodbury grouped part (models/vecchia_combined.py)
+                    if (_canonical_likelihood(likelihood) != "gaussian"
+                            or gp_approx != "vecchia"):
+                        raise NotImplementedError(
+                            "Vecchia with grouped random effects currently "
+                            "supports the gaussian likelihood")
+                    from gpboost_tpu.models.vecchia_combined import (
+                        VecchiaGroupedGP)
+                    gcodes = np.asarray(data.group_codes)
+                    slope_cols = []
+                    for comp in components:
+                        if isinstance(comp, GroupedRESpec):
+                            slope_cols.append(
+                                None if not comp.is_slope else np.asarray(
+                                    data.slope_data[:, comp.slope_data_idx]))
+                    self._approx = VecchiaGroupedGP(
+                        np.asarray(gp_coords, dtype=np.float64).reshape(
+                            len(np.asarray(gp_coords)), -1),
+                        cf, gcodes, slope_cols,
+                        num_neighbors=(num_neighbors or 20),
+                        ordering=vecchia_ordering, seed=seed, dtype=dtype)
+                else:
+                    self._approx = VecchiaGP(
+                        np.asarray(gp_coords, dtype=np.float64).reshape(
+                            len(np.asarray(gp_coords)), -1),
+                        cf, num_neighbors=(num_neighbors or 20),
+                        ordering=vecchia_ordering, seed=seed,
+                        likelihood=_canonical_likelihood(likelihood),
+                        nugget_in_pars=(
+                            _canonical_likelihood(likelihood) == "gaussian"
+                            and gp_approx == "vecchia"),
+                        dtype=dtype)
             elif gp_approx in ("full_scale_vecchia",
                                "full_scale_vecchia_correlation_based"):
                 from gpboost_tpu.models.fsva_model import FSVAGP
@@ -822,6 +846,38 @@ class GPModel:
                 cp = cp[:, None]
             if hasattr(self._approx, "ensure_neighbors"):
                 self._approx.ensure_neighbors(np.asarray(cov_pars_arr))
+            if hasattr(self._approx, "q_total"):
+                # combined Vecchia GP + grouped REs: build the prediction
+                # incidence (new groups get zero cross columns but still
+                # contribute prior variance)
+                vg = self._approx
+                data_pred, _, _ = self._build_pred_data(
+                    group_data_pred, group_rand_coef_data_pred,
+                    gp_coords_pred, None, None, X_pred)
+                codes = np.asarray(data_pred.group_codes)
+                n_p = cp.shape[0]
+                Zp = np.zeros((n_p, vg.q_total))
+                prior_z = np.ones((n_p, vg.n_comp))
+                for j, comp in enumerate(
+                        c for c in self.spec.components
+                        if isinstance(c, GroupedRESpec)):
+                    z = np.ones(n_p)
+                    if comp.is_slope and data_pred.slope_data is not None:
+                        z = np.asarray(
+                            data_pred.slope_data[:, comp.slope_data_idx])
+                    prior_z[:, j] = z
+                    valid = codes[:, j] < vg.level_counts[j]
+                    off = vg._comp_slices[j][0]
+                    rows = np.where(valid)[0]
+                    Zp[rows, off + codes[rows, j]] = z[rows]
+                mean, var = vg.predict_gaussian(
+                    cov_pars_arr, y_arr, cp, fe, bool(predict_response),
+                    bool(predict_var), Zp, prior_z)
+                if fep is not None:
+                    mean = mean + fep
+                return {"mu": np.asarray(mean),
+                        "var": None if var is None else np.asarray(var),
+                        "cov": None}
             if self.spec.is_gaussian and self.gp_approx != "vecchia_latent":
                 fixed_part = fe
                 mean, var = self._approx.predict_gaussian(

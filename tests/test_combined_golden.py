@@ -89,3 +89,67 @@ class TestCombinedGaussian:
                          cov_pars=[0.02, 1.0, 1.2, 0.9], predict_cov_mat=True)
         expected_mu = np.array([0.3995192, 0.6775987, 0.3710522])
         assert np.sum(np.abs(pred["mu"] - expected_mu)) < TOL_MEDIUM
+
+
+class TestCombinedVecchia:
+    """Vecchia GP + grouped REs (models/vecchia_combined.py): with
+    num_neighbors = n-1 the Woodbury/Vecchia path must reproduce the dense
+    combined path exactly."""
+
+    @pytest.fixture(scope="class")
+    def cdata(self, gp_fixture_data):
+        f = gp_fixture_data
+        n, m = f["n"], 10
+        group = np.repeat(np.arange(1, m + 1), n // m)
+        b_gr = sim_rand_normal(m, 0.56)
+        y = f["eps"] + b_gr[group - 1] + f["xi"]
+        return dict(f=f, group=group, y=y)
+
+    def test_nll_equals_dense(self, cdata):
+        f, y = cdata["f"], cdata["y"]
+        cov = [0.1, 0.5, 1.0, 0.15]
+        dense = GPModel(group_data=cdata["group"], gp_coords=f["coords"],
+                        cov_function="exponential")
+        nll_d = dense.neg_log_likelihood(cov_pars=cov, y=y)
+        vec = GPModel(group_data=cdata["group"], gp_coords=f["coords"],
+                      cov_function="exponential", gp_approx="vecchia",
+                      num_neighbors=f["n"] - 1, vecchia_ordering="none")
+        nll_v = vec.neg_log_likelihood(cov_pars=cov, y=y)
+        assert abs(nll_v - nll_d) < 1e-6
+
+    def test_fit_and_predict_match_dense(self, cdata):
+        f, y = cdata["f"], cdata["y"]
+        init = [0.05, 0.5, 1.0, 0.1]
+        dense = GPModel(group_data=cdata["group"], gp_coords=f["coords"],
+                        cov_function="exponential")
+        dense.fit(y=y, params={"optimizer_cov": "lbfgs",
+                               "init_cov_pars": init})
+        vec = GPModel(group_data=cdata["group"], gp_coords=f["coords"],
+                      cov_function="exponential", gp_approx="vecchia",
+                      num_neighbors=f["n"] - 1, vecchia_ordering="none")
+        vec.fit(y=y, params={"optimizer_cov": "lbfgs",
+                             "init_cov_pars": init})
+        assert np.sum(np.abs(vec.get_cov_pars() - dense.get_cov_pars())) < 5e-2
+        coord_test = np.array([[0.1, 0.9], [0.2, 0.4], [0.7, 0.55]])
+        gtest = [1, 3, 9999]
+        pd = dense.predict(y=y, gp_coords_pred=coord_test,
+                           group_data_pred=gtest, predict_var=True,
+                           predict_response=True,
+                           cov_pars=[0.1, 0.5, 1.0, 0.15])
+        pv = vec.predict(y=y, gp_coords_pred=coord_test,
+                         group_data_pred=gtest, predict_var=True,
+                         predict_response=True,
+                         cov_pars=[0.1, 0.5, 1.0, 0.15])
+        assert np.sum(np.abs(pd["mu"] - pv["mu"])) < 1e-5
+        assert np.sum(np.abs(pd["var"] - pv["var"])) < 1e-5
+
+    def test_midrange_neighbors(self, cdata):
+        f, y = cdata["f"], cdata["y"]
+        vec = GPModel(group_data=cdata["group"], gp_coords=f["coords"],
+                      cov_function="exponential", gp_approx="vecchia",
+                      num_neighbors=30, vecchia_ordering="none")
+        nll = vec.neg_log_likelihood(cov_pars=[0.1, 0.5, 1.0, 0.15], y=y)
+        dense = GPModel(group_data=cdata["group"], gp_coords=f["coords"],
+                        cov_function="exponential")
+        nll_d = dense.neg_log_likelihood(cov_pars=[0.1, 0.5, 1.0, 0.15], y=y)
+        assert abs(nll - nll_d) < 1.0
