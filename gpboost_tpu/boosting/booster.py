@@ -106,6 +106,12 @@ class Booster:
             if not (self.bagging_freq > 0 and self.bagging_fraction < 1.0):
                 self.bagging_freq = 1
                 self.bagging_fraction = min(self.bagging_fraction, 0.632)
+        fsp = p.get("forced_splits", None)
+        fname = p.get("forcedsplits_filename", "")
+        if fsp is None and fname:
+            with open(fname) as fh:
+                fsp = json.load(fh)
+        self._forced_splits = self._resolve_forced(fsp) if fsp else None
         mono = p.get("monotone_constraints", None)
         if mono is not None:
             if isinstance(mono, str):
@@ -147,6 +153,18 @@ class Booster:
             metric = metrics_mod.default_metric_for(self.objective_name)
         self.metric_names = ([metric] if isinstance(metric, str)
                              else list(metric))
+
+    def _resolve_forced(self, node):
+        """Resolve raw thresholds of a forced-splits JSON tree to bins
+        (``forcedsplits_filename``, config.h:512)."""
+        out = {"feature": int(node["feature"]),
+               "threshold_bin": self.train_set.bin_for_threshold(
+                   int(node["feature"]), float(node["threshold"]))}
+        if isinstance(node.get("left"), dict):
+            out["left"] = self._resolve_forced(node["left"])
+        if isinstance(node.get("right"), dict):
+            out["right"] = self._resolve_forced(node["right"])
+        return out
 
     # ------------------------------------------------------------------
     def add_valid(self, data: Dataset, name: str):
@@ -362,7 +380,8 @@ class Booster:
                 jnp.asarray(h), ds.max_num_bins, self.grower,
                 row_mask=row_mask, categorical_mask=cat_mask_arr,
                 max_cat_threshold=int(self.params.get("max_cat_threshold", 32)),
-                monotone_constraints=self._monotone)
+                monotone_constraints=self._monotone,
+                forced_splits=getattr(self, "_forced_splits", None))
             # real-valued thresholds for raw prediction
             for node in np.flatnonzero(~tree.is_leaf):
                 if tree.is_categorical is not None and tree.is_categorical[node]:

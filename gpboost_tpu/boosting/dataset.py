@@ -148,6 +148,13 @@ class Dataset:
     def num_feature(self):
         return self.num_features
 
+    def bin_for_threshold(self, feature: int, value: float) -> int:
+        """Largest bin whose upper bound is <= value (forced splits resolve
+        raw thresholds to the binned split the grower uses)."""
+        ub = np.asarray(self.bin_upper_bounds[feature], dtype=np.float64)
+        return int(np.clip(np.searchsorted(ub, value, side="left"),
+                           0, len(ub) - 1))
+
     def threshold_value(self, feature: int, bin_idx: int) -> float:
         """Real-valued threshold for splitting feature at bin boundary
         ``bin_idx`` (rows with bin <= bin_idx go left)."""

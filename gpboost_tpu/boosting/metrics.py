@@ -146,6 +146,7 @@ METRICS = {
 }
 
 _DEFAULT_METRIC = {
+    "multiclassova": "multi_logloss",
     "regression": "l2", "regression_l1": "l1", "huber": "huber",
     "fair": "l1", "poisson": "poisson", "gamma": "gamma",
     "tweedie": "tweedie", "quantile": "quantile", "mape": "mape",

@@ -383,6 +383,35 @@ class MeanScaleRegression(Objective):
         return score[:n]
 
 
+class MulticlassOVA(Objective):
+    """One-vs-all multiclass: num_class independent binary-logit ensembles
+    (``MulticlassOVA``, ``multiclass_objective.hpp:187``)."""
+    name = "multiclassova"
+
+    def __init__(self, num_class, sigmoid=1.0):
+        self.num_class = int(num_class)
+        self.num_model_per_iteration = self.num_class
+        self.sigmoid = float(sigmoid)
+
+    def get_gradients(self, score):
+        n = len(self.label)
+        s = score.reshape(self.num_class, n)
+        onehot = np.zeros_like(s)
+        onehot[self.label.astype(int), np.arange(n)] = 1.0
+        p = 1.0 / (1.0 + np.exp(-self.sigmoid * s))
+        g = (self.sigmoid * (p - onehot)).reshape(-1)
+        h = (self.sigmoid ** 2 * p * (1.0 - p)).reshape(-1)
+        if self.weight is not None:
+            w = np.tile(self.weight, self.num_class)
+            g, h = g * w, h * w
+        return g, np.maximum(h, 1e-15)
+
+    def convert_output(self, score):
+        n = score.shape[0] // self.num_class
+        s = score.reshape(self.num_class, n)
+        return (1.0 / (1.0 + np.exp(-self.sigmoid * s))).reshape(-1)
+
+
 class GPBoostObjective(Objective):
     """Objective coupling boosting with a GPModel — the GPBoost / LaGaBoost
     algorithms (``regression_objective.hpp:153-186``).
@@ -498,7 +527,8 @@ _ALIASES = {
     "mse": "regression", "rmse": "regression",
     "l1": "regression_l1", "mean_absolute_error": "regression_l1", "mae": "regression_l1",
     "binary_logloss": "binary",
-    "multiclassova": "multiclass", "softmax": "multiclass",
+    "softmax": "multiclass", "ova": "multiclassova",
+    "multiclass_ova": "multiclassova",
     "xentropy": "cross_entropy",
 }
 
@@ -548,4 +578,7 @@ def create_objective(name: str, params: dict, gp_model=None) -> Objective:
                               "lambdarank_truncation_level", 30))
     if name == "multiclass":
         return Multiclass(num_class=params.get("num_class", 2))
+    if name == "multiclassova":
+        return MulticlassOVA(num_class=params.get("num_class", 2),
+                             sigmoid=params.get("sigmoid", 1.0))
     raise ValueError(f"Unknown objective: {name}")

@@ -282,7 +282,8 @@ def grow_tree(binned: jnp.ndarray, num_bins_per_feat: jnp.ndarray,
               row_mask: Optional[jnp.ndarray] = None,
               categorical_mask: Optional[np.ndarray] = None,
               max_cat_threshold: int = 32,
-              monotone_constraints: Optional[np.ndarray] = None):
+              monotone_constraints: Optional[np.ndarray] = None,
+              forced_splits: Optional[dict] = None):
     """Grow one tree leaf-wise (best-first), LightGBM-style.
 
     ``categorical_mask`` [F] marks categorical features: they get
@@ -361,6 +362,51 @@ def grow_tree(binned: jnp.ndarray, num_bins_per_feat: jnp.ndarray,
     num_leaves = 1
     next_node = 1
     max_depth_used = 1
+
+    def apply_numeric_split(leaf_id, f_b, b_b):
+        """Split ``leaf_id`` unconditionally at (feature, bin) — the forced
+        split mechanism (``forcedsplits_filename``, reference config.h:512;
+        forced nodes are split root-first before best-first growth)."""
+        nonlocal num_leaves, next_node, max_depth_used, row_leaf
+        left_id = next_node
+        right_id = next_node + 1
+        next_node += 2
+        row_leaf = partition_rows(binned, row_leaf, leaf_id, f_b, b_b,
+                                  left_id, right_id)
+        is_leaf[leaf_id] = False
+        feature[leaf_id] = f_b
+        threshold_bin[leaf_id] = b_b
+        left[leaf_id] = left_id
+        right[leaf_id] = right_id
+        is_leaf[left_id] = is_leaf[right_id] = True
+        bounds[left_id] = bounds[right_id] = bounds.get(
+            leaf_id, (-np.inf, np.inf))
+        depth[left_id] = depth[right_id] = depth[leaf_id] + 1
+        max_depth_used = max(max_depth_used, int(depth[left_id]))
+        num_leaves += 1
+        hist_cache.pop(leaf_id, None)
+        best_cache.pop(leaf_id, None)
+        mask = (row_leaf == left_id) & row_mask
+        hist_left = build_histogram(binned, grad, hess, mask, max_num_bins)
+        mask = (row_leaf == right_id) & row_mask
+        hist_right = build_histogram(binned, grad, hess, mask, max_num_bins)
+        compute_leaf(left_id, hist_left)
+        compute_leaf(right_id, hist_right)
+        return left_id, right_id
+
+    def apply_forced(node_json, leaf_id):
+        if num_leaves >= params.num_leaves:
+            return
+        f_b = int(node_json["feature"])
+        b_b = int(node_json["threshold_bin"])
+        lid, rid = apply_numeric_split(leaf_id, f_b, b_b)
+        if isinstance(node_json.get("left"), dict):
+            apply_forced(node_json["left"], lid)
+        if isinstance(node_json.get("right"), dict):
+            apply_forced(node_json["right"], rid)
+
+    if forced_splits:
+        apply_forced(forced_splits, 0)
 
     while num_leaves < params.num_leaves:
         # pick splittable leaf with max gain

@@ -83,3 +83,38 @@ def load_table(path: str, sep: str = "", has_header: bool = False,
 
 def native_loader_available() -> bool:
     return _ensure_built() is not None
+
+
+def load_libsvm(path: str, num_features: int = 0):
+    """Parse a LibSVM-format file (``label idx:val idx:val ...``; 1-based or
+    0-based indices autodetected) into (X [n, F] float64, y [n]).
+
+    Reference: ``src/LightGBM/io/parser.cpp`` LibSVM branch. Host-side
+    parser; missing entries are 0 like the reference's sparse semantics.
+    """
+    labels = []
+    rows = []
+    max_idx = -1
+    min_idx = 1 << 30
+    with open(path) as fh:
+        for line in fh:
+            line = line.split("#", 1)[0].strip()
+            if not line:
+                continue
+            parts = line.split()
+            labels.append(float(parts[0]))
+            feats = []
+            for tok in parts[1:]:
+                i, v = tok.split(":", 1)
+                i = int(i)
+                feats.append((i, float(v)))
+                max_idx = max(max_idx, i)
+                min_idx = min(min_idx, i)
+            rows.append(feats)
+    one_based = min_idx >= 1
+    F = max(num_features, max_idx + (0 if one_based else 1))
+    X = np.zeros((len(rows), F))
+    for r, feats in enumerate(rows):
+        for i, v in feats:
+            X[r, i - 1 if one_based else i] = v
+    return X, np.asarray(labels)

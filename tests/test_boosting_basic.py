@@ -183,3 +183,63 @@ def test_crps_gaussian_metric():
     calibrated = crps_gaussian(y, np.zeros(500), np.ones(500))
     wide = crps_gaussian(y, np.zeros(500), 25 * np.ones(500))
     assert tight < calibrated < wide
+
+
+class TestForcedSplitsAndOVA:
+    def test_forced_splits(self, tmp_path):
+        import json
+        import gpboost_tpu as gpb
+        rng = np.random.default_rng(0)
+        X = rng.normal(size=(500, 4))
+        y = (X[:, 2] > 0.3) * 2.0 + 0.1 * rng.normal(size=500)
+        fs = {"feature": 1, "threshold": 0.0,
+              "left": {"feature": 0, "threshold": 0.5}}
+        fpath = tmp_path / "forced.json"
+        fpath.write_text(json.dumps(fs))
+        ds = gpb.Dataset(X, label=y)
+        bst = gpb.train({"objective": "regression", "verbose": -1,
+                         "forcedsplits_filename": str(fpath),
+                         "min_data_in_leaf": 5},
+                        ds, num_boost_round=30)
+        # every tree's root splits on feature 1, its left child on feature 0
+        for k in range(3):
+            t = bst.trees[k]
+            assert t.split_feature[0] == 1
+            assert not t.is_leaf[0]
+            lid = t.left[0]
+            assert t.split_feature[lid] == 0 and not t.is_leaf[lid]
+        pred = bst.predict(X)
+        assert np.sqrt(np.mean((pred - y) ** 2)) < 0.5
+
+    def test_multiclass_ova(self):
+        import gpboost_tpu as gpb
+        rng = np.random.default_rng(1)
+        n = 600
+        X = rng.normal(size=(n, 3))
+        y = (X[:, 0] > 0.5).astype(int) + (X[:, 1] > 0.0).astype(int)
+        ds = gpb.Dataset(X, label=y.astype(float))
+        bst = gpb.train({"objective": "multiclassova", "num_class": 3,
+                         "verbose": -1, "min_data_in_leaf": 5},
+                        ds, num_boost_round=30)
+        prob = bst.predict(X).reshape(3, n)
+        acc = np.mean(prob.argmax(axis=0) == y)
+        assert acc > 0.85
+
+    def test_libsvm_loader(self, tmp_path):
+        from gpboost_tpu.native import load_libsvm
+        f = tmp_path / "data.svm"
+        f.write_text("1.5 1:0.5 3:2.0\n-0.5 2:1.0\n2.0 1:1.0 2:-1 3:0.5\n")
+        X, y = load_libsvm(str(f))
+        assert X.shape == (3, 3)
+        np.testing.assert_allclose(y, [1.5, -0.5, 2.0])
+        np.testing.assert_allclose(X[0], [0.5, 0.0, 2.0])
+        np.testing.assert_allclose(X[1], [0.0, 1.0, 0.0])
+
+    def test_timer(self):
+        from gpboost_tpu.utils import timer
+        timer.enable(True)
+        with timer.timed("phase_a"):
+            pass
+        rep = timer.report(reset=True)
+        assert "phase_a" in rep
+        timer.enable(False)
