@@ -39,8 +39,8 @@ def component_cov(spec: ModelSpec, comp, pars: jnp.ndarray, data: ModelData,
     """
     d2 = data if data2 is None else data2
     if isinstance(comp, GroupedRESpec):
-        c1 = d2.group_codes[:, grouped_idx]
-        c2 = data.group_codes[:, grouped_idx]
+        c1 = d2.group_codes[:, comp.code_col]
+        c2 = data.group_codes[:, comp.code_col]
         z1 = z2 = None
         if comp.is_slope:
             z1 = d2.slope_data[:, comp.slope_data_idx]

@@ -80,10 +80,15 @@ class GPModel:
         self.std_dev_cov_pars_ = None
         self.num_it_ = 0
 
+        self._drop_intercept_group_rand_effect = (
+            None if drop_intercept_group_rand_effect is None
+            else [int(v) for v in np.atleast_1d(np.asarray(
+                drop_intercept_group_rand_effect)).astype(int)])
         components, data, info = make_model_data(
             y=None, X=None, group_data=group_data,
             group_rand_coef_data=group_rand_coef_data,
             ind_effect_group_rand_coef=ind_effect_group_rand_coef,
+            drop_intercept_group_rand_effect=drop_intercept_group_rand_effect,
             gp_coords=gp_coords, gp_rand_coef_data=gp_rand_coef_data,
             weights=weights, dtype=dtype)
         self._group_maps = info["group_maps"]
@@ -121,7 +126,12 @@ class GPModel:
                             "supports the gaussian likelihood")
                     from gpboost_tpu.models.vecchia_combined import (
                         VecchiaGroupedGP)
-                    gcodes = np.asarray(data.group_codes)
+                    # one code column per grouped component (slopes share
+                    # their base intercept's column via code_col)
+                    gcodes = np.stack(
+                        [np.asarray(data.group_codes)[:, comp.code_col]
+                         for comp in components
+                         if isinstance(comp, GroupedRESpec)], axis=1)
                     slope_cols = []
                     for comp in components:
                         if isinstance(comp, GroupedRESpec):
@@ -1006,20 +1016,16 @@ class GPModel:
         beta = (None if self.coefs_ is None
                 else jnp.asarray(self.coefs_, dtype=self.dtype))
         if self._grouped_only:
-            np_rows = data.group_codes.shape[0]
-            ncomp = len(self.spec.components)
-            weights = jnp.ones((np_rows, ncomp), dtype=self.dtype)
-            for j, comp in enumerate(self.spec.components):
-                if comp.is_slope:
-                    weights = weights.at[:, j].set(
-                        data.slope_data[:, comp.slope_data_idx])
+            # one column per component: posterior mean (and variance) of the
+            # component's random effect at each data point's level, WITHOUT
+            # the slope covariate multiplier (reference writes Z_base_j * b_j,
+            # re_model_template.h:4102-4115)
             if self.spec.is_gaussian:
                 r = data.y
                 if beta is not None and data.X is not None:
                     r = r - data.X @ beta
                 b_mean, postcov = grouped.posterior_b_gaussian(
                     self.spec, data, cov_pars_arr, r)
-                comp_vars = cov_pars_arr[1:]
             else:
                 ap = self._aux_pars_array()
                 F = None
@@ -1027,13 +1033,15 @@ class GPModel:
                     F = data.X @ beta
                 b_mean, postcov = grouped.posterior_b_laplace(
                     self.spec, data, cov_pars_arr, ap, F)
-                comp_vars = cov_pars_arr
-            mean, var, _ = grouped.predict_from_posterior(
-                self.spec, b_mean, postcov, comp_vars, False,
-                data.group_codes, weights)
-            if predict_var:
-                return np.column_stack([np.asarray(mean), np.asarray(var)])
-            return np.asarray(mean)[:, None]
+            offsets, sizes, _ = grouped.grouped_layout(self.spec)
+            mean_cols, var_cols = [], []
+            pcdiag = jnp.diagonal(postcov)
+            for j, comp in enumerate(self.spec.components):
+                idx = offsets[j] + data.group_codes[:, comp.code_col]
+                mean_cols.append(np.asarray(b_mean[idx]))
+                if predict_var:
+                    var_cols.append(np.asarray(pcdiag[idx]))
+            return np.column_stack(mean_cols + var_cols)
         # GP (and mixed) models: predict latent effects at training points
         pred = self.predict(
             y=np.asarray(data.y),
@@ -1076,12 +1084,8 @@ class GPModel:
                             new_codes[key] = n_tr + len(new_codes)
                         col[i] = new_codes[key]
                 cols.append(col)
-            # slope components replicate their base component's codes
-            base_cols = list(cols)
-            for comp in self.spec.components:
-                if isinstance(comp, GroupedRESpec) and comp.is_slope:
-                    # base index: matching non-slope component order
-                    cols.append(base_cols[_slope_base_index(self.spec, comp)])
+            # slope components reference their base column via code_col, so
+            # prediction codes are just the base columns
             group_codes_p = jnp.asarray(np.stack(cols, axis=1))
             if group_rand_coef_data_pred is not None:
                 rc = np.asarray(group_rand_coef_data_pred, dtype=np.float64)
@@ -1226,8 +1230,11 @@ class GPModel:
             if data.slope_data is not None:
                 d["group_rand_coef_data"] = np.asarray(data.slope_data).tolist()
                 d["ind_effect_group_rand_coef"] = [
-                    1 for c in self.spec.components
+                    c.code_col + 1 for c in self.spec.components
                     if isinstance(c, GroupedRESpec) and c.is_slope]
+                if self._drop_intercept_group_rand_effect is not None:
+                    d["drop_intercept_group_rand_effect"] = (
+                        self._drop_intercept_group_rand_effect)
             if data.gp_rand_coef_data is not None:
                 d["gp_rand_coef_data"] = np.asarray(
                     data.gp_rand_coef_data).tolist()
@@ -1262,6 +1269,9 @@ class GPModel:
                 d["group_rand_coef_data"], dtype=np.float64)
             kwargs["ind_effect_group_rand_coef"] = d.get(
                 "ind_effect_group_rand_coef", [1])
+            if d.get("drop_intercept_group_rand_effect") is not None:
+                kwargs["drop_intercept_group_rand_effect"] = d[
+                    "drop_intercept_group_rand_effect"]
         if d.get("gp_rand_coef_data") is not None:
             kwargs["gp_rand_coef_data"] = np.asarray(
                 d["gp_rand_coef_data"], dtype=np.float64)
@@ -1296,12 +1306,3 @@ def _is_variance_index(spec, a, idx):
     return True
 
 
-def _slope_base_index(spec: ModelSpec, slope_comp: GroupedRESpec) -> int:
-    """Index of the base grouped component whose codes a slope shares."""
-    base_count = 0
-    for comp in spec.components:
-        if isinstance(comp, GroupedRESpec) and not comp.is_slope:
-            base_count += 1
-    # slope's codes were appended after the base columns in declaration order;
-    # with a single base group this is always column 0
-    return 0

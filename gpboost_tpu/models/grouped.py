@@ -65,7 +65,7 @@ def zt_mul(spec: ModelSpec, data: ModelData, v: jnp.ndarray) -> jnp.ndarray:
     w = _z_weights(spec, data)
     parts = []
     for j, comp in enumerate(spec.components):
-        codes = data.group_codes[:, j]
+        codes = data.group_codes[:, comp.code_col]
         parts.append(jnp.zeros(sizes[j], v.dtype).at[codes].add(w[j] * v))
     return jnp.concatenate(parts)
 
@@ -78,7 +78,7 @@ def z_mul(spec: ModelSpec, data: ModelData, b: jnp.ndarray) -> jnp.ndarray:
     n = data.group_codes.shape[0]
     out = jnp.zeros(n, b.dtype)
     for j, comp in enumerate(spec.components):
-        codes = data.group_codes[:, j]
+        codes = data.group_codes[:, comp.code_col]
         out = out + w[j] * b[offsets[j] + codes]
     return out
 
@@ -91,9 +91,9 @@ def ztz_matrix(spec: ModelSpec, data: ModelData) -> jnp.ndarray:
     dtype = w.dtype
     ztz = jnp.zeros((q, q), dtype)
     for j1, c1 in enumerate(spec.components):
-        codes1 = data.group_codes[:, j1] + offsets[j1]
+        codes1 = data.group_codes[:, c1.code_col] + offsets[j1]
         for j2, c2 in enumerate(spec.components):
-            codes2 = data.group_codes[:, j2] + offsets[j2]
+            codes2 = data.group_codes[:, c2.code_col] + offsets[j2]
             ztz = ztz.at[codes1, codes2].add(w[j1] * w[j2])
     return ztz
 
@@ -247,7 +247,7 @@ def predict_from_posterior(spec: ModelSpec, b_mean: jnp.ndarray,
     seen_masks = []
     stacked_idx = []
     for j in range(ncomp):
-        codes = pred_codes[:, j]
+        codes = pred_codes[:, spec.components[j].code_col]
         seen = codes < sizes[j]
         idx = offsets[j] + jnp.minimum(codes, sizes[j] - 1)
         seen_masks.append(seen)
@@ -354,9 +354,9 @@ def ztw_z(spec: ModelSpec, data: ModelData, w: jnp.ndarray) -> jnp.ndarray:
     zw = _z_weights(spec, data)
     out = jnp.zeros((q, q), w.dtype)
     for j1, c1 in enumerate(spec.components):
-        codes1 = data.group_codes[:, j1] + offsets[j1]
+        codes1 = data.group_codes[:, c1.code_col] + offsets[j1]
         for j2, c2 in enumerate(spec.components):
-            codes2 = data.group_codes[:, j2] + offsets[j2]
+            codes2 = data.group_codes[:, c2.code_col] + offsets[j2]
             out = out.at[codes1, codes2].add(zw[j1] * zw[j2] * w)
     return out
 

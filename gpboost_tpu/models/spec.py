@@ -39,6 +39,11 @@ class GroupedRESpec:
     # index into ModelData.re_group_rand_coef_data columns for slopes
     slope_data_idx: int = -1
     num_cov_par: int = 1
+    # column of ModelData.group_codes holding this component's level codes
+    # (slopes share their base intercept's column; decoupling components from
+    # column position is what makes drop_intercept_group_rand_effect work,
+    # re_model_template.h:69,242-266)
+    code_col: int = 0
 
 
 @dataclass(frozen=True)
@@ -115,7 +120,8 @@ class ModelData:
 
 
 def make_model_data(y=None, X=None, group_data=None, group_rand_coef_data=None,
-                    ind_effect_group_rand_coef=None, gp_coords=None,
+                    ind_effect_group_rand_coef=None,
+                    drop_intercept_group_rand_effect=None, gp_coords=None,
                     gp_rand_coef_data=None, weights=None,
                     dtype=jnp.float64) -> tuple[ModelSpec, ModelData, dict]:
     """Build (spec, data) from user-facing inputs, mirroring GPModel.__init__
@@ -134,12 +140,15 @@ def make_model_data(y=None, X=None, group_data=None, group_rand_coef_data=None,
             gd = gd[:, None]
         n = gd.shape[0]
         codes = np.empty(gd.shape, dtype=np.int32)
+        base_num_groups = []
         for j in range(gd.shape[1]):
             uniq, inv = np.unique(gd[:, j].astype(str), return_inverse=True)
             codes[:, j] = inv.astype(np.int32)
             group_maps.append(uniq)
-            components.append(GroupedRESpec(num_groups=len(uniq)))
+            base_num_groups.append(len(uniq))
+            components.append(GroupedRESpec(num_groups=len(uniq), code_col=j))
         group_codes = jnp.asarray(codes)
+        slope_base_cols = []
         if group_rand_coef_data is not None:
             rc = np.asarray(group_rand_coef_data, dtype=np.float64)
             if rc.ndim == 1:
@@ -148,11 +157,27 @@ def make_model_data(y=None, X=None, group_data=None, group_rand_coef_data=None,
             for j in range(rc.shape[1]):
                 base = int(inds[j]) - 1  # reference uses 1-based indices
                 components.append(GroupedRESpec(
-                    num_groups=components[base].num_groups,
-                    is_slope=True, slope_data_idx=j))
-                # slope shares the base component's codes: append a column
-                group_codes = jnp.concatenate(
-                    [group_codes, group_codes[:, base:base + 1]], axis=1)
+                    num_groups=base_num_groups[base],
+                    is_slope=True, slope_data_idx=j, code_col=base))
+                slope_base_cols.append(base)
+        if drop_intercept_group_rand_effect is not None:
+            # drop intercept random effect k (only allowed when it has at
+            # least one random slope, re_model_template.h:255-266); its code
+            # column and group map stay (slopes reference them via code_col)
+            drop = np.atleast_1d(
+                np.asarray(drop_intercept_group_rand_effect)).astype(bool)
+            for k in range(gd.shape[1]):
+                if k < len(drop) and drop[k]:
+                    if k not in slope_base_cols:
+                        raise ValueError(
+                            f"Cannot drop intercept random effect number {k} "
+                            "as this random effect has no corresponding "
+                            "random coefficients")
+            components = [c for c in components
+                          if not (isinstance(c, GroupedRESpec)
+                                  and not c.is_slope
+                                  and c.code_col < len(drop)
+                                  and drop[c.code_col])]
     coords = None
     dists = None
     if gp_coords is not None:
