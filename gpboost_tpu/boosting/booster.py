@@ -20,7 +20,8 @@ import numpy as np
 from gpboost_tpu.boosting import metrics as metrics_mod
 from gpboost_tpu.boosting.dataset import Dataset
 from gpboost_tpu.boosting.objectives import GPBoostObjective, create_objective
-from gpboost_tpu.boosting.tree import (GrowerParams, Tree, fit_linear_leaves,
+from gpboost_tpu.boosting.tree import (CEGBState, GrowerParams, Tree,
+                                       fit_linear_leaves,
                                        grow_tree, predict_tree_binned,
                                        predict_tree_binned_mixed,
                                        predict_tree_linear,
@@ -126,6 +127,8 @@ class Booster:
             p.get("line_search_step_length", False))
         self.linear_tree = bool(p.get("linear_tree", False))
         self.linear_lambda = float(p.get("linear_lambda", 0.0))
+        self._cegb = CEGBState.from_params(
+            p, train_set.num_features, train_set.num_data)
         self._rng = np.random.default_rng(int(p.get("seed", 0)))
 
         self.trees: List[Tree] = []
@@ -381,7 +384,8 @@ class Booster:
                 row_mask=row_mask, categorical_mask=cat_mask_arr,
                 max_cat_threshold=int(self.params.get("max_cat_threshold", 32)),
                 monotone_constraints=self._monotone,
-                forced_splits=getattr(self, "_forced_splits", None))
+                forced_splits=getattr(self, "_forced_splits", None),
+                cegb=self._cegb)
             # real-valued thresholds for raw prediction
             for node in np.flatnonzero(~tree.is_leaf):
                 if tree.is_categorical is not None and tree.is_categorical[node]:
@@ -727,11 +731,20 @@ class Booster:
         return imp
 
     def num_feature(self):
-        return self.train_set.num_features
+        if self.train_set is not None:
+            return self.train_set.num_features
+        return int(max(int(np.max(t.split_feature[~t.is_leaf], initial=0))
+                       for t in self.trees)) + 1
 
     # ------------------------------------------------------------------
     def model_to_string(self):
         return json.dumps(self._to_dict())
+
+    def model_to_c(self, num_iteration=None):
+        """Standalone C source for this model (``task=convert_model``,
+        reference ``Tree::ToIfElse`` io/tree.cpp:527)."""
+        from gpboost_tpu.boosting.convert import booster_to_c
+        return booster_to_c(self, num_iteration)
 
     def save_model(self, filename, num_iteration=None, start_iteration=0):
         with open(filename, "w") as f:

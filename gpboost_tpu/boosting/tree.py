@@ -58,7 +58,7 @@ def _threshold_l1(g, l1):
 def find_best_split(hist_g, hist_h, hist_c, num_bins_per_feat,
                     lambda_l1, lambda_l2, min_data_in_leaf,
                     min_sum_hessian, min_gain_to_split,
-                    monotone=None):
+                    monotone=None, penalty=None):
     """Best (feature, bin, gain) over all features.
 
     Vectorized over [F, B]: left stats are prefix sums over bins; split at
@@ -95,11 +95,21 @@ def find_best_split(hist_g, hist_h, hist_c, num_bins_per_feat,
         valid &= jnp.where(mono > 0, left_out <= right_out, True)
         valid &= jnp.where(mono < 0, left_out >= right_out, True)
     gain = jnp.where(valid, gain, -jnp.inf)
-    flat = jnp.argmax(gain)
+    if penalty is None:
+        sel = gain
+    else:
+        # CEGB: feature-wise cost subtracted from the gain before ranking
+        # (cost_effective_gradient_boosting.hpp:66-84, applied at
+        # serial_tree_learner.cpp:741-745); raw gain still gates
+        # min_gain_to_split, the penalized gain must additionally be > 0
+        sel = gain - penalty[:, None]
+    flat = jnp.argmax(sel)
     f_best = flat // B
     b_best = flat % B
-    g_best = gain[f_best, b_best]
-    ok = g_best > min_gain_to_split
+    g_best = sel[f_best, b_best]
+    ok = gain[f_best, b_best] > min_gain_to_split
+    if penalty is not None:
+        ok &= g_best > 0.0
     return (f_best.astype(jnp.int32), b_best.astype(jnp.int32), g_best, ok,
             GL[f_best, b_best], HL[f_best, b_best], CL[f_best, b_best])
 
@@ -130,7 +140,8 @@ def partition_rows_categorical(binned, row_leaf, leaf_id, feature,
 def find_best_split_categorical(hist_g, hist_h, hist_c, num_bins_per_feat,
                                 cat_feature_mask, lambda_l1, lambda_l2,
                                 min_data_in_leaf, min_sum_hessian,
-                                min_gain_to_split, max_cat_threshold):
+                                min_gain_to_split, max_cat_threshold,
+                                penalty=None):
     """Best sorted-subset categorical split (LightGBM 'many-vs-many':
     categories sorted by G/H, prefix scan of the sorted order —
     ``feature_histogram.hpp`` FindBestThresholdCategorical, simplified).
@@ -168,11 +179,14 @@ def find_best_split_categorical(hist_g, hist_h, hist_c, num_bins_per_feat,
     valid &= (HL >= min_sum_hessian) & ((H - HL) >= min_sum_hessian)
     valid &= cat_feature_mask[:, None]
     gain = jnp.where(valid, gain, -jnp.inf)
-    flat = jnp.argmax(gain)
+    sel = gain if penalty is None else gain - penalty[:, None]
+    flat = jnp.argmax(sel)
     f_best = flat // B
     k_best = flat % B
-    g_best = gain[f_best, k_best]
-    ok = g_best > min_gain_to_split
+    g_best = sel[f_best, k_best]
+    ok = gain[f_best, k_best] > min_gain_to_split
+    if penalty is not None:
+        ok &= g_best > 0.0
     return (f_best.astype(jnp.int32), k_best.astype(jnp.int32), g_best, ok,
             order, GL[f_best, k_best], HL[f_best, k_best], CL[f_best, k_best])
 
@@ -276,6 +290,84 @@ class GrowerParams:
     min_gain_to_split: float = 0.0
 
 
+class CEGBState:
+    """Cost-effective gradient boosting (CEGB) penalties + usage state.
+
+    TPU redesign of ``CostEfficientGradientBoosting``
+    (``treelearner/cost_effective_gradient_boosting.hpp:22-156``): the
+    per-(leaf, feature) cached-SplitInfo "refund" bookkeeping is replaced by a
+    dense per-feature penalty vector subtracted inside the vectorized split
+    scan, with affected leaves re-scored from their cached histograms when a
+    feature first enters the model. Usage state persists across trees.
+    """
+
+    def __init__(self, num_features: int, num_data: int,
+                 tradeoff: float = 1.0, penalty_split: float = 0.0,
+                 penalty_feature_coupled=None, penalty_feature_lazy=None):
+        self.tradeoff = float(tradeoff)
+        self.penalty_split = float(penalty_split)
+        self.coupled = (None if penalty_feature_coupled is None
+                        else np.asarray(penalty_feature_coupled, np.float64))
+        self.lazy = (None if penalty_feature_lazy is None
+                     else np.asarray(penalty_feature_lazy, np.float64))
+        for name, arr in (("cegb_penalty_feature_coupled", self.coupled),
+                          ("cegb_penalty_feature_lazy", self.lazy)):
+            if arr is not None and arr.shape[0] != num_features:
+                raise ValueError(
+                    f"{name} should be the same size as feature number")
+        self.feature_used_in_split = np.zeros(num_features, bool)
+        # [n, F] marks per data point whether feature f was already acquired
+        self.feature_used_in_data = (
+            jnp.zeros((num_data, num_features), dtype=bool)
+            if self.lazy is not None else None)
+
+    @staticmethod
+    def from_params(p: dict, num_features: int, num_data: int):
+        """Build from a LightGBM-style params dict; None when disabled
+        (``CostEfficientGradientBoosting::IsEnable``)."""
+        tradeoff = float(p.get("cegb_tradeoff", 1.0))
+        penalty_split = float(p.get("cegb_penalty_split", 0.0))
+        coupled = p.get("cegb_penalty_feature_coupled", None)
+        lazy = p.get("cegb_penalty_feature_lazy", None)
+        if (tradeoff >= 1.0 and penalty_split <= 0.0 and coupled is None
+                and lazy is None):
+            return None
+        return CEGBState(num_features, num_data, tradeoff, penalty_split,
+                         coupled, lazy)
+
+    def penalty_vector(self, leaf_mask,
+                       num_features: int) -> jnp.ndarray:
+        """tradeoff * (penalty_split*n_leaf + coupled[new features] +
+        lazy per-row on-demand costs) per feature
+        (cost_effective_gradient_boosting.hpp:66-84)."""
+        cnt_leaf = float(jnp.sum(leaf_mask))
+        pen = np.full(num_features, self.tradeoff * self.penalty_split
+                      * cnt_leaf)
+        if self.coupled is not None:
+            pen = pen + self.tradeoff * np.where(
+                self.feature_used_in_split, 0.0, self.coupled)
+        pen_j = jnp.asarray(pen)
+        if self.lazy is not None:
+            fresh = jnp.sum(leaf_mask[:, None]
+                            & ~self.feature_used_in_data, axis=0)
+            pen_j = pen_j + self.tradeoff * jnp.asarray(self.lazy) * fresh
+        return pen_j
+
+    def mark_split(self, leaf_mask, feature: int) -> bool:
+        """Record a chosen split; returns True if other leaves must be
+        re-scored (feature newly coupled-penalized, hpp:93-109)."""
+        rescore = False
+        if (self.coupled is not None
+                and not self.feature_used_in_split[feature]):
+            rescore = True
+        self.feature_used_in_split[feature] = True
+        if self.lazy is not None:
+            self.feature_used_in_data = self.feature_used_in_data.at[
+                :, feature].set(self.feature_used_in_data[:, feature]
+                                | leaf_mask)
+        return rescore
+
+
 def grow_tree(binned: jnp.ndarray, num_bins_per_feat: jnp.ndarray,
               grad: jnp.ndarray, hess: jnp.ndarray, max_num_bins: int,
               params: GrowerParams,
@@ -283,7 +375,8 @@ def grow_tree(binned: jnp.ndarray, num_bins_per_feat: jnp.ndarray,
               categorical_mask: Optional[np.ndarray] = None,
               max_cat_threshold: int = 32,
               monotone_constraints: Optional[np.ndarray] = None,
-              forced_splits: Optional[dict] = None):
+              forced_splits: Optional[dict] = None,
+              cegb: Optional["CEGBState"] = None):
     """Grow one tree leaf-wise (best-first), LightGBM-style.
 
     ``categorical_mask`` [F] marks categorical features: they get
@@ -333,16 +426,23 @@ def grow_tree(binned: jnp.ndarray, num_bins_per_feat: jnp.ndarray,
             hist = build_histogram(binned, grad, hess, mask, max_num_bins)
         hist_cache[leaf_id] = hist
         hg, hh, hc = hist
-        g_sum = float(jnp.sum(hg))
-        h_sum = float(jnp.sum(hh))
-        cnt = float(jnp.sum(hc))
+        # histograms are [F, B]; every row lands in one bin per feature, so
+        # the all-feature sum is F * (per-leaf total) — normalize to the true
+        # leaf totals (keeps them on the same scale as per-feature GL/HL/CL)
+        g_sum = float(jnp.sum(hg)) / F
+        h_sum = float(jnp.sum(hh)) / F
+        cnt = float(jnp.sum(hc)) / F
         stats_cache[leaf_id] = (g_sum, h_sum, cnt)
         mono_j = (None if monotone_constraints is None
                   else jnp.asarray(monotone_constraints, jnp.int32))
+        penalty = None
+        if cegb is not None:
+            penalty = cegb.penalty_vector(
+                (row_leaf == leaf_id) & row_mask, F)
         f_b, b_b, gain, ok, gl, hl, cl = find_best_split(
             hg, hh, hc, num_bins_numerical, l1, l2,
             float(params.min_data_in_leaf), params.min_sum_hessian_in_leaf,
-            params.min_gain_to_split, monotone=mono_j)
+            params.min_gain_to_split, monotone=mono_j, penalty=penalty)
         best = ("num", int(f_b), int(b_b), float(gain), bool(ok),
                 float(gl), float(hl), float(cl), None)
         if has_cat:
@@ -351,7 +451,8 @@ def grow_tree(binned: jnp.ndarray, num_bins_per_feat: jnp.ndarray,
                     hg, hh, hc, num_bins_per_feat, cat_mask_j, l1, l2,
                     float(params.min_data_in_leaf),
                     params.min_sum_hessian_in_leaf,
-                    params.min_gain_to_split, max_cat_threshold)
+                    params.min_gain_to_split, max_cat_threshold,
+                    penalty=penalty)
             if bool(okc) and (not best[4] or float(gc) > best[3]):
                 left_cats = np.asarray(order)[int(fc), :int(kc) + 1]
                 best = ("cat", int(fc), int(kc), float(gc), True,
@@ -368,6 +469,8 @@ def grow_tree(binned: jnp.ndarray, num_bins_per_feat: jnp.ndarray,
         split mechanism (``forcedsplits_filename``, reference config.h:512;
         forced nodes are split root-first before best-first growth)."""
         nonlocal num_leaves, next_node, max_depth_used, row_leaf
+        if cegb is not None:
+            cegb.mark_split((row_leaf == leaf_id) & row_mask, f_b)
         left_id = next_node
         right_id = next_node + 1
         next_node += 2
@@ -422,6 +525,17 @@ def grow_tree(binned: jnp.ndarray, num_bins_per_feat: jnp.ndarray,
             break
         kind, f_b, b_b, gain, _, gl, hl, cl, left_cats = best
         g_sum, h_sum, cnt = stats_cache[best_leaf]
+        if cegb is not None:
+            # mark usage on ALL parent rows (UpdateLeafBestSplits runs before
+            # the partition, serial_tree_learner.cpp:571-575)
+            rescore = cegb.mark_split((row_leaf == best_leaf) & row_mask, f_b)
+            if rescore:
+                # the coupled penalty for f_b vanished: re-rank every other
+                # leaf's best split from its cached histogram (replaces the
+                # reference's per-(leaf,feature) SplitInfo refund, hpp:93-109)
+                for other in [k for k in list(best_cache)
+                              if k != best_leaf and k in hist_cache]:
+                    compute_leaf(other, hist_cache[other])
         left_id = next_node
         right_id = next_node + 1
         next_node += 2

@@ -103,6 +103,15 @@ def main(argv=None):
         pred = bst.predict(X)
         np.savetxt(out_result, np.asarray(pred))
         print(f"Finished prediction. Results saved to {out_result}")
+    elif task == "convert_model":
+        # reference task converting a model file to if-else source
+        # (config.h:240-244,802-813)
+        model_path = params.pop("input_model", "GPBoost_model.json")
+        out_file = params.pop("convert_model", "gpboost_prediction.c")
+        bst = gpb.Booster(model_file=model_path)
+        from gpboost_tpu.boosting.convert import save_model_to_c
+        save_model_to_c(bst, out_file)
+        print(f"Finished converting model. Source saved to {out_file}")
     else:
         raise ValueError(f"Unknown task: {task}")
     return 0
