@@ -587,6 +587,36 @@ class Booster:
             score[m * n:(m + 1) * n] += self.init_score[m]
         Xj = jnp.asarray(data)
         cat_bins_j = jnp.asarray(self._cat_bins_matrix(data))
+        # row-wise prediction early stopping (prediction_early_stop.cpp:54,25;
+        # margins: binary 2|score|, multiclass top1-top2, checked every
+        # pred_early_stop_freq iterations; confident rows stop accumulating)
+        early_type = None
+        if bool(self.params.get("pred_early_stop", False)):
+            if self.num_models == 1 and self.objective_name == "binary":
+                early_type = "binary"
+            elif self.num_models > 1:
+                early_type = "multiclass"
+        if early_type is not None:
+            freq = int(self.params.get("pred_early_stop_freq", 10))
+            thresh = float(self.params.get("pred_early_stop_margin", 10.0))
+            active = np.ones(n, dtype=bool)
+            smat = score.reshape(self.num_models, n)
+            for k in range(limit):
+                if not active.any():
+                    break
+                vals = np.asarray(
+                    self._tree_raw_pred(self.trees[k], Xj, cat_bins_j)[0])
+                m = k % self.num_models
+                smat[m, active] += vals[active]
+                if m == self.num_models - 1 and (
+                        (k // self.num_models) + 1) % freq == 0:
+                    if early_type == "binary":
+                        margin = 2.0 * np.abs(smat[0])
+                    else:
+                        top2 = np.sort(smat, axis=0)[-2:]
+                        margin = top2[1] - top2[0]
+                    active &= margin <= thresh
+            return smat.reshape(-1)
         for k in range(limit):
             tree = self.trees[k]
             vals, _ = self._tree_raw_pred(tree, Xj, cat_bins_j)
