@@ -1,0 +1,374 @@
+# R interface to gpboost_tpu via reticulate.
+#
+# Mirrors the reference GPBoost R API (R-package/R/GPModel.R, gpb.train.R,
+# gpb.Dataset.R, gpb.cv.R in TimGyger/GPBoost) as thin S3 wrappers around the
+# Python package: the numerical engine is the TPU-native JAX implementation.
+
+.gpb_env <- new.env(parent = emptyenv())
+
+.gpb <- function() {
+  if (is.null(.gpb_env$mod)) {
+    .gpb_env$mod <- reticulate::import("gpboost_tpu", delay_load = FALSE)
+    .gpb_env$np <- reticulate::import("numpy")
+  }
+  .gpb_env$mod
+}
+
+.np <- function() {
+  .gpb()
+  .gpb_env$np
+}
+
+.as_matrix <- function(x) {
+  if (is.null(x)) return(NULL)
+  if (is.data.frame(x)) x <- as.matrix(x)
+  if (is.vector(x) && !is.list(x)) x <- as.matrix(x)
+  x
+}
+
+.as_np <- function(x, dtype = NULL) {
+  if (is.null(x)) return(NULL)
+  if (is.factor(x)) x <- as.character(x)
+  reticulate::np_array(.as_matrix_keep_vec(x), dtype = dtype)
+}
+
+.as_matrix_keep_vec <- function(x) {
+  if (is.data.frame(x)) as.matrix(x) else x
+}
+
+.params_py <- function(params) {
+  if (is.null(params)) return(reticulate::dict())
+  reticulate::r_to_py(params)
+}
+
+# ---------------------------------------------------------------------------
+# GPModel
+
+#' Create a GPModel (Gaussian process and/or grouped random effects)
+#'
+#' Mirrors \code{GPModel} in the reference R package
+#' (R-package/R/GPModel.R:2610).
+GPModel <- function(likelihood = "gaussian", group_data = NULL,
+                    group_rand_coef_data = NULL,
+                    ind_effect_group_rand_coef = NULL,
+                    drop_intercept_group_rand_effect = NULL,
+                    gp_coords = NULL, gp_rand_coef_data = NULL,
+                    cov_function = "matern", cov_fct_shape = 1.5,
+                    gp_approx = "none", cov_fct_taper_range = 1,
+                    cov_fct_taper_shape = 1, num_neighbors = NULL,
+                    vecchia_ordering = "random",
+                    ind_points_selection = "kmeans++",
+                    num_ind_points = 500L, cover_tree_radius = 1,
+                    matrix_inversion_method = "cholesky", seed = 0L,
+                    cluster_ids = NULL,
+                    likelihood_additional_param = NULL, weights = NULL,
+                    free_raw_data = FALSE) {
+  py <- .gpb()$GPModel(
+    group_data = .as_np(group_data),
+    group_rand_coef_data = .as_np(group_rand_coef_data),
+    ind_effect_group_rand_coef = ind_effect_group_rand_coef,
+    drop_intercept_group_rand_effect = drop_intercept_group_rand_effect,
+    gp_coords = .as_np(gp_coords),
+    gp_rand_coef_data = .as_np(gp_rand_coef_data),
+    cov_function = cov_function, cov_fct_shape = cov_fct_shape,
+    gp_approx = gp_approx, cov_fct_taper_range = cov_fct_taper_range,
+    cov_fct_taper_shape = cov_fct_taper_shape,
+    num_neighbors = if (is.null(num_neighbors)) NULL else
+      as.integer(num_neighbors),
+    vecchia_ordering = vecchia_ordering,
+    ind_points_selection = ind_points_selection,
+    num_ind_points = as.integer(num_ind_points),
+    cover_tree_radius = cover_tree_radius,
+    matrix_inversion_method = matrix_inversion_method,
+    seed = as.integer(seed),
+    cluster_ids = .as_np(cluster_ids),
+    likelihood = likelihood,
+    likelihood_additional_param = likelihood_additional_param,
+    weights = .as_np(weights))
+  structure(list(py = py), class = "GPModel")
+}
+
+#' Fit a GPModel (generic, matching the reference's \code{fit})
+fit <- function(gp_model, ...) UseMethod("fit")
+
+fit.GPModel <- function(gp_model, y, X = NULL, params = list(),
+                        offset = NULL, fixed_effects = NULL, ...) {
+  if (!is.null(fixed_effects)) offset <- fixed_effects
+  gp_model$py$fit(y = .as_np(y), X = .as_np(X), params = .params_py(params),
+                  offset = .as_np(offset))
+  invisible(gp_model)
+}
+
+#' Create and fit a GPModel in one call (GPModel.R:2826)
+fitGPModel <- function(likelihood = "gaussian", group_data = NULL,
+                       group_rand_coef_data = NULL,
+                       ind_effect_group_rand_coef = NULL,
+                       drop_intercept_group_rand_effect = NULL,
+                       gp_coords = NULL, gp_rand_coef_data = NULL,
+                       cov_function = "matern", cov_fct_shape = 1.5,
+                       gp_approx = "none", cov_fct_taper_range = 1,
+                       cov_fct_taper_shape = 1, num_neighbors = NULL,
+                       vecchia_ordering = "random",
+                       ind_points_selection = "kmeans++",
+                       num_ind_points = 500L, cover_tree_radius = 1,
+                       matrix_inversion_method = "cholesky", seed = 0L,
+                       cluster_ids = NULL,
+                       likelihood_additional_param = NULL, weights = NULL,
+                       y = NULL, X = NULL, params = list(), offset = NULL) {
+  m <- GPModel(likelihood = likelihood, group_data = group_data,
+               group_rand_coef_data = group_rand_coef_data,
+               ind_effect_group_rand_coef = ind_effect_group_rand_coef,
+               drop_intercept_group_rand_effect =
+                 drop_intercept_group_rand_effect,
+               gp_coords = gp_coords, gp_rand_coef_data = gp_rand_coef_data,
+               cov_function = cov_function, cov_fct_shape = cov_fct_shape,
+               gp_approx = gp_approx,
+               cov_fct_taper_range = cov_fct_taper_range,
+               cov_fct_taper_shape = cov_fct_taper_shape,
+               num_neighbors = num_neighbors,
+               vecchia_ordering = vecchia_ordering,
+               ind_points_selection = ind_points_selection,
+               num_ind_points = num_ind_points,
+               cover_tree_radius = cover_tree_radius,
+               matrix_inversion_method = matrix_inversion_method,
+               seed = seed, cluster_ids = cluster_ids,
+               likelihood_additional_param = likelihood_additional_param,
+               weights = weights)
+  fit(m, y = y, X = X, params = params, offset = offset)
+}
+
+predict.GPModel <- function(object, y = NULL, group_data_pred = NULL,
+                            group_rand_coef_data_pred = NULL,
+                            gp_coords_pred = NULL,
+                            gp_rand_coef_data_pred = NULL,
+                            cluster_ids_pred = NULL, X_pred = NULL,
+                            predict_cov_mat = FALSE, predict_var = FALSE,
+                            cov_pars = NULL, predict_response = TRUE,
+                            offset = NULL, offset_pred = NULL,
+                            fixed_effects = NULL,
+                            fixed_effects_pred = NULL, ...) {
+  if (is.null(fixed_effects)) fixed_effects <- offset
+  if (is.null(fixed_effects_pred)) fixed_effects_pred <- offset_pred
+  res <- object$py$predict(
+    y = .as_np(y), group_data_pred = .as_np(group_data_pred),
+    group_rand_coef_data_pred = .as_np(group_rand_coef_data_pred),
+    gp_coords_pred = .as_np(gp_coords_pred),
+    gp_rand_coef_data_pred = .as_np(gp_rand_coef_data_pred),
+    cluster_ids_pred = .as_np(cluster_ids_pred),
+    X_pred = .as_np(X_pred), predict_cov_mat = predict_cov_mat,
+    predict_var = predict_var, cov_pars = cov_pars,
+    predict_response = predict_response,
+    fixed_effects = .as_np(fixed_effects),
+    fixed_effects_pred = .as_np(fixed_effects_pred))
+  lapply(reticulate::py_to_r(res), function(v) v)
+}
+
+neg_log_likelihood <- function(gp_model, cov_pars, y, aux_pars = NULL,
+                               fixed_effects = NULL) {
+  gp_model$py$neg_log_likelihood(cov_pars = cov_pars, y = .as_np(y),
+                                 aux_pars = aux_pars,
+                                 fixed_effects = .as_np(fixed_effects))
+}
+
+get_cov_pars <- function(gp_model, std_err = FALSE) {
+  out <- reticulate::py_to_r(gp_model$py$get_cov_pars(std_err = std_err))
+  out
+}
+
+get_coef <- function(gp_model, std_err = FALSE) {
+  reticulate::py_to_r(gp_model$py$get_coef(std_err = std_err))
+}
+
+get_aux_pars <- function(gp_model) {
+  reticulate::py_to_r(gp_model$py$get_aux_pars())
+}
+
+get_num_optim_iter <- function(gp_model) {
+  as.integer(gp_model$py$get_num_optim_iter())
+}
+
+set_optim_params <- function(gp_model, params = list()) {
+  gp_model$py$set_optim_params(params = .params_py(params))
+  invisible(gp_model)
+}
+
+set_prediction_data <- function(gp_model, group_data_pred = NULL,
+                                group_rand_coef_data_pred = NULL,
+                                gp_coords_pred = NULL,
+                                gp_rand_coef_data_pred = NULL,
+                                cluster_ids_pred = NULL, X_pred = NULL) {
+  gp_model$py$set_prediction_data(
+    group_data_pred = .as_np(group_data_pred),
+    group_rand_coef_data_pred = .as_np(group_rand_coef_data_pred),
+    gp_coords_pred = .as_np(gp_coords_pred),
+    gp_rand_coef_data_pred = .as_np(gp_rand_coef_data_pred),
+    cluster_ids_pred = .as_np(cluster_ids_pred), X_pred = .as_np(X_pred))
+  invisible(gp_model)
+}
+
+predict_training_data_random_effects <- function(gp_model,
+                                                 predict_var = FALSE) {
+  reticulate::py_to_r(
+    gp_model$py$predict_training_data_random_effects(
+      predict_var = predict_var))
+}
+
+summary.GPModel <- function(object, ...) {
+  object$py$summary()
+  invisible(object)
+}
+
+print.GPModel <- function(x, ...) {
+  cat("GPModel (gpboost_tpu)\n")
+  invisible(x)
+}
+
+saveGPModel <- function(gp_model, filename) {
+  gp_model$py$save_model(filename)
+  invisible(gp_model)
+}
+
+loadGPModel <- function(filename) {
+  py <- .gpb()$GPModel$load_model(filename)
+  structure(list(py = py), class = "GPModel")
+}
+
+# ---------------------------------------------------------------------------
+# Dataset / boosting
+
+gpb.Dataset <- function(data, params = list(), reference = NULL,
+                        colnames = NULL, categorical_feature = NULL,
+                        label = NULL, weight = NULL, group = NULL,
+                        init_score = NULL, free_raw_data = FALSE) {
+  cf <- categorical_feature
+  if (!is.null(cf) && is.numeric(cf)) cf <- as.integer(cf - 1L)  # 1- to 0-based
+  py <- .gpb()$Dataset(
+    data = .as_np(.as_matrix(data)), label = .as_np(label),
+    weight = .as_np(weight), group = .as_np(group),
+    init_score = .as_np(init_score),
+    categorical_feature = cf,
+    feature_name = colnames,
+    reference = if (is.null(reference)) NULL else reference$py,
+    params = .params_py(params))
+  structure(list(py = py), class = "gpb.Dataset")
+}
+
+gpb.Dataset.construct <- function(dataset) {
+  dataset$py$construct()
+  invisible(dataset)
+}
+
+gpb.Dataset.create.valid <- function(dataset, data, label = NULL, ...) {
+  gpb.Dataset(data = data, label = label, reference = dataset, ...)
+}
+
+gpb.train <- function(params = list(), data, nrounds = 100L,
+                      gp_model = NULL, valids = list(), obj = NULL,
+                      eval = NULL, verbose = 1L, record = TRUE,
+                      eval_freq = 1L, early_stopping_rounds = NULL,
+                      init_model = NULL,
+                      use_gp_model_for_validation = TRUE,
+                      train_gp_model_cov_pars = TRUE, ...) {
+  valid_sets <- NULL
+  valid_names <- NULL
+  if (length(valids) > 0) {
+    valid_sets <- lapply(valids, function(v) v$py)
+    valid_names <- names(valids)
+  }
+  py <- .gpb()$train(
+    params = .params_py(params), train_set = data$py,
+    num_boost_round = as.integer(nrounds),
+    gp_model = if (is.null(gp_model)) NULL else gp_model$py,
+    valid_sets = valid_sets, valid_names = valid_names,
+    early_stopping_rounds = if (is.null(early_stopping_rounds)) NULL else
+      as.integer(early_stopping_rounds),
+    verbose_eval = verbose > 0,
+    use_gp_model_for_validation = use_gp_model_for_validation,
+    train_gp_model_cov_pars = train_gp_model_cov_pars)
+  structure(list(py = py, gp_model = gp_model), class = "gpb.Booster")
+}
+
+#' Convenience one-call interface (reference gpboost.R)
+gpboost <- function(data, label = NULL, params = list(), nrounds = 100L,
+                    gp_model = NULL, verbose = 1L, ...) {
+  if (!inherits(data, "gpb.Dataset")) {
+    data <- gpb.Dataset(data = data, label = label)
+  }
+  gpb.train(params = params, data = data, nrounds = nrounds,
+            gp_model = gp_model, verbose = verbose, ...)
+}
+
+predict.gpb.Booster <- function(object, data, start_iteration = NULL,
+                                num_iteration = NULL, rawscore = FALSE,
+                                predleaf = FALSE, predcontrib = FALSE,
+                                group_data_pred = NULL,
+                                group_rand_coef_data_pred = NULL,
+                                gp_coords_pred = NULL,
+                                gp_rand_coef_data_pred = NULL,
+                                cluster_ids_pred = NULL,
+                                predict_var = FALSE, pred_latent = FALSE,
+                                ...) {
+  res <- object$py$predict(
+    data = .as_np(.as_matrix(data)),
+    num_iteration = if (is.null(num_iteration)) NULL else
+      as.integer(num_iteration),
+    raw_score = rawscore, pred_leaf = predleaf, pred_contrib = predcontrib,
+    group_data_pred = .as_np(group_data_pred),
+    group_rand_coef_data_pred = .as_np(group_rand_coef_data_pred),
+    gp_coords_pred = .as_np(gp_coords_pred),
+    gp_rand_coef_data_pred = .as_np(gp_rand_coef_data_pred),
+    cluster_ids_pred = .as_np(cluster_ids_pred),
+    predict_var = predict_var, pred_latent = pred_latent)
+  reticulate::py_to_r(res)
+}
+
+gpb.save <- function(booster, filename, ...) {
+  booster$py$save_model(filename)
+  invisible(booster)
+}
+
+gpb.load <- function(filename) {
+  py <- .gpb()$Booster(model_file = filename)
+  structure(list(py = py), class = "gpb.Booster")
+}
+
+gpb.importance <- function(model, ...) {
+  imp <- reticulate::py_to_r(model$py$feature_importance())
+  data.frame(Feature = seq_along(imp) - 1L, Gain = imp)
+}
+
+gpb.get.eval.result <- function(booster, data_name, eval_name, ...) {
+  er <- attr(booster, "evals_result")
+  if (is.null(er)) stop("no evaluation results recorded")
+  er[[data_name]][[eval_name]]
+}
+
+gpb.cv <- function(params = list(), data, nrounds = 100L, nfold = 4L,
+                   gp_model = NULL, verbose = 1L,
+                   early_stopping_rounds = NULL,
+                   use_gp_model_for_validation = TRUE, ...) {
+  res <- .gpb()$cv(
+    params = .params_py(params), train_set = data$py,
+    num_boost_round = as.integer(nrounds), nfold = as.integer(nfold),
+    gp_model = if (is.null(gp_model)) NULL else gp_model$py,
+    early_stopping_rounds = if (is.null(early_stopping_rounds)) NULL else
+      as.integer(early_stopping_rounds),
+    verbose_eval = verbose > 0,
+    use_gp_model_for_validation = use_gp_model_for_validation)
+  reticulate::py_to_r(res)
+}
+
+gpb.grid.search.tune.parameters <- function(param_grid, data,
+                                            params = list(),
+                                            nrounds = 100L, gp_model = NULL,
+                                            nfold = 4L, verbose_eval = 1L,
+                                            ...) {
+  res <- .gpb()$grid_search_tune_parameters(
+    param_grid = reticulate::r_to_py(param_grid),
+    params = .params_py(params), train_set = data$py,
+    num_try_random = NULL,
+    nfold = as.integer(nfold),
+    gp_model = if (is.null(gp_model)) NULL else gp_model$py,
+    num_boost_round = as.integer(nrounds))
+  reticulate::py_to_r(res)
+}

@@ -82,21 +82,40 @@ def _psi_blocks(cov_fn, gp_pars, noise_over, blocks: ClusterBlocks):
     return jnp.where(pair_valid, psi, eye[None])
 
 
+def block_quad_logdet(cov_fn, cov_pars, coords_pad, valid, rb):
+    """(sum alpha'alpha, sum logdet) over a batch of padded cluster blocks.
+
+    Shared by the single-device batched path (:func:`nll_gaussian`) and the
+    mesh-sharded path (``parallel/mesh.py`` ``sharded_cluster_nll_fn``): the
+    leading cluster axis is embarrassingly parallel, so both reduce the same
+    per-block quantities.
+    """
+    diffs = coords_pad[:, :, None, :] - coords_pad[:, None, :, :]
+    d = jnp.sqrt(jnp.maximum(jnp.sum(diffs * diffs, -1), 0.0))
+    cov = cov_fn.cov_matrix(cov_pars[1:], dist=d)
+    m = coords_pad.shape[1]
+    eye = jnp.eye(m, dtype=coords_pad.dtype)
+    psi = cov + cov_pars[0] * eye[None]
+    pair_valid = valid[:, :, None] & valid[:, None, :]
+    psi = jnp.where(pair_valid, psi, eye[None])
+    chol = jnp.linalg.cholesky(psi)
+    alpha = jax.scipy.linalg.solve_triangular(chol, rb[..., None],
+                                              lower=True)[..., 0]
+    # padded rows have identity diagonal -> log contribution 0 and alpha 0
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol, axis1=1, axis2=2)))
+    quad = jnp.sum(alpha * alpha)
+    return quad, logdet
+
+
 @partial(jax.jit, static_argnums=(0,))
 def nll_gaussian(cov_fn, cov_pars, blocks: ClusterBlocks, r: jnp.ndarray):
     """Exact Gaussian NLL via batched per-cluster Cholesky.
 
     cov_pars = [nugget, gp pars...]; r = centered residual [n].
     """
-    psi = _psi_blocks(cov_fn, cov_pars[1:], cov_pars[0], blocks)
     rb = _gather_blocks(blocks, r)
-    chol = jnp.linalg.cholesky(psi)
-    alpha = jax.scipy.linalg.solve_triangular(chol, rb[..., None],
-                                              lower=True)[..., 0]
-    # padded rows have identity diagonal -> log contribution 0 and alpha 0
-    logdet = 2.0 * jnp.sum(jnp.log(
-        jnp.diagonal(chol, axis1=1, axis2=2)))
-    quad = jnp.sum(alpha * alpha)
+    quad, logdet = block_quad_logdet(cov_fn, cov_pars, blocks.coords,
+                                     blocks.valid, rb)
     return 0.5 * (quad + logdet + blocks.num_data * LOG_2PI)
 
 

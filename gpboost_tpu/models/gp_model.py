@@ -522,6 +522,20 @@ class GPModel:
         self.num_it_ = result.num_it
         if cfg.std_dev:
             self.std_dev_cov_pars_ = self._calc_std_dev_cov_pars(data)
+            if has_coef and self.coefs_ is not None:
+                # GLS covariance (X' Psi^-1 X)^-1 (CalcStdDevCoef,
+                # re_model_template.h; reference reports these in summary())
+                cov_pars_arr = jnp.asarray(np.asarray(self.cov_pars_),
+                                           dtype=self.dtype)
+                psi = gaussian.build_psi(self.spec, data, cov_pars_arr)
+                XtPiX = np.asarray(
+                    data.X.T @ jnp.linalg.solve(psi, data.X))
+                try:
+                    inv = np.linalg.inv(XtPiX)
+                except np.linalg.LinAlgError:
+                    inv = np.linalg.pinv(XtPiX)
+                self.std_dev_coefs_ = np.sqrt(
+                    np.maximum(np.diagonal(inv), 0.0))
         return self
 
     # -- profiled-nugget path (gradient_descent / lbfgs / nelder_mead / adam)
@@ -1141,11 +1155,26 @@ class GPModel:
         return data_pred, cross_dists, pred_dists
 
     # ------------------------------------------------------------------
-    def get_cov_pars(self, format_pandas=False):
-        return np.asarray(self.cov_pars_)
+    def get_cov_pars(self, format_pandas=False, std_err=False):
+        """Estimated covariance parameters; with ``std_err=True`` a [2, p]
+        stack of (estimate, asymptotic std dev) like the reference's
+        ``get_cov_pars(std_err=TRUE)`` (R GPModel.R / ``basic.py``)."""
+        if not std_err:
+            return np.asarray(self.cov_pars_)
+        if self.std_dev_cov_pars_ is None:
+            self.std_dev_cov_pars_ = self._calc_std_dev_cov_pars(self.data)
+        return np.vstack([np.asarray(self.cov_pars_),
+                          np.asarray(self.std_dev_cov_pars_)])
 
-    def get_coef(self):
-        return None if self.coefs_ is None else np.asarray(self.coefs_)
+    def get_coef(self, std_err=False):
+        if self.coefs_ is None:
+            return None
+        if not std_err:
+            return np.asarray(self.coefs_)
+        sd = getattr(self, "std_dev_coefs_", None)
+        if sd is None:
+            sd = np.full(len(np.asarray(self.coefs_)), np.nan)
+        return np.vstack([np.asarray(self.coefs_), np.asarray(sd)])
 
     def get_aux_pars(self):
         return getattr(self, "aux_pars_", None)
@@ -1167,7 +1196,13 @@ class GPModel:
             print(dict(zip(self._cov_par_names(), np.asarray(self.cov_pars_))))
         if self.coefs_ is not None:
             print("Linear regression coefficients:")
-            print(np.asarray(self.coefs_))
+            sd = getattr(self, "std_dev_coefs_", None)
+            if sd is not None:
+                for j, (est, s) in enumerate(zip(np.asarray(self.coefs_),
+                                                 np.asarray(sd))):
+                    print(f"  beta_{j}: {est:.6g} (std dev {s:.6g})")
+            else:
+                print(np.asarray(self.coefs_))
         if getattr(self, "aux_pars_", None) is not None:
             print("Additional parameters:")
             print(np.asarray(self.aux_pars_))

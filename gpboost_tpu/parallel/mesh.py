@@ -90,6 +90,66 @@ def sharded_histogram_fn(mesh: Mesh, num_bins: int, axis: str = "data"):
     return _hist
 
 
+def pad_cluster_blocks(blocks, r, n_shards: int):
+    """Pad a ``ClusterBlocks`` batch along the cluster axis to a multiple of
+    ``n_shards`` and gather the residual into [C, m] blocks.
+
+    Padding blocks are all-invalid (identity Psi, zero residual), so they
+    contribute nothing to the reduction. Returns (coords [C', m, d],
+    valid [C', m], rb [C', m]).
+    """
+    from gpboost_tpu.models.clustered import _gather_blocks
+    rb = _gather_blocks(blocks, r)
+    C = blocks.coords.shape[0]
+    pad = (-C) % n_shards
+    if pad:
+        coords = jnp.concatenate(
+            [blocks.coords,
+             jnp.zeros((pad,) + blocks.coords.shape[1:],
+                       blocks.coords.dtype)])
+        valid = jnp.concatenate(
+            [blocks.valid, jnp.zeros((pad,) + blocks.valid.shape[1:], bool)])
+        rb = jnp.concatenate([rb, jnp.zeros((pad,) + rb.shape[1:],
+                                            rb.dtype)])
+    else:
+        coords, valid = blocks.coords, blocks.valid
+    return coords, valid, rb
+
+
+def sharded_cluster_nll_fn(cov_fn: CovFunction, mesh: Mesh,
+                           axis: str = "data"):
+    """Mesh-sharded exact-GP NLL over independent ``cluster_ids`` blocks.
+
+    SURVEY §2.5 item 8: the reference loops clusters SERIALLY
+    (``re_model_template.h:5020-5144``); here the [C, m, m] batched-Cholesky
+    path (``models/clustered.py``) shards its leading cluster axis across the
+    mesh — embarrassing parallelism with one final psum of (quad, logdet).
+
+    Inputs: cov_pars [p] (replicated), coords [C, m, d] / valid [C, m] /
+    rb [C, m] (sharded on the cluster axis; pad C to a multiple of the mesh
+    size with :func:`pad_cluster_blocks`), num_data (static python int).
+    """
+    from jax.experimental.shard_map import shard_map
+    from gpboost_tpu.models.clustered import LOG_2PI, block_quad_logdet
+
+    def _local(cov_pars, coords, valid, rb):
+        quad, logdet = block_quad_logdet(cov_fn, cov_pars, coords, valid, rb)
+        return (jax.lax.psum(quad, axis),
+                jax.lax.psum(logdet, axis))
+
+    sharded = shard_map(
+        _local, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P()))
+
+    @partial(jax.jit, static_argnums=(4,))
+    def nll(cov_pars, coords, valid, rb, num_data: int):
+        quad, logdet = sharded(cov_pars, coords, valid, rb)
+        return 0.5 * (quad + logdet + num_data * LOG_2PI)
+
+    return nll
+
+
 def sharded_training_step_fn(cov_fn: CovFunction, mesh: Mesh,
                              num_bins: int = 16, axis: str = "data",
                              lr: float = 0.1):

@@ -158,3 +158,23 @@ def test_drop_intercept_save_load(r_grouped_data, tmp_path):
                     predict_var=True, predict_response=False)
     np.testing.assert_allclose(p1["mu"], p2["mu"], atol=1e-8)
     np.testing.assert_allclose(p1["var"], p2["var"], atol=1e-8)
+
+
+def test_get_cov_pars_std_err_golden():
+    """Single-level grouped model: estimates + asymptotic std errors
+    (test_GPModel_grouped_random_effects.R:51-58, golden c(0.49348532,
+    0.02326312, 1.22299521, 0.17995161) as a [2, p] matrix)."""
+    n, mm = 1000, 100
+    group = np.repeat(np.arange(1, mm + 1), n // mm)
+    b1 = norm.ppf(sim_rand_unif_boost(mm, init_c=0.546))
+    xi = np.sqrt(0.5) * norm.ppf(sim_rand_unif_boost(n, init_c=0.1))
+    y = b1[group - 1] + xi
+    m = GPModel(group_data=group)
+    m.fit(y=y, params={"optimizer_cov": "fisher_scoring", "std_dev": True,
+                       "convergence_criterion":
+                           "relative_change_in_parameters"})
+    got = m.get_cov_pars(std_err=True)
+    expected = np.array([[0.49348532, 1.22299521],
+                         [0.02326312, 0.17995161]])
+    assert got.shape == (2, 2)
+    assert np.sum(np.abs(got - expected)) < 1e-5

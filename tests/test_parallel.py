@@ -77,3 +77,39 @@ def test_sharded_histogram_matches(mesh):
 def test_full_training_step(mesh):
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_sharded_cluster_nll_matches_batched(mesh):
+    """Cluster-axis sharding (SURVEY §2.5 item 8) reproduces the batched
+    per-cluster NLL, including gradients, with C not divisible by 8."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from gpboost_tpu.models import clustered
+    from gpboost_tpu.parallel.mesh import (pad_cluster_blocks,
+                                           sharded_cluster_nll_fn)
+    rng = np.random.default_rng(3)
+    C_real, m_max = 13, 12
+    codes = np.repeat(np.arange(C_real), rng.integers(4, m_max, size=C_real))
+    n = len(codes)
+    coords = rng.uniform(size=(n, 2))
+    r = rng.standard_normal(n)
+    cov_fn = CovFunction.create("exponential")
+    blocks = clustered.prepare_blocks(codes, coords)
+    cov_pars = jnp.asarray([0.1, 1.0, 0.2])
+    ref = clustered.nll_gaussian(cov_fn, cov_pars, blocks, jnp.asarray(r))
+
+    coords_p, valid_p, rb_p = pad_cluster_blocks(blocks, jnp.asarray(r), 8)
+    sharding = NamedSharding(mesh, P("data"))
+    coords_p = jax.device_put(coords_p, sharding)
+    valid_p = jax.device_put(valid_p, sharding)
+    rb_p = jax.device_put(rb_p, sharding)
+    nll_fn = sharded_cluster_nll_fn(cov_fn, mesh)
+    got = nll_fn(cov_pars, coords_p, valid_p, rb_p, blocks.num_data)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-12)
+
+    # gradients agree too
+    g_ref = jax.grad(lambda cp: clustered.nll_gaussian(
+        cov_fn, cp, blocks, jnp.asarray(r)))(cov_pars)
+    g_sh = jax.grad(lambda cp: nll_fn(cp, coords_p, valid_p, rb_p,
+                                      blocks.num_data))(cov_pars)
+    np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref),
+                               rtol=1e-10)

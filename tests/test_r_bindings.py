@@ -1,0 +1,125 @@
+"""The R package (R-package/) binds via reticulate; no R runtime ships in
+this image, so this test replays the EXACT Python call sequences the R
+wrappers generate (same function names, same keyword arguments) to guarantee
+the binding surface stays valid. Any signature drift that would break
+R-package/R/gpboostTPU.R fails here first.
+"""
+import numpy as np
+import pytest
+
+import gpboost_tpu as gpb
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(2)
+    n, m = 400, 20
+    group = np.repeat(np.arange(m), n // m)
+    b = 0.8 * rng.standard_normal(m)
+    X = np.column_stack([np.ones(n), rng.uniform(size=n)])
+    y = X @ np.array([2.0, 2.0]) + b[group] + 0.3 * rng.standard_normal(n)
+    return dict(n=n, group=group, X=X, y=y, rng=rng)
+
+
+def test_gpmodel_calls_as_r_wrappers(data, tmp_path):
+    # GPModel(...) with every kwarg the R constructor forwards
+    m = gpb.GPModel(
+        group_data=data["group"], group_rand_coef_data=None,
+        ind_effect_group_rand_coef=None,
+        drop_intercept_group_rand_effect=None, gp_coords=None,
+        gp_rand_coef_data=None, cov_function="matern", cov_fct_shape=1.5,
+        gp_approx="none", cov_fct_taper_range=1, cov_fct_taper_shape=1,
+        num_neighbors=None, vecchia_ordering="random",
+        ind_points_selection="kmeans++", num_ind_points=500,
+        cover_tree_radius=1, matrix_inversion_method="cholesky", seed=0,
+        cluster_ids=None, likelihood="gaussian",
+        likelihood_additional_param=None, weights=None)
+    # fit.GPModel
+    m.fit(y=data["y"], X=data["X"],
+          params={"optimizer_cov": "fisher_scoring", "std_dev": True},
+          offset=None)
+    assert m.get_num_optim_iter() > 0
+    # get_cov_pars(std_err=)
+    cp = m.get_cov_pars(std_err=True)
+    assert cp.shape[0] == 2
+    assert np.all(cp[1] > 0)
+    coef = m.get_coef(std_err=True)
+    assert coef.shape == (2, 2) and np.all(np.isfinite(coef))
+    m.summary()
+    # predict.GPModel keyword set
+    pred = m.predict(y=None, group_data_pred=np.array([0, 1, 999]),
+                     group_rand_coef_data_pred=None, gp_coords_pred=None,
+                     gp_rand_coef_data_pred=None, cluster_ids_pred=None,
+                     X_pred=np.column_stack([np.ones(3), [0.1, 0.5, 0.9]]),
+                     predict_cov_mat=False, predict_var=True, cov_pars=None,
+                     predict_response=True, fixed_effects=None,
+                     fixed_effects_pred=None)
+    assert len(pred["mu"]) == 3 and np.all(pred["var"] > 0)
+    # neg_log_likelihood / set_optim_params / training-data REs
+    nll = m.neg_log_likelihood(cov_pars=[0.1, 0.5], y=data["y"],
+                               aux_pars=None, fixed_effects=None)
+    assert np.isfinite(nll)
+    m.set_optim_params(params={"maxit": 10})
+    re = m.predict_training_data_random_effects(predict_var=False)
+    assert re.shape == (data["n"], 1)
+    # saveGPModel / loadGPModel
+    f = str(tmp_path / "m.json")
+    m.save_model(f)
+    m2 = gpb.GPModel.load_model(f)
+    p2 = m2.predict(y=data["y"], group_data_pred=np.array([0, 1, 999]),
+                    X_pred=np.column_stack([np.ones(3), [0.1, 0.5, 0.9]]),
+                    predict_var=True)
+    np.testing.assert_allclose(p2["mu"], pred["mu"], atol=1e-8)
+
+
+def test_boosting_calls_as_r_wrappers(data, tmp_path):
+    rng = data["rng"]
+    n = data["n"]
+    Xb = rng.uniform(size=(n, 4))
+    yb = 2 * Xb[:, 0] + 0.2 * rng.standard_normal(n)
+    # gpb.Dataset kwargs
+    ds = gpb.Dataset(data=Xb, label=yb, weight=None, group=None,
+                     init_score=None, categorical_feature=None,
+                     feature_name=None, reference=None, params={})
+    ds.construct()
+    # gpb.Dataset.create.valid -> Dataset(reference=ds)
+    Xv = rng.uniform(size=(50, 4))
+    vs = gpb.Dataset(data=Xv, label=2 * Xv[:, 0], reference=ds)
+    # gpb.train kwargs (incl. gp_model route)
+    gp = gpb.GPModel(group_data=data["group"], likelihood="gaussian")
+    bst = gpb.train(params={"learning_rate": 0.1, "num_leaves": 15,
+                            "verbose": -1},
+                    train_set=ds, num_boost_round=10, gp_model=gp,
+                    valid_sets=[vs], valid_names=["valid"],
+                    early_stopping_rounds=None, verbose_eval=False,
+                    use_gp_model_for_validation=False,
+                    train_gp_model_cov_pars=True)
+    # predict.gpb.Booster kwargs
+    p = bst.predict(data=Xb[:5], num_iteration=None, raw_score=False,
+                    pred_leaf=False, pred_contrib=False,
+                    group_data_pred=data["group"][:5],
+                    group_rand_coef_data_pred=None, gp_coords_pred=None,
+                    gp_rand_coef_data_pred=None, cluster_ids_pred=None,
+                    predict_var=False, pred_latent=False)
+    assert len(p["response_mean"]) == 5
+    # gpb.save / gpb.load
+    f = str(tmp_path / "bst.json")
+    bst.save_model(f)
+    b2 = gpb.Booster(model_file=f)
+    assert b2.num_feature() >= 1
+    # gpb.importance
+    imp = bst.feature_importance()
+    assert len(imp) == 4
+    # gpb.cv kwargs
+    res = gpb.cv(params={"learning_rate": 0.1, "verbose": -1},
+                 train_set=ds, num_boost_round=5, nfold=3, gp_model=None,
+                 early_stopping_rounds=None, verbose_eval=False,
+                 use_gp_model_for_validation=False)
+    assert any(len(v) == 5 for v in res.values())
+    # gpb.grid.search.tune.parameters kwargs
+    from gpboost_tpu.tuning import grid_search_tune_parameters
+    out = grid_search_tune_parameters(
+        param_grid={"learning_rate": [0.1, 0.2]}, params={"verbose": -1},
+        train_set=ds, num_try_random=None, nfold=2, gp_model=None,
+        num_boost_round=3)
+    assert "best_params" in out
