@@ -1056,7 +1056,60 @@ class GPModel:
                 if predict_var:
                     var_cols.append(np.asarray(pcdiag[idx]))
             return np.column_stack(mean_cols + var_cols)
-        # GP (and mixed) models: predict latent effects at training points
+        if self._approx is None and self.spec.is_gaussian:
+            # dense path: one column per component, mean_c = Sigma_c Z_c'
+            # y_aux (WITHOUT the random-coef multiplier at the output point,
+            # reference re_model_template.h:4170-4196), y_aux = Psi^-1 r
+            from gpboost_tpu.models.covariance import (component_cov,
+                                                       split_cov_pars,
+                                                       total_re_cov)
+            r = data.y
+            if beta is not None and data.X is not None:
+                r = r - data.X @ beta
+            if self._train_fixed_effects is not None:
+                r = r - self._train_fixed_effects
+            sigma2, comp_pars = split_cov_pars(self.spec, cov_pars_arr)
+            psi = total_re_cov(self.spec, data, comp_pars)
+            psi = psi + sigma2 * jnp.eye(psi.shape[0], dtype=psi.dtype)
+            chol = jnp.linalg.cholesky(psi)
+            y_aux = jax.scipy.linalg.cho_solve((chol, True), r)
+            mean_cols, var_cols = [], []
+            from dataclasses import replace as _replace
+            gi = gpi = 0
+            for comp, pars in zip(self.spec.components, comp_pars):
+                # base covariance (no covariate multipliers on either side);
+                # the obs-side multiplier z enters the projection only
+                if isinstance(comp, GroupedRESpec):
+                    base = (_replace(comp, is_slope=False, slope_data_idx=-1)
+                            if comp.is_slope else comp)
+                    z_out = (data.slope_data[:, comp.slope_data_idx]
+                             if comp.is_slope else None)
+                    gi += 1
+                else:
+                    base = (_replace(comp, is_random_coef=False,
+                                     rand_coef_data_idx=-1)
+                            if comp.is_random_coef else comp)
+                    z_out = (data.gp_rand_coef_data[:,
+                                                    comp.rand_coef_data_idx]
+                             if comp.is_random_coef else None)
+                    gpi += 1
+                cov_c = component_cov(self.spec, base, pars, data, gi, gpi)
+                if data.cluster_codes is not None:
+                    cc = data.cluster_codes
+                    cov_c = cov_c * (cc[:, None] == cc[None, :]).astype(
+                        cov_c.dtype)
+                ya = y_aux if z_out is None else z_out * y_aux
+                mean_cols.append(np.asarray(cov_c @ ya))
+                if predict_var:
+                    # var_c = diag(Sigma_c) - diag(M' Psi^-1 M), M = cross-cov
+                    cross = cov_c if z_out is None else cov_c * z_out[None, :]
+                    sol = jax.scipy.linalg.cho_solve((chol, True), cross.T)
+                    var_c = jnp.diagonal(cov_c) - jnp.sum(cross * sol.T,
+                                                          axis=1)
+                    var_cols.append(np.asarray(var_c))
+            return np.column_stack(mean_cols + var_cols)
+        # approximations / non-Gaussian: aggregate latent prediction at the
+        # training points
         pred = self.predict(
             y=np.asarray(data.y),
             gp_coords_pred=(None if data.coords is None
