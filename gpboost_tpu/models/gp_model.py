@@ -112,10 +112,13 @@ class GPModel:
                 data.dists = euclidean_distance(data.coords, data.coords)
             if gp_approx in ("vecchia", "vecchia_latent"):
                 from gpboost_tpu.models.vecchia_model import VecchiaGP
-                if gp_rand_coef_data is not None:
+                if gp_rand_coef_data is not None and (
+                        _canonical_likelihood(likelihood) != "gaussian"
+                        or gp_approx != "vecchia" or group_data is not None):
                     raise NotImplementedError(
-                        "gp_approx='vecchia' does not support GP random "
-                        "coefficients yet")
+                        "gp_approx='vecchia' with GP random coefficients "
+                        "currently supports the gaussian likelihood without "
+                        "grouped random effects")
                 if group_data is not None:
                     # combined GP + grouped REs: Vecchia GP + low-rank
                     # Woodbury grouped part (models/vecchia_combined.py)
@@ -154,6 +157,7 @@ class GPModel:
                         nugget_in_pars=(
                             _canonical_likelihood(likelihood) == "gaussian"
                             and gp_approx == "vecchia"),
+                        rand_coef_data=gp_rand_coef_data,
                         dtype=dtype)
             elif gp_approx in ("full_scale_vecchia",
                                "full_scale_vecchia_correlation_based"):
@@ -904,19 +908,28 @@ class GPModel:
                         "cov": None}
             if self.spec.is_gaussian and self.gp_approx != "vecchia_latent":
                 fixed_part = fe
+                extra = {}
+                if getattr(self._approx, "z", None) is not None:
+                    extra["z_pred"] = gp_rand_coef_data_pred
                 mean, var = self._approx.predict_gaussian(
                     cov_pars_arr, y_arr, cp, fixed_part,
-                    bool(predict_response), bool(predict_var))
+                    bool(predict_response),
+                    bool(predict_var or predict_cov_mat), **extra)
                 if fep is not None:
                     mean = mean + fep
             else:
                 ap = self._aux_pars_array()
                 mean, var = self._approx.predict_laplace(
                     cov_pars_arr, y_arr, ap, cp, fe, fep,
-                    bool(predict_response), bool(predict_var))
+                    bool(predict_response), bool(predict_var or predict_cov_mat))
+            # cond-obs-only Vecchia predictions are conditionally independent
+            # given their neighbor sets -> the prediction covariance is
+            # diagonal (matches the reference's num_neighbors_pred < n case)
+            cov = (None if (not predict_cov_mat or var is None)
+                   else np.diag(np.asarray(var)))
             return {"mu": np.asarray(mean),
                     "var": None if var is None else np.asarray(var),
-                    "cov": None}
+                    "cov": cov}
 
         data_pred, cross_dists, pred_dists = self._build_pred_data(
             group_data_pred, group_rand_coef_data_pred, gp_coords_pred,

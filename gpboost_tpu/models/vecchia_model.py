@@ -145,6 +145,7 @@ class VecchiaGP:
                  seed: int = 0, likelihood: str = "gaussian",
                  num_neighbors_pred: Optional[int] = None,
                  nugget_in_pars: bool = True,
+                 rand_coef_data: Optional[np.ndarray] = None,
                  dtype=jnp.float64):
         n = coords.shape[0]
         self.n = n
@@ -160,6 +161,19 @@ class VecchiaGP:
         self.neighbors = vops.find_neighbors(self.coords_perm,
                                              self.num_neighbors)
         self.dtype = dtype
+        # GP random coefficients (SVC): z[:, 0] = 1 is the base GP, further
+        # columns multiply coefficient GPs with their own [var, range] pars
+        self.z = None
+        self.z_orig = None
+        if rand_coef_data is not None:
+            zr = np.asarray(rand_coef_data, np.float64).reshape(n, -1)
+            if not cov_fn.is_isotropic:
+                raise NotImplementedError(
+                    "GP random coefficients under Vecchia require an "
+                    "isotropic covariance function")
+            zfull = np.concatenate([np.ones((n, 1)), zr], axis=1)
+            self.z_orig = jnp.asarray(zfull, dtype=dtype)
+            self.z = jnp.asarray(zfull[self.perm], dtype=dtype)
         self._ard_neighbors_pars = None
         # persistent jitted value+grad kernels (reused across fit() calls,
         # e.g. per-boosting-iteration refits); neighbors are a traced
@@ -203,6 +217,19 @@ class VecchiaGP:
                                          self.num_neighbors_pred)
 
     # ---- Gaussian response-scale Vecchia ------------------------------
+    def _pars_stack(self, gp_pars):
+        """[C, p] per-component parameter stack for the SVC build."""
+        return jnp.reshape(gp_pars, (self.z.shape[1], self.cov_fn.num_cov_par))
+
+    def _response_factors(self, cov_pars, nb):
+        """(A, D) of the response covariance; cov_pars = [nugget, comps...]."""
+        if self.z is not None:
+            return vops.build_factors_svc(
+                self.cov_fn, self._pars_stack(cov_pars[1:]), self.coords_perm,
+                nb, self.z, cov_pars[0], True)
+        return vops.build_factors(self.cov_fn, cov_pars[1:], self.coords_perm,
+                                  nb, cov_pars[0], True)
+
     def nll_gaussian(self, cov_pars: jnp.ndarray, y: jnp.ndarray,
                      fixed_part: Optional[jnp.ndarray] = None,
                      neighbors=None) -> jnp.ndarray:
@@ -210,15 +237,13 @@ class VecchiaGP:
         nb = self.neighbors if neighbors is None else neighbors
         r = y if fixed_part is None else y - fixed_part
         r = r[self.perm]
-        a, d = vops.build_factors(self.cov_fn, cov_pars[1:], self.coords_perm,
-                                  nb, cov_pars[0], True)
+        a, d = self._response_factors(cov_pars, nb)
         return vops.vecchia_nll(a, d, nb, r)
 
     def wls_coef(self, cov_pars, y, X, fixed_effects=None):
         """GLS coefficients with the Vecchia precision: solve
         (X'B'D^-1BX) beta = X'B'D^-1B y — all matrix-free O(n m p)."""
-        a, d = vops.build_factors(self.cov_fn, cov_pars[1:], self.coords_perm,
-                                  self.neighbors, cov_pars[0], True)
+        a, d = self._response_factors(cov_pars, self.neighbors)
         yv = y if fixed_effects is None else y - fixed_effects
         yp = yv[self.perm]
         Xp = X[self.perm]
@@ -232,10 +257,26 @@ class VecchiaGP:
 
     def predict_gaussian(self, cov_pars, y, coords_pred,
                          fixed_part=None, predict_response=True,
-                         predict_var=False):
+                         predict_var=False, z_pred=None):
         """Local-kriging prediction conditioning on observed neighbors."""
         r = y if fixed_part is None else y - fixed_part
         nb_pred = self._pred_neighbors(cov_pars[1:], coords_pred)
+        if self.z is not None:
+            n_p = np.asarray(coords_pred).shape[0]
+            if z_pred is None:
+                zp = jnp.concatenate(
+                    [jnp.ones((n_p, 1), self.dtype),
+                     jnp.zeros((n_p, self.z.shape[1] - 1), self.dtype)], 1)
+            else:
+                zp = jnp.concatenate(
+                    [jnp.ones((n_p, 1), self.dtype),
+                     jnp.asarray(np.asarray(z_pred, np.float64).reshape(
+                         n_p, -1), self.dtype)], 1)
+            mean, var = vops.predict_vecchia_response_svc(
+                self.cov_fn, self._pars_stack(cov_pars[1:]), cov_pars[0],
+                self.coords, jnp.asarray(coords_pred, self.dtype), nb_pred,
+                self.z_orig, zp, r, bool(predict_response))
+            return mean, (var if predict_var else None)
         mean, var = vops.predict_vecchia_response(
             self.cov_fn, cov_pars[1:], cov_pars[0], self.coords,
             jnp.asarray(coords_pred, self.dtype), nb_pred, r,

@@ -455,6 +455,96 @@ def build_factors_residual(cov_fn: CovFunction, cov_pars: jnp.ndarray,
     return a, jnp.maximum(d_cond, 1e-12)
 
 
+@partial(jax.jit, static_argnums=(0, 6))
+def build_factors_svc(cov_fn: CovFunction, pars_stack: jnp.ndarray,
+                      coords: jnp.ndarray, neighbors: jnp.ndarray,
+                      z: jnp.ndarray, nugget: Optional[jnp.ndarray],
+                      include_nugget: bool):
+    """Multi-component Vecchia factors for GP random coefficients (SVC).
+
+    Total latent process u(s_i) = sum_c z[i, c] b_c(s_i) with z[:, 0] = 1
+    for the base GP; covariance K_ij = sum_c z_ci z_cj k_c(d_ij)
+    (reference: random-coefficient components in ``CreateREComponentsVecchia``
+    ``Vecchia_utils.cpp:1060`` and their factor/gradient handling in
+    ``CalcCovFactorGradientVecchia`` :1307 — here gradients come from
+    autodiff through this build).
+
+    ``pars_stack``: [C, p] per-component covariance parameters;
+    ``z``: [n, C] covariate columns. Returns (A [n, m], D [n]).
+    """
+    n, m = neighbors.shape
+    C = z.shape[1]
+    mask = neighbors >= 0
+    idx = jnp.maximum(neighbors, 0)
+    nb_coords = coords[idx]                                 # [n, m, d]
+    diffs = nb_coords[:, :, None, :] - nb_coords[:, None, :, :]
+    d_nn = _safe_dist(jnp.sum(diffs * diffs, -1))           # [n, m, m]
+    di = coords[:, None, :] - nb_coords
+    d_in = _safe_dist(jnp.sum(di * di, -1))                 # [n, m]
+    z_nb = z[idx]                                           # [n, m, C]
+    c_nn = jnp.zeros((n, m, m), coords.dtype)
+    c_in = jnp.zeros((n, m), coords.dtype)
+    var_ii = jnp.zeros(n, coords.dtype)
+    for c in range(C):
+        pc = pars_stack[c]
+        k_nn = cov_fn.cov_matrix(pc, dist=d_nn)
+        k_in = cov_fn.cov_matrix(pc, dist=d_in[:, None, :])[:, 0, :]
+        zc = z_nb[:, :, c]
+        c_nn = c_nn + (zc[:, :, None] * zc[:, None, :]) * k_nn
+        c_in = c_in + (z[:, c][:, None] * zc) * k_in
+        var_ii = var_ii + z[:, c] * z[:, c] * pc[0]
+    if include_nugget and nugget is not None:
+        eye = jnp.eye(m, dtype=coords.dtype)
+        c_nn = c_nn + nugget * eye[None]
+        var_ii = var_ii + nugget
+    pair_mask = mask[:, :, None] & mask[:, None, :]
+    eye = jnp.eye(m, dtype=coords.dtype)
+    c_nn = jnp.where(pair_mask, c_nn, eye[None])
+    c_in = jnp.where(mask, c_in, 0.0)
+    a = posdef_solve(c_nn, c_in)
+    a = jnp.where(mask, a, 0.0)
+    d_cond = var_ii - jnp.sum(c_in * a, axis=1)
+    return a, d_cond
+
+
+@partial(jax.jit, static_argnums=(0, 9))
+def predict_vecchia_response_svc(cov_fn: CovFunction, pars_stack: jnp.ndarray,
+                                 nugget, coords_obs, coords_pred, nb_pred,
+                                 z_obs, z_pred, r_obs,
+                                 predict_response: bool):
+    """Batched local kriging for multi-component (SVC) Vecchia: prediction
+    point conditions on observed neighbors; covariances weighted by the
+    per-point random-coefficient covariates (reference
+    ``CalcPredVecchiaObservedFirstOrder`` with random coefs,
+    ``Vecchia_utils.cpp:1634``)."""
+    n_p, m = nb_pred.shape
+    C = z_obs.shape[1]
+    nb_coords = coords_obs[nb_pred]
+    diffs = nb_coords[:, :, None, :] - nb_coords[:, None, :, :]
+    d_nn = _safe_dist(jnp.sum(diffs * diffs, -1))
+    di = coords_pred[:, None, :] - nb_coords
+    d_in = _safe_dist(jnp.sum(di * di, -1))
+    z_nb = z_obs[nb_pred]                                   # [n_p, m, C]
+    c_nn = jnp.zeros((n_p, m, m), coords_obs.dtype)
+    c_in = jnp.zeros((n_p, m), coords_obs.dtype)
+    var_pp = jnp.zeros(n_p, coords_obs.dtype)
+    for c in range(C):
+        pc = pars_stack[c]
+        k_nn = cov_fn.cov_matrix(pc, dist=d_nn)
+        k_in = cov_fn.cov_matrix(pc, dist=d_in[:, None, :])[:, 0, :]
+        zc = z_nb[:, :, c]
+        c_nn = c_nn + (zc[:, :, None] * zc[:, None, :]) * k_nn
+        c_in = c_in + (z_pred[:, c][:, None] * zc) * k_in
+        var_pp = var_pp + z_pred[:, c] * z_pred[:, c] * pc[0]
+    c_nn = c_nn + nugget * jnp.eye(m, dtype=coords_obs.dtype)[None]
+    a = posdef_solve(c_nn, c_in)
+    mean = jnp.sum(a * r_obs[nb_pred], axis=1)
+    var = var_pp - jnp.sum(c_in * a, axis=1)
+    if predict_response:
+        var = var + nugget
+    return mean, jnp.maximum(var, 0.0)
+
+
 @jax.jit
 def apply_B(a: jnp.ndarray, neighbors: jnp.ndarray, v: jnp.ndarray):
     """(B v)_i = v_i - sum_k A[i,k] v[nb[i,k]]."""
