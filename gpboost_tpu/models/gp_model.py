@@ -94,6 +94,16 @@ class GPModel:
         self._group_maps = info["group_maps"]
         num_data = info["num_data"]
 
+        # cluster_ids -> dense int codes (needed before approximation setup:
+        # Vecchia restricts neighbor search to same-cluster points)
+        if cluster_ids is not None:
+            cid = np.asarray(cluster_ids)
+            uniq, inv = np.unique(cid, return_inverse=True)
+            data.cluster_codes = jnp.asarray(inv.astype(np.int32))
+            self._cluster_map = uniq
+        else:
+            self._cluster_map = None
+
         # GP components
         self.cov_function_name = cov_function
         self.cov_fct_shape = cov_fct_shape
@@ -119,6 +129,13 @@ class GPModel:
                         "gp_approx='vecchia' with GP random coefficients "
                         "currently supports the gaussian likelihood without "
                         "grouped random effects")
+                if data.cluster_codes is not None and (
+                        _canonical_likelihood(likelihood) != "gaussian"
+                        or gp_approx != "vecchia" or group_data is not None):
+                    raise NotImplementedError(
+                        "gp_approx='vecchia' with cluster_ids currently "
+                        "supports the gaussian likelihood without grouped "
+                        "random effects")
                 if group_data is not None:
                     # combined GP + grouped REs: Vecchia GP + low-rank
                     # Woodbury grouped part (models/vecchia_combined.py)
@@ -158,14 +175,18 @@ class GPModel:
                             _canonical_likelihood(likelihood) == "gaussian"
                             and gp_approx == "vecchia"),
                         rand_coef_data=gp_rand_coef_data,
+                        cluster_codes=(
+                            None if data.cluster_codes is None
+                            else np.asarray(data.cluster_codes)),
                         dtype=dtype)
             elif gp_approx in ("full_scale_vecchia",
                                "full_scale_vecchia_correlation_based"):
                 from gpboost_tpu.models.fsva_model import FSVAGP
-                if group_data is not None or gp_rand_coef_data is not None:
+                if group_data is not None or gp_rand_coef_data is not None \
+                        or cluster_ids is not None:
                     raise NotImplementedError(
                         "gp_approx='full_scale_vecchia' currently supports a "
-                        "single GP component")
+                        "single GP component without cluster_ids")
                 if _canonical_likelihood(likelihood) != "gaussian":
                     raise NotImplementedError(
                         "gp_approx='full_scale_vecchia' currently supports "
@@ -185,10 +206,11 @@ class GPModel:
                     dtype=dtype)
             elif gp_approx in ("fitc", "full_scale_tapering"):
                 from gpboost_tpu.models.fitc_model import FITCGP
-                if group_data is not None or gp_rand_coef_data is not None:
+                if group_data is not None or gp_rand_coef_data is not None \
+                        or cluster_ids is not None:
                     raise NotImplementedError(
                         "gp_approx='fitc'/'full_scale_tapering' currently "
-                        "supports a single GP component")
+                        "supports a single GP component without cluster_ids")
                 self._approx = FITCGP(
                     np.asarray(gp_coords, dtype=np.float64).reshape(
                         len(np.asarray(gp_coords)), -1),
@@ -202,14 +224,6 @@ class GPModel:
                 self._approx = None
         else:
             self._approx = None
-        if cluster_ids is not None:
-            cid = np.asarray(cluster_ids)
-            uniq, inv = np.unique(cid, return_inverse=True)
-            data.cluster_codes = jnp.asarray(inv.astype(np.int32))
-            self._cluster_map = uniq
-        else:
-            self._cluster_map = None
-
         if num_data is None:
             raise ValueError("Either group_data or gp_coords must be provided")
         self.num_data = num_data
@@ -254,6 +268,25 @@ class GPModel:
                 np.asarray(self.data.cluster_codes),
                 np.asarray(self.data.coords), dtype=self.dtype)
         return self._cluster_blocks
+
+    def _map_cluster_ids_pred(self, cluster_ids_pred):
+        """Map prediction cluster ids onto training codes; unseen ids get
+        fresh codes (=> no same-cluster observed neighbors => prior
+        mean/variance, like the reference's new-cluster behavior)."""
+        cid = np.asarray(cluster_ids_pred).ravel()
+        lookup = {v: i for i, v in enumerate(self._cluster_map)}
+        nxt = len(self._cluster_map)
+        codes = np.empty(len(cid), np.int32)
+        new_map = {}
+        for i, v in enumerate(cid):
+            if v in lookup:
+                codes[i] = lookup[v]
+            else:
+                if v not in new_map:
+                    new_map[v] = nxt
+                    nxt += 1
+                codes[i] = new_map[v]
+        return codes
 
     # ------------------------------------------------------------------
     def set_prediction_data(self, vecchia_pred_type=None,
@@ -911,6 +944,29 @@ class GPModel:
                 extra = {}
                 if getattr(self._approx, "z", None) is not None:
                     extra["z_pred"] = gp_rand_coef_data_pred
+                if getattr(self._approx, "codes", None) is not None:
+                    if cluster_ids_pred is None:
+                        raise ValueError(
+                            "cluster_ids_pred is required for predictions "
+                            "from a model trained with cluster_ids")
+                    extra["codes_pred"] = self._map_cluster_ids_pred(
+                        cluster_ids_pred)
+                pred_type = getattr(self, "vecchia_pred_type", None)
+                if (pred_type in ("order_obs_first_cond_all",
+                                  "latent_order_obs_first_cond_all")
+                        and hasattr(self._approx, "predict_gaussian_cond_all")
+                        and "z_pred" not in extra):
+                    mean, covm = self._approx.predict_gaussian_cond_all(
+                        cov_pars_arr, y_arr, cp, fixed_part,
+                        bool(predict_response),
+                        codes_pred=extra.get("codes_pred"))
+                    if fep is not None:
+                        mean = mean + fep
+                    return {
+                        "mu": np.asarray(mean),
+                        "var": (np.asarray(jnp.diagonal(covm))
+                                if predict_var else None),
+                        "cov": np.asarray(covm) if predict_cov_mat else None}
                 mean, var = self._approx.predict_gaussian(
                     cov_pars_arr, y_arr, cp, fixed_part,
                     bool(predict_response),

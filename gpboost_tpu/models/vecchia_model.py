@@ -146,6 +146,7 @@ class VecchiaGP:
                  num_neighbors_pred: Optional[int] = None,
                  nugget_in_pars: bool = True,
                  rand_coef_data: Optional[np.ndarray] = None,
+                 cluster_codes: Optional[np.ndarray] = None,
                  dtype=jnp.float64):
         n = coords.shape[0]
         self.n = n
@@ -158,8 +159,18 @@ class VecchiaGP:
         self.inv_perm = np.argsort(self.perm)
         self.coords = jnp.asarray(coords, dtype=dtype)
         self.coords_perm = jnp.asarray(coords[self.perm], dtype=dtype)
+        # independent GP realizations per cluster_id: neighbor eligibility is
+        # restricted to same-cluster points (the per-cluster std::map blocks
+        # of the reference become a masked search + -1 padding)
+        self.codes = (None if cluster_codes is None
+                      else jnp.asarray(np.asarray(cluster_codes, np.int32)))
+        self.codes_perm = (None if self.codes is None
+                           else jnp.asarray(
+                               np.asarray(cluster_codes,
+                                          np.int32)[self.perm]))
         self.neighbors = vops.find_neighbors(self.coords_perm,
-                                             self.num_neighbors)
+                                             self.num_neighbors,
+                                             codes=self.codes_perm)
         self.dtype = dtype
         # GP random coefficients (SVC): z[:, 0] = 1 is the base GP, further
         # columns multiply coefficient GPs with their own [var, range] pars
@@ -200,10 +211,11 @@ class VecchiaGP:
             return
         scaled = self.cov_fn.scale_coords(
             self.coords_perm, jnp.asarray(gp_pars, self.dtype))
-        self.neighbors = vops.find_neighbors(scaled, self.num_neighbors)
+        self.neighbors = vops.find_neighbors(scaled, self.num_neighbors,
+                                             codes=self.codes_perm)
         self._ard_neighbors_pars = gp_pars
 
-    def _pred_neighbors(self, gp_pars, coords_pred):
+    def _pred_neighbors(self, gp_pars, coords_pred, codes_pred=None):
         """Observed neighbors of prediction points; ARD kernels search in
         the scaled coordinate space."""
         cp = jnp.asarray(coords_pred, self.dtype)
@@ -212,9 +224,12 @@ class VecchiaGP:
             return vops.find_neighbors_cross(
                 self.cov_fn.scale_coords(cp, g),
                 self.cov_fn.scale_coords(self.coords, g),
-                self.num_neighbors_pred)
+                self.num_neighbors_pred,
+                codes_pred=codes_pred, codes_obs=self.codes)
         return vops.find_neighbors_cross(cp, self.coords,
-                                         self.num_neighbors_pred)
+                                         self.num_neighbors_pred,
+                                         codes_pred=codes_pred,
+                                         codes_obs=self.codes)
 
     # ---- Gaussian response-scale Vecchia ------------------------------
     def _pars_stack(self, gp_pars):
@@ -255,12 +270,27 @@ class VecchiaGP:
         b = Xw.T @ By
         return jnp.linalg.solve(A, b)
 
+    def predict_gaussian_cond_all(self, cov_pars, y, coords_pred,
+                                  fixed_part=None, predict_response=True,
+                                  codes_pred=None):
+        """``order_obs_first_cond_all`` prediction: returns (mean, cov)
+        with the full [n_p, n_p] predictive covariance."""
+        r = y if fixed_part is None else y - fixed_part
+        cp = jnp.asarray(coords_pred, self.dtype)
+        cdp = (None if codes_pred is None
+               else jnp.asarray(np.asarray(codes_pred, np.int32)))
+        return vops.predict_vecchia_cond_all(
+            self.cov_fn, cov_pars[1:], cov_pars[0], self.coords, cp, r,
+            self.num_neighbors_pred, codes_obs=self.codes, codes_pred=cdp,
+            predict_response=bool(predict_response))
+
     def predict_gaussian(self, cov_pars, y, coords_pred,
                          fixed_part=None, predict_response=True,
-                         predict_var=False, z_pred=None):
+                         predict_var=False, z_pred=None, codes_pred=None):
         """Local-kriging prediction conditioning on observed neighbors."""
         r = y if fixed_part is None else y - fixed_part
-        nb_pred = self._pred_neighbors(cov_pars[1:], coords_pred)
+        nb_pred = self._pred_neighbors(cov_pars[1:], coords_pred,
+                                       codes_pred=codes_pred)
         if self.z is not None:
             n_p = np.asarray(coords_pred).shape[0]
             if z_pred is None:

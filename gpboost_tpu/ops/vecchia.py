@@ -59,7 +59,8 @@ def apply_ordering(n: int, ordering: str, seed: int = 0,
 
 
 def find_neighbors(coords: jnp.ndarray, num_neighbors: int,
-                   chunk: int = 1024, method: str = "auto") -> jnp.ndarray:
+                   chunk: int = 1024, method: str = "auto",
+                   codes: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Nearest ``m`` *previous* points for each row (data order = ordering).
 
     Returns [n, m] int32; entry -1 marks padding (i < m has only i neighbors).
@@ -70,6 +71,10 @@ def find_neighbors(coords: jnp.ndarray, num_neighbors: int,
     ``method``: 'exact' uses lax.top_k (sort-based — slow on TPU for wide
     rows); 'approx' uses the TPU-optimized ``lax.approx_max_k`` (recall 0.99;
     measured ~1000x faster at n=1e5). 'auto' = approx on TPU when n > 4096.
+
+    ``codes``: optional [n] int cluster codes — rows only take neighbors with
+    the SAME code (independent GP realizations per ``cluster_ids``; rows with
+    fewer than m same-cluster predecessors get -1 padding).
     """
     n, d = coords.shape
     m = num_neighbors
@@ -79,6 +84,9 @@ def find_neighbors(coords: jnp.ndarray, num_neighbors: int,
     n_pad = ((n + chunk - 1) // chunk) * chunk
     coords_pad = jnp.pad(coords, ((0, n_pad - n), (0, 0)))
     sq = jnp.sum(coords_pad * coords_pad, axis=1)
+    codes_pad = (None if codes is None
+                 else jnp.pad(jnp.asarray(codes, jnp.int32),
+                              (0, n_pad - n), constant_values=-7))
 
     def one_chunk(start):
         rows = jax.lax.dynamic_slice(coords_pad, (start, 0), (chunk, d))
@@ -88,7 +96,11 @@ def find_neighbors(coords: jnp.ndarray, num_neighbors: int,
         d2 = sq_rows[:, None] + sq[None, :] - 2.0 * cross
         row_ids = start + jnp.arange(chunk)[:, None]
         col_ids = jnp.arange(n_pad)[None, :]
-        d2 = jnp.where(col_ids < jnp.minimum(row_ids, n), d2, jnp.inf)
+        valid = col_ids < jnp.minimum(row_ids, n)
+        if codes_pad is not None:
+            row_codes = jax.lax.dynamic_slice(codes_pad, (start,), (chunk,))
+            valid = valid & (codes_pad[None, :] == row_codes[:, None])
+        d2 = jnp.where(valid, d2, jnp.inf)
         if method == "approx":
             neg_d, idx = jax.lax.approx_max_k(-d2, m, recall_target=0.99)
         else:
@@ -507,6 +519,70 @@ def build_factors_svc(cov_fn: CovFunction, pars_stack: jnp.ndarray,
     return a, d_cond
 
 
+def predict_vecchia_cond_all(cov_fn: CovFunction, cov_pars: jnp.ndarray,
+                             nugget, coords_obs, coords_pred, r_obs,
+                             num_neighbors: int,
+                             codes_obs: Optional[jnp.ndarray] = None,
+                             codes_pred: Optional[jnp.ndarray] = None,
+                             predict_response: bool = True):
+    """``order_obs_first_cond_all`` Vecchia prediction
+    (``CalcPredVecchiaObservedFirstOrder`` with CondObsOnly=false,
+    ``Vecchia_utils.cpp:1634``): prediction points are appended after the
+    observations and each conditions on its nearest ``m`` points among all
+    observations AND previously-ordered prediction points.
+
+    With obs-first ordering B = [[B_oo, 0], [B_po, B_pp]], the predictive
+    distribution is mean = -B_pp^-1 B_po r and cov = B_pp^-1 D_p B_pp^-T —
+    B_pp is unit lower triangular over the (small) prediction set, so this
+    is one dense triangular solve. Returns (mean [n_p], cov [n_p, n_p]).
+    """
+    n_o = coords_obs.shape[0]
+    n_p = coords_pred.shape[0]
+    m = min(num_neighbors, n_o + n_p - 1)
+    dtype = coords_obs.dtype
+    combined = jnp.concatenate([coords_obs, coords_pred], axis=0)
+    # masked search: rows = pred points, columns = obs + pred-before
+    search = combined
+    if not cov_fn.is_isotropic and cov_fn.has_coord_scaling:
+        search = cov_fn.scale_coords(combined, cov_pars)
+    sq = jnp.sum(search * search, axis=1)
+    rows = search[n_o:]
+    d2 = (jnp.sum(rows * rows, axis=1)[:, None] + sq[None, :]
+          - 2.0 * jnp.matmul(rows, search.T,
+                             precision=jax.lax.Precision.HIGHEST))
+    col_ids = jnp.arange(n_o + n_p)[None, :]
+    row_ids = n_o + jnp.arange(n_p)[:, None]
+    valid = col_ids < row_ids
+    if codes_obs is not None:
+        codes_comb = jnp.concatenate(
+            [jnp.asarray(codes_obs, jnp.int32),
+             jnp.asarray(codes_pred, jnp.int32)])
+        valid = valid & (codes_comb[None, :]
+                         == codes_comb[n_o:][:, None])
+    d2 = jnp.where(valid, d2, jnp.inf)
+    neg_d, nb = jax.lax.top_k(-d2, m)
+    nb = jnp.where(jnp.isfinite(neg_d), nb, -1).astype(jnp.int32)
+
+    a, d = build_factors(cov_fn, cov_pars, combined, nb, nugget, True,
+                         row_coords=coords_pred)
+    is_obs = (nb >= 0) & (nb < n_o)
+    is_prd = nb >= n_o
+    rhs = jnp.sum(jnp.where(is_obs, a, 0.0)
+                  * r_obs[jnp.where(is_obs, nb, 0)], axis=1)
+    M = jnp.eye(n_p, dtype=dtype)
+    rows_idx = jnp.repeat(jnp.arange(n_p), m)
+    cols_idx = jnp.where(is_prd, nb - n_o, n_p).reshape(-1)  # n_p = dropped
+    M = M.at[rows_idx, cols_idx].add(
+        jnp.where(is_prd, -a, 0.0).reshape(-1), mode="drop")
+    mean = jax.scipy.linalg.solve_triangular(M, rhs, lower=True)
+    V = jax.scipy.linalg.solve_triangular(M, jnp.eye(n_p, dtype=dtype),
+                                          lower=True)
+    cov = (V * d[None, :]) @ V.T
+    if not predict_response:
+        cov = cov - nugget * jnp.eye(n_p, dtype=dtype)
+    return mean, cov
+
+
 @partial(jax.jit, static_argnums=(0, 9))
 def predict_vecchia_response_svc(cov_fn: CovFunction, pars_stack: jnp.ndarray,
                                  nugget, coords_obs, coords_pred, nb_pred,
@@ -519,12 +595,14 @@ def predict_vecchia_response_svc(cov_fn: CovFunction, pars_stack: jnp.ndarray,
     ``Vecchia_utils.cpp:1634``)."""
     n_p, m = nb_pred.shape
     C = z_obs.shape[1]
-    nb_coords = coords_obs[nb_pred]
+    mask = nb_pred >= 0
+    idx = jnp.maximum(nb_pred, 0)
+    nb_coords = coords_obs[idx]
     diffs = nb_coords[:, :, None, :] - nb_coords[:, None, :, :]
     d_nn = _safe_dist(jnp.sum(diffs * diffs, -1))
     di = coords_pred[:, None, :] - nb_coords
     d_in = _safe_dist(jnp.sum(di * di, -1))
-    z_nb = z_obs[nb_pred]                                   # [n_p, m, C]
+    z_nb = z_obs[idx]                                       # [n_p, m, C]
     c_nn = jnp.zeros((n_p, m, m), coords_obs.dtype)
     c_in = jnp.zeros((n_p, m), coords_obs.dtype)
     var_pp = jnp.zeros(n_p, coords_obs.dtype)
@@ -536,9 +614,14 @@ def predict_vecchia_response_svc(cov_fn: CovFunction, pars_stack: jnp.ndarray,
         c_nn = c_nn + (zc[:, :, None] * zc[:, None, :]) * k_nn
         c_in = c_in + (z_pred[:, c][:, None] * zc) * k_in
         var_pp = var_pp + z_pred[:, c] * z_pred[:, c] * pc[0]
-    c_nn = c_nn + nugget * jnp.eye(m, dtype=coords_obs.dtype)[None]
+    eye = jnp.eye(m, dtype=coords_obs.dtype)
+    c_nn = c_nn + nugget * eye[None]
+    pair_mask = mask[:, :, None] & mask[:, None, :]
+    c_nn = jnp.where(pair_mask, c_nn, eye[None])
+    c_in = jnp.where(mask, c_in, 0.0)
     a = posdef_solve(c_nn, c_in)
-    mean = jnp.sum(a * r_obs[nb_pred], axis=1)
+    a = jnp.where(mask, a, 0.0)
+    mean = jnp.sum(a * r_obs[idx], axis=1)
     var = var_pp - jnp.sum(c_in * a, axis=1)
     if predict_response:
         var = var + nugget
@@ -582,14 +665,23 @@ def vecchia_nll(a, d_cond, neighbors, r):
 
 
 def find_neighbors_cross(coords_pred: jnp.ndarray, coords_obs: jnp.ndarray,
-                         num_neighbors: int, chunk: int = 256) -> jnp.ndarray:
-    """Nearest observed points for each prediction point. [n_p, m] int32."""
+                         num_neighbors: int, chunk: int = 256,
+                         codes_pred: Optional[jnp.ndarray] = None,
+                         codes_obs: Optional[jnp.ndarray] = None
+                         ) -> jnp.ndarray:
+    """Nearest observed points for each prediction point. [n_p, m] int32.
+
+    With ``codes_pred``/``codes_obs``, only same-code observed points are
+    eligible (per-``cluster_ids`` independence); missing slots are -1."""
     n_p = coords_pred.shape[0]
     n_o = coords_obs.shape[0]
     m = min(num_neighbors, n_o)
     n_pad = ((n_p + chunk - 1) // chunk) * chunk
     cp = jnp.pad(coords_pred, ((0, n_pad - n_p), (0, 0)))
     sq_o = jnp.sum(coords_obs * coords_obs, axis=1)
+    cpc = (None if codes_pred is None
+           else jnp.pad(jnp.asarray(codes_pred, jnp.int32), (0, n_pad - n_p),
+                        constant_values=-7))
 
     @jax.jit
     def one_chunk(start):
@@ -598,7 +690,13 @@ def find_neighbors_cross(coords_pred: jnp.ndarray, coords_obs: jnp.ndarray,
         cross = jnp.matmul(rows, coords_obs.T,
                            precision=jax.lax.Precision.HIGHEST)
         d2 = sq_r[:, None] + sq_o[None, :] - 2.0 * cross
-        _, idx = jax.lax.top_k(-d2, m)
+        if cpc is not None:
+            row_codes = jax.lax.dynamic_slice(cpc, (start,), (chunk,))
+            d2 = jnp.where(
+                jnp.asarray(codes_obs, jnp.int32)[None, :]
+                == row_codes[:, None], d2, jnp.inf)
+        neg_d, idx = jax.lax.top_k(-d2, m)
+        idx = jnp.where(jnp.isfinite(neg_d), idx, -1)
         return idx.astype(jnp.int32)
 
     chunks = [one_chunk(jnp.asarray(s)) for s in range(0, n_pad, chunk)]
@@ -615,11 +713,13 @@ def predict_vecchia_response(cov_fn: CovFunction, cov_pars: jnp.ndarray,
     Returns (mean, var); var includes the nugget iff predict_response.
     """
     n_p, m = nb_pred.shape
+    mask = nb_pred >= 0
+    idx = jnp.maximum(nb_pred, 0)
     scaled = not cov_fn.is_isotropic and cov_fn.has_coord_scaling
     if scaled:
         coords_obs = cov_fn.scale_coords(coords_obs, cov_pars)
         coords_pred = cov_fn.scale_coords(coords_pred, cov_pars)
-    nb_coords = coords_obs[nb_pred]
+    nb_coords = coords_obs[idx]
     diffs = nb_coords[:, :, None, :] - nb_coords[:, None, :, :]
     d_nn = _safe_dist(jnp.sum(diffs * diffs, -1))
     di = coords_pred[:, None, :] - nb_coords
@@ -630,9 +730,14 @@ def predict_vecchia_response(cov_fn: CovFunction, cov_pars: jnp.ndarray,
     else:
         c_nn = cov_fn.cov_matrix(cov_pars, dist=d_nn)
         c_in = cov_fn.cov_matrix(cov_pars, dist=d_in[:, None, :])[:, 0, :]
-    c_nn = c_nn + nugget * jnp.eye(m, dtype=coords_obs.dtype)[None]
+    eye = jnp.eye(m, dtype=coords_obs.dtype)
+    c_nn = c_nn + nugget * eye[None]
+    pair_mask = mask[:, :, None] & mask[:, None, :]
+    c_nn = jnp.where(pair_mask, c_nn, eye[None])
+    c_in = jnp.where(mask, c_in, 0.0)
     a = posdef_solve(c_nn, c_in)
-    mean = jnp.sum(a * r_obs[nb_pred], axis=1)
+    a = jnp.where(mask, a, 0.0)
+    mean = jnp.sum(a * r_obs[idx], axis=1)
     var = cov_pars[0] - jnp.sum(c_in * a, axis=1)
     if predict_response:
         var = var + nugget
