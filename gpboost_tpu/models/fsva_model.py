@@ -217,6 +217,79 @@ class FSVAGP:
         b = pi_X.T @ yp
         return jnp.linalg.solve(A, b)
 
+    # ---- non-Gaussian (Laplace with the FSVA latent covariance) -------
+    def _latent_sigma_dense(self, gp_pars, neighbors=None):
+        """Dense latent Sigma = U S^-1 U' + Lambda_0 (exact small-n path;
+        ``FindModePostRandEffCalcMLLFSVA``, likelihoods.h:2765 role).
+        Lambda_0 = B^-1 D B^-T is the nugget-free Vecchia residual; B is
+        unit lower triangular in the permuted order."""
+        nb = self.neighbors if neighbors is None else neighbors
+        u, l_mm, v = self._lr_cols(gp_pars)
+        a, d = vops.build_factors_residual(
+            self.cov_fn, gp_pars, self.coords_perm, nb, v, None, False)
+        n = self.n
+        Bmat = (jnp.eye(n, dtype=self.dtype)
+                - jnp.zeros((n, n), self.dtype)
+                .at[jnp.arange(n)[:, None], jnp.maximum(nb, 0)]
+                .add(jnp.where(nb >= 0, a, 0.0)))
+        Binv = jax.scipy.linalg.solve_triangular(
+            Bmat, jnp.eye(n, dtype=self.dtype), lower=True)
+        lam = Binv @ (d[:, None] * Binv.T)
+        return jnp.matmul(v.T, v, precision=jax.lax.Precision.HIGHEST) + lam
+
+    def nll_laplace(self, cov_pars, y, aux_pars, fixed_part=None,
+                    neighbors=None):
+        """Laplace-approximate NLL; cov_pars = [var, range, ...] (no
+        nugget for non-Gaussian likelihoods)."""
+        from gpboost_tpu.models.laplace import _laplace_nll_from_sigma
+        yp = y[self.perm]
+        Fp = (jnp.zeros(self.n, self.dtype) if fixed_part is None
+              else fixed_part[self.perm])
+        aux = aux_pars if aux_pars is not None else jnp.zeros((0,), self.dtype)
+        sigma = self._latent_sigma_dense(cov_pars, neighbors)
+        return _laplace_nll_from_sigma(self.likelihood, sigma, yp, Fp, aux)
+
+    def predict_laplace(self, cov_pars, y, aux_pars, coords_pred,
+                        fixed_part=None, fixed_part_pred=None,
+                        predict_response=True, predict_var=False):
+        """Laplace prediction with exact cross-covariance K_po (matching
+        the Gaussian FSVA prediction path)."""
+        from gpboost_tpu import likelihoods as lk
+        from gpboost_tpu.models.laplace import find_mode, _response_moments
+        fam = lk.get_family(self.likelihood)
+        yp = y[self.perm]
+        Fp = (jnp.zeros(self.n, self.dtype) if fixed_part is None
+              else fixed_part[self.perm])
+        aux = aux_pars if aux_pars is not None else jnp.zeros((0,), self.dtype)
+        sigma = self._latent_sigma_dense(cov_pars)
+        b = find_mode(self.likelihood, sigma, yp, Fp, aux)
+        loc = Fp + b
+        d1 = fam.d_loc(yp, loc, aux)
+        w = -fam.d2_loc(yp, loc, aux)
+        cp = jnp.asarray(coords_pred, self.dtype)
+        d_po = euclidean_distance(cp, self.coords_perm)
+        cross = self.cov_fn.cov_matrix(cov_pars, dist=d_po)
+        mean = cross @ d1
+        if fixed_part_pred is not None:
+            mean = mean + fixed_part_pred
+        var = None
+        if predict_var or predict_response:
+            M = jnp.eye(self.n, dtype=self.dtype) + sigma * w[None, :]
+            z = jnp.linalg.solve(M, cross.T)
+            prior = cov_pars[0] * jnp.ones(cp.shape[0], self.dtype)
+            var = jnp.maximum(prior - jnp.einsum(
+                'pn,np->p', cross, w[:, None] * z), 1e-12)
+        if predict_response:
+            mr, vr = _response_moments(self.likelihood, mean, var, aux)
+            return mr, (vr if predict_var else None)
+        return mean, (var if predict_var else None)
+
+    def grad_F_laplace(self, cov_pars, y, aux_pars, fixed_part):
+        """d NLL / dF for LaGaBoost with FSVA (autodiff)."""
+        def f(fe):
+            return self.nll_laplace(cov_pars, y, aux_pars, fe)
+        return jax.grad(f)(fixed_part)
+
     def predict_gaussian(self, cov_pars, y, coords_pred,
                          fixed_part=None, predict_response=True,
                          predict_var=False):

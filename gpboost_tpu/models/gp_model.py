@@ -187,10 +187,6 @@ class GPModel:
                     raise NotImplementedError(
                         "gp_approx='full_scale_vecchia' currently supports a "
                         "single GP component without cluster_ids")
-                if _canonical_likelihood(likelihood) != "gaussian":
-                    raise NotImplementedError(
-                        "gp_approx='full_scale_vecchia' currently supports "
-                        "the gaussian likelihood")
                 self._approx = FSVAGP(
                     np.asarray(gp_coords, dtype=np.float64).reshape(
                         len(np.asarray(gp_coords)), -1),
