@@ -1121,23 +1121,53 @@ class GPModel:
                 if predict_var:
                     var_cols.append(np.asarray(pcdiag[idx]))
             return np.column_stack(mean_cols + var_cols)
-        if self._approx is None and self.spec.is_gaussian:
+        if self._approx is None:
             # dense path: one column per component, mean_c = Sigma_c Z_c'
             # y_aux (WITHOUT the random-coef multiplier at the output point,
-            # reference re_model_template.h:4170-4196), y_aux = Psi^-1 r
+            # reference re_model_template.h:4170-4196); Gaussian:
+            # y_aux = Psi^-1 r; Laplace: y_aux = d1 at the posterior mode
+            # (Sigma^-1 b* = dloglik) and the posterior-cov solve goes
+            # through (Sigma + W^-1)^-1 = W (I + Sigma W)^-1
             from gpboost_tpu.models.covariance import (component_cov,
                                                        split_cov_pars,
                                                        total_re_cov)
-            r = data.y
-            if beta is not None and data.X is not None:
-                r = r - data.X @ beta
-            if self._train_fixed_effects is not None:
-                r = r - self._train_fixed_effects
-            sigma2, comp_pars = split_cov_pars(self.spec, cov_pars_arr)
-            psi = total_re_cov(self.spec, data, comp_pars)
-            psi = psi + sigma2 * jnp.eye(psi.shape[0], dtype=psi.dtype)
-            chol = jnp.linalg.cholesky(psi)
-            y_aux = jax.scipy.linalg.cho_solve((chol, True), r)
+            if self.spec.is_gaussian:
+                r = data.y
+                if beta is not None and data.X is not None:
+                    r = r - data.X @ beta
+                if self._train_fixed_effects is not None:
+                    r = r - self._train_fixed_effects
+                sigma2, comp_pars = split_cov_pars(self.spec, cov_pars_arr)
+                psi = total_re_cov(self.spec, data, comp_pars)
+                psi = psi + sigma2 * jnp.eye(psi.shape[0], dtype=psi.dtype)
+                chol = jnp.linalg.cholesky(psi)
+                y_aux = jax.scipy.linalg.cho_solve((chol, True), r)
+
+                def post_solve(cross):
+                    return jax.scipy.linalg.cho_solve((chol, True), cross.T)
+            else:
+                from gpboost_tpu import likelihoods as lk
+                from gpboost_tpu.models.laplace import find_mode
+                fam = lk.get_family(self.likelihood)
+                ap = self._aux_pars_array()
+                aux = (ap if ap is not None
+                       else jnp.zeros((0,), dtype=self.dtype))
+                F = jnp.zeros(self.num_data, dtype=self.dtype)
+                if beta is not None and data.X is not None:
+                    F = F + data.X @ beta
+                if self._train_fixed_effects is not None:
+                    F = F + self._train_fixed_effects
+                _, comp_pars = split_cov_pars(self.spec, cov_pars_arr)
+                sigma = total_re_cov(self.spec, data, comp_pars)
+                b = find_mode(self.likelihood, sigma, data.y, F, aux)
+                loc = F + b
+                y_aux = fam.d_loc(data.y, loc, aux)
+                w = -fam.d2_loc(data.y, loc, aux)
+                M = jnp.eye(self.num_data, dtype=self.dtype) \
+                    + sigma * w[None, :]
+
+                def post_solve(cross):
+                    return w[:, None] * jnp.linalg.solve(M, cross.T)
             mean_cols, var_cols = [], []
             from dataclasses import replace as _replace
             gi = gpi = 0
@@ -1166,15 +1196,14 @@ class GPModel:
                 ya = y_aux if z_out is None else z_out * y_aux
                 mean_cols.append(np.asarray(cov_c @ ya))
                 if predict_var:
-                    # var_c = diag(Sigma_c) - diag(M' Psi^-1 M), M = cross-cov
+                    # var_c = diag(Sigma_c) - diag(M' (posterior solve) M)
                     cross = cov_c if z_out is None else cov_c * z_out[None, :]
-                    sol = jax.scipy.linalg.cho_solve((chol, True), cross.T)
+                    sol = post_solve(cross)
                     var_c = jnp.diagonal(cov_c) - jnp.sum(cross * sol.T,
                                                           axis=1)
                     var_cols.append(np.asarray(var_c))
             return np.column_stack(mean_cols + var_cols)
-        # approximations / non-Gaussian: aggregate latent prediction at the
-        # training points
+        # approximations: aggregate latent prediction at the training points
         pred = self.predict(
             y=np.asarray(data.y),
             gp_coords_pred=(None if data.coords is None
