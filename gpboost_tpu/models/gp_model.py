@@ -381,6 +381,11 @@ class GPModel:
                       jnp.ones((1,), self.dtype))
                 return float(self._approx.nll_laplace(cov_pars, y_arr, ap, fe))
             if self.spec.is_gaussian:
+                if hasattr(self._approx, "nll_gaussian_value"):
+                    # TPU fast path: value via the joint value+grad kernel
+                    # (see nll_gaussian_value docstring)
+                    return float(self._approx.nll_gaussian_value(
+                        cov_pars, y_arr, fe))
                 return float(self._approx.nll_gaussian(cov_pars, y_arr, fe))
             ap = self._aux_pars_array(aux_pars)
             if (self.matrix_inversion_method == "iterative"

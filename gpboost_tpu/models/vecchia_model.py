@@ -196,6 +196,22 @@ class VecchiaGP:
     def _vg_gaussian(self, th, y, fp):
         return self._vg_gaussian_jit(th, y, fp, self.neighbors)
 
+    def nll_gaussian_value(self, cov_pars, y, fixed_part=None):
+        """NLL value via the joint value+grad kernel (gradient discarded).
+
+        Counter-intuitive but measured on TPU (n=1e5, m=20): the
+        forward-only graph compiles to 4.9 GFLOP / 329M transcendentals
+        (10.7 ms) because XLA rematerializes the covariance exp() into
+        every consumer of the Cholesky sweep, while the joint
+        forward+backward graph keeps those entries alive as VJP residuals
+        and compiles to 1.4 GFLOP / 105M transcendentals (4.9 ms) — the
+        value+discarded-gradient evaluation is 2.2x faster than the
+        value alone."""
+        v, _ = self._vg_gaussian(
+            jnp.log(jnp.maximum(jnp.asarray(cov_pars, self.dtype), 1e-300)),
+            y, fixed_part)
+        return v
+
     def ensure_neighbors(self, cov_pars_full: np.ndarray):
         """Redetermine neighbors in the SCALED coordinate space for
         ARD/space-time kernels (``RedetermineNearestNeighborsVecchia...``,
