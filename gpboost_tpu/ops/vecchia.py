@@ -83,10 +83,21 @@ def find_neighbors(coords: jnp.ndarray, num_neighbors: int,
                   else "exact")
     n_pad = ((n + chunk - 1) // chunk) * chunk
     coords_pad = jnp.pad(coords, ((0, n_pad - n), (0, 0)))
-    sq = jnp.sum(coords_pad * coords_pad, axis=1)
     codes_pad = (None if codes is None
                  else jnp.pad(jnp.asarray(codes, jnp.int32),
                               (0, n_pad - n), constant_values=-7))
+    out = _nn_scan(coords_pad, codes_pad, n, chunk, m, method)
+    return out.reshape(n_pad, -1)[:n]
+
+
+# module-level cached jit: a closure re-jitted per call would recompile on
+# EVERY search (~3 s over the TPU tunnel — was 15x the actual compute)
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _nn_scan(coords_pad, codes_pad, n: int, chunk: int, m: int, method: str):
+    """All previous-point neighbor chunks in ONE device dispatch
+    (lax.scan over chunk starts)."""
+    n_pad, d = coords_pad.shape
+    sq = jnp.sum(coords_pad * coords_pad, axis=1)
 
     def one_chunk(start):
         rows = jax.lax.dynamic_slice(coords_pad, (start, 0), (chunk, d))
@@ -108,11 +119,8 @@ def find_neighbors(coords: jnp.ndarray, num_neighbors: int,
         idx = jnp.where(jnp.isfinite(neg_d), idx, -1)
         return idx.astype(jnp.int32)
 
-    chunks = []
-    one_chunk_j = jax.jit(one_chunk)
-    for start in range(0, n_pad, chunk):
-        chunks.append(one_chunk_j(jnp.asarray(start)))
-    out = jnp.concatenate(chunks, axis=0)[:n]
+    starts = jnp.arange(0, n_pad, chunk)
+    _, out = jax.lax.scan(lambda _, s: (None, one_chunk(s)), None, starts)
     return out
 
 
@@ -678,29 +686,40 @@ def find_neighbors_cross(coords_pred: jnp.ndarray, coords_obs: jnp.ndarray,
     m = min(num_neighbors, n_o)
     n_pad = ((n_p + chunk - 1) // chunk) * chunk
     cp = jnp.pad(coords_pred, ((0, n_pad - n_p), (0, 0)))
-    sq_o = jnp.sum(coords_obs * coords_obs, axis=1)
     cpc = (None if codes_pred is None
            else jnp.pad(jnp.asarray(codes_pred, jnp.int32), (0, n_pad - n_p),
                         constant_values=-7))
+    co = (None if codes_obs is None
+          else jnp.asarray(codes_obs, jnp.int32))
+    out = _nn_cross_scan(cp, coords_obs, cpc, co, chunk, m)
+    return out.reshape(n_pad, -1)[:n_p]
 
-    @jax.jit
+
+@partial(jax.jit, static_argnums=(4, 5))
+def _nn_cross_scan(cp, coords_obs, codes_pred_pad, codes_obs,
+                   chunk: int, m: int):
+    """All cross-neighbor chunks in one dispatch (module-level cached jit)."""
+    n_pad = cp.shape[0]
+    sq_o = jnp.sum(coords_obs * coords_obs, axis=1)
+
     def one_chunk(start):
         rows = jax.lax.dynamic_slice(cp, (start, 0), (chunk, cp.shape[1]))
         sq_r = jnp.sum(rows * rows, axis=1)
         cross = jnp.matmul(rows, coords_obs.T,
                            precision=jax.lax.Precision.HIGHEST)
         d2 = sq_r[:, None] + sq_o[None, :] - 2.0 * cross
-        if cpc is not None:
-            row_codes = jax.lax.dynamic_slice(cpc, (start,), (chunk,))
-            d2 = jnp.where(
-                jnp.asarray(codes_obs, jnp.int32)[None, :]
-                == row_codes[:, None], d2, jnp.inf)
+        if codes_pred_pad is not None:
+            row_codes = jax.lax.dynamic_slice(codes_pred_pad, (start,),
+                                              (chunk,))
+            d2 = jnp.where(codes_obs[None, :] == row_codes[:, None],
+                           d2, jnp.inf)
         neg_d, idx = jax.lax.top_k(-d2, m)
         idx = jnp.where(jnp.isfinite(neg_d), idx, -1)
         return idx.astype(jnp.int32)
 
-    chunks = [one_chunk(jnp.asarray(s)) for s in range(0, n_pad, chunk)]
-    return jnp.concatenate(chunks, axis=0)[:n_p]
+    starts = jnp.arange(0, n_pad, chunk)
+    _, out = jax.lax.scan(lambda _, s: (None, one_chunk(s)), None, starts)
+    return out
 
 
 @partial(jax.jit, static_argnums=(0, 7))
