@@ -48,14 +48,26 @@ def main():
                                   cov_pars[0], True)
         return vops.vecchia_nll(a, d, neighbors, y_j)
 
-    # the library's NLL kernel (VecchiaGP.nll_gaussian_value): value via the
-    # joint value+grad graph — measured 2.2x faster than the forward-only
-    # graph on TPU because the VJP residuals stop XLA from rematerializing
-    # the covariance transcendentals into every Cholesky-sweep consumer
+    # the library's NLL kernels (VecchiaGP.nll_gaussian_value):
+    # - value-only evals use the fused Pallas factor kernel (distance ->
+    #   covariance -> Cholesky -> solves per 1024-point block in VMEM)
+    # - gradients use the joint value+grad XLA graph (the VJP residuals stop
+    #   XLA from rematerializing the covariance transcendentals into every
+    #   Cholesky-sweep consumer — 2.2x faster than the forward-only graph)
     vg = jax.jit(jax.value_and_grad(lambda lp: nll_raw(jnp.exp(lp))))
 
-    def nll(cov_pars):
-        return vg(jnp.log(cov_pars))[0]
+    if jax.default_backend() == "tpu" and dtype_name == "float32":
+        from gpboost_tpu.ops.kernels.vecchia_factors import (
+            vecchia_factors_pallas)
+
+        @jax.jit
+        def nll(cov_pars):
+            a, d = vecchia_factors_pallas(cov_pars[1:], coords_j, neighbors,
+                                          cov_pars[0], True, 0.5)
+            return vops.vecchia_nll(a, d, neighbors, y_j)
+    else:
+        def nll(cov_pars):
+            return vg(jnp.log(cov_pars))[0]
 
     def grad_nll(lp):
         return vg(lp)[1]

@@ -192,21 +192,63 @@ class VecchiaGP:
         self._vg_gaussian_jit = jax.jit(
             lambda th, y, fp, nb: jax.value_and_grad(
                 lambda t: self.nll_gaussian(jnp.exp(t), y, fp, nb))(th))
+        # fused Pallas factor kernel (TPU, f32, supported isotropic family,
+        # single component): serves value-only NLL evaluations
+        self._pallas_shape = self._pallas_shape_code()
+        self._nll_pallas_jit = None
+        if self._pallas_shape is not None:
+            from gpboost_tpu.ops.kernels.vecchia_factors import (
+                vecchia_factors_pallas)
+            shape_code = self._pallas_shape
+            perm = jnp.asarray(self.perm)
+
+            def _nll_pallas(cp, r, nb):
+                a, d_c = vecchia_factors_pallas(cp[1:], self.coords_perm, nb,
+                                                cp[0], True, shape_code)
+                return vops.vecchia_nll(a, d_c, nb, r[perm])
+
+            self._nll_pallas_jit = jax.jit(_nll_pallas)
+
+    def _pallas_shape_code(self):
+        """Matern-shape code for the fused factor kernel, or None if the
+        model/kernel combination is not eligible."""
+        cf = self.cov_fn
+        if self.z is not None or self.dtype != jnp.float32 \
+                or not self.nugget_in_pars:
+            return None
+        if cf.cov_fct_type == "exponential":
+            return 0.5
+        if cf.cov_fct_type == "matern":
+            for s in (0.5, 1.5, 2.5):
+                if abs(cf.shape - s) < 1e-10:
+                    return s
+        if cf.cov_fct_type == "gaussian":
+            return -1.0
+        return None
 
     def _vg_gaussian(self, th, y, fp):
         return self._vg_gaussian_jit(th, y, fp, self.neighbors)
 
     def nll_gaussian_value(self, cov_pars, y, fixed_part=None):
-        """NLL value via the joint value+grad kernel (gradient discarded).
+        """NLL value without gradients, fastest available path.
 
-        Counter-intuitive but measured on TPU (n=1e5, m=20): the
-        forward-only graph compiles to 4.9 GFLOP / 329M transcendentals
-        (10.7 ms) because XLA rematerializes the covariance exp() into
-        every consumer of the Cholesky sweep, while the joint
-        forward+backward graph keeps those entries alive as VJP residuals
-        and compiles to 1.4 GFLOP / 105M transcendentals (4.9 ms) — the
-        value+discarded-gradient evaluation is 2.2x faster than the
-        value alone."""
+        1. Fused Pallas factor kernel when eligible (TPU backend, f32,
+           exponential/matern/gaussian, single component): distance ->
+           covariance -> Cholesky -> solves per 1024-point block in VMEM
+           (1.16 ms at n=1e5, m=20 vs 4.9/10.7 ms for the XLA graphs).
+        2. Otherwise the joint value+grad kernel with the gradient
+           discarded — counter-intuitive but measured on TPU: the
+           forward-only graph compiles to 4.9 GFLOP / 329M transcendentals
+           (10.7 ms) because XLA rematerializes the covariance exp() into
+           every consumer of the Cholesky sweep, while the joint graph
+           keeps those entries alive as VJP residuals (1.4 GFLOP / 105M
+           transcendentals, 4.9 ms)."""
+        if (self._nll_pallas_jit is not None
+                and jax.default_backend() == "tpu"):
+            r = y if fixed_part is None else y - fixed_part
+            return self._nll_pallas_jit(
+                jnp.asarray(cov_pars, jnp.float32),
+                jnp.asarray(r, jnp.float32), self.neighbors)
         v, _ = self._vg_gaussian(
             jnp.log(jnp.maximum(jnp.asarray(cov_pars, self.dtype), 1e-300)),
             y, fixed_part)

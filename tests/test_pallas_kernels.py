@@ -35,6 +35,6 @@ def test_vecchia_factors_pallas_interpret():
     a1, d1 = vops.build_factors(cov_fn, cp, coords, nb,
                                 jnp.float32(0.25), True)
     a2, d2 = vecchia_factors_pallas(cp, coords, nb, jnp.float32(0.25), True,
-                                    0.5, chunk=256)
+                                    0.5)
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=2e-5)
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=2e-5)
