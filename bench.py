@@ -58,19 +58,26 @@ def main():
 
     if jax.default_backend() == "tpu" and dtype_name == "float32":
         from gpboost_tpu.ops.kernels.vecchia_factors import (
-            vecchia_factors_pallas)
+            vecchia_factors_pallas, vecchia_nll_grad_pallas)
 
         @jax.jit
         def nll(cov_pars):
             a, d = vecchia_factors_pallas(cov_pars[1:], coords_j, neighbors,
                                           cov_pars[0], True, 0.5)
             return vops.vecchia_nll(a, d, neighbors, y_j)
+
+        vg_pallas = jax.jit(
+            lambda lp: vecchia_nll_grad_pallas(lp, coords_j, neighbors,
+                                               y_j, 0.5))
+
+        def grad_nll(lp):
+            return vg_pallas(lp)[1]
     else:
         def nll(cov_pars):
             return vg(jnp.log(cov_pars))[0]
 
-    def grad_nll(lp):
-        return vg(lp)[1]
+        def grad_nll(lp):
+            return vg(lp)[1]
 
     cp = jnp.asarray([0.25, 1.0, 0.1], dtype=dtype)
     lp = jnp.log(cp)

@@ -196,9 +196,10 @@ class VecchiaGP:
         # single component): serves value-only NLL evaluations
         self._pallas_shape = self._pallas_shape_code()
         self._nll_pallas_jit = None
+        self._vg_pallas_jit = None
         if self._pallas_shape is not None:
             from gpboost_tpu.ops.kernels.vecchia_factors import (
-                vecchia_factors_pallas)
+                vecchia_factors_pallas, vecchia_nll_grad_pallas)
             shape_code = self._pallas_shape
             perm = jnp.asarray(self.perm)
 
@@ -208,6 +209,13 @@ class VecchiaGP:
                 return vops.vecchia_nll(a, d_c, nb, r[perm])
 
             self._nll_pallas_jit = jax.jit(_nll_pallas)
+
+            def _vg_pallas(th, r, nb):
+                return vecchia_nll_grad_pallas(
+                    jnp.asarray(th, jnp.float32), self.coords_perm, nb,
+                    jnp.asarray(r, jnp.float32)[perm], shape_code)
+
+            self._vg_pallas_jit = jax.jit(_vg_pallas)
 
     def _pallas_shape_code(self):
         """Matern-shape code for the fused factor kernel, or None if the
@@ -227,6 +235,13 @@ class VecchiaGP:
         return None
 
     def _vg_gaussian(self, th, y, fp):
+        if (self._vg_pallas_jit is not None
+                and jax.default_backend() == "tpu"):
+            # fused Pallas NLL+grad: reverse-mode AD traced inside the
+            # kernel body (1.39 ms vs 5.3 ms for the XLA joint graph at
+            # n=1e5, m=20)
+            r = y if fp is None else y - fp
+            return self._vg_pallas_jit(th, r, self.neighbors)
         return self._vg_gaussian_jit(th, y, fp, self.neighbors)
 
     def nll_gaussian_value(self, cov_pars, y, fixed_part=None):

@@ -55,14 +55,22 @@ def _factors_kernel(pars_ref, nb_ref, row_ref, mask_ref, a_ref, d_ref,
     """Blocks: nb [m, d, 8, 128], row [d, 8, 128], mask [m, 8, 128] (f32);
     outputs a [m, 8, 128], d [1, 8, 128]. pars [4] SMEM:
     (gp_var, inv_range, nugget, _)."""
-    gp_var = pars_ref[0]
-    inv_range = pars_ref[1]
-    nugget = pars_ref[2]
-
     nb = [[nb_ref[i, k] for k in range(dim)] for i in range(m)]
     row = [row_ref[k] for k in range(dim)]
     mask = [mask_ref[i] for i in range(m)]
+    a, d_cond = _block_factors(
+        (pars_ref[0], pars_ref[1], pars_ref[2]), nb, row, mask,
+        m=m, dim=dim, shape=shape, include_nugget=include_nugget)
+    for i in range(m):
+        a_ref[i] = a[i]
+    d_ref[0] = d_cond
 
+
+def _block_factors(pars, nb, row, mask, *, m, dim, shape, include_nugget):
+    """Factor computation on [1, 8, 128] tile values (shared by the factor
+    kernel and the fused NLL+grad kernel). pars = (gp_var, inv_range,
+    nugget) as traced scalars."""
+    gp_var, inv_range, nugget = pars
     var_ii = gp_var + (nugget if include_nugget else 0.0)
 
     def cov_between(p, q):
@@ -74,7 +82,6 @@ def _factors_kernel(pars_ref, nb_ref, row_ref, mask_ref, a_ref, d_ref,
         dist = jnp.where(d2 > 0.0, jnp.sqrt(safe), 0.0)
         return gp_var * _corr(dist, inv_range, shape)
 
-    # covariance entries (masked: identity rows/cols for padding slots)
     B = {}
     for i in range(m):
         for k in range(i + 1):
@@ -86,7 +93,6 @@ def _factors_kernel(pars_ref, nb_ref, row_ref, mask_ref, a_ref, d_ref,
     c_in = [cov_between(row, nb[i]) * mask[i] for i in range(m)]
     c_in_orig = list(c_in)
 
-    # unrolled Cholesky column sweep on the pair dict (all [8,128] vreg ops)
     L = {}
     for j in range(m):
         dj = jnp.sqrt(jnp.maximum(B[(j, j)], 1e-30))
@@ -96,26 +102,119 @@ def _factors_kernel(pars_ref, nb_ref, row_ref, mask_ref, a_ref, d_ref,
         for i in range(j + 1, m):
             for k in range(j + 1, i + 1):
                 B[(i, k)] = B[(i, k)] - L[(i, j)] * L[(k, j)]
-    # forward solve L x = c_in
     x = c_in
     for j in range(m):
         xj = x[j] / L[(j, j)]
         x[j] = xj
         for i in range(j + 1, m):
             x[i] = x[i] - L[(i, j)] * xj
-    # backward solve L' a = x
     for j in reversed(range(m)):
         aj = x[j] / L[(j, j)]
         x[j] = aj
         for i in range(j):
             x[i] = x[i] - L[(j, i)] * aj
 
+    a = [x[i] * mask[i] for i in range(m)]
     d_cond = var_ii
     for i in range(m):
-        a_i = x[i] * mask[i]
-        a_ref[i] = a_i
-        d_cond = d_cond - c_in_orig[i] * a_i
-    d_ref[0] = d_cond
+        d_cond = d_cond - c_in_orig[i] * a[i]
+    return a, d_cond
+
+
+def _nll_grad_kernel(pars_ref, nb_ref, row_ref, mask_ref, rnb_ref, rrow_ref,
+                     out_ref, *, m, dim, shape, n):
+    """Per-block Gaussian Vecchia NLL contribution and its gradient w.r.t.
+    log(p) for p = [nugget, gp_var, range]: reverse-mode AD traced INSIDE
+    the kernel body (all elementwise ops -> Mosaic-compatible).
+    out [1, 8] = (nll, d/dlog nugget, d/dlog var, d/dlog range, 0...)."""
+    gid = pl.program_id(0)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 2)
+    pos = gid * BLOCK + sub * 128 + lane
+    row_valid = jnp.where(pos < n, 1.0, 0.0)
+
+    nb = [[nb_ref[i, k] for k in range(dim)] for i in range(m)]
+    row = [row_ref[k] for k in range(dim)]
+    mask = [mask_ref[i] for i in range(m)]
+    rnb = [rnb_ref[i] for i in range(m)]
+    rrow = rrow_ref[0]
+
+    def block_nll(l_nugget, l_var, l_range):
+        pars = (jnp.exp(l_var), jnp.exp(-l_range), jnp.exp(l_nugget))
+        a, d_cond = _block_factors(pars, nb, row, mask, m=m, dim=dim,
+                                   shape=shape, include_nugget=True)
+        br = rrow
+        for i in range(m):
+            br = br - a[i] * rnb[i]
+        contrib = (jnp.log(d_cond) + br * br / d_cond) * row_valid
+        return 0.5 * jnp.sum(contrib)
+
+    val, g = jax.value_and_grad(block_nll, argnums=(0, 1, 2))(
+        pars_ref[0], pars_ref[1], pars_ref[2])
+    # scatter-free placement: value in lane 0, grads in lanes 1-3 (sublane 0)
+    tile = jnp.zeros((1, 8, 128), jnp.float32)
+    on0 = jnp.where((sub == 0) & (lane == 0), 1.0, 0.0)
+    tile = tile + val * on0
+    for t in range(3):
+        tile = tile + g[t] * jnp.where((sub == 0) & (lane == t + 1), 1.0, 0.0)
+    out_ref[0] = tile[0]
+
+
+def vecchia_nll_grad_pallas(log_cov_pars, coords, neighbors, r,
+                            shape: float):
+    """Fused Gaussian Vecchia (NLL, dNLL/dlog cov_pars) in one kernel pass.
+
+    log_cov_pars = log([nugget, gp_var, range]); r = centered residual [n]
+    (original order of ``coords``/``neighbors``). Returns (nll, grad [3]).
+    """
+    n, m = neighbors.shape
+    dim = coords.shape[1]
+    if shape not in _SUPPORTED_SHAPES:
+        raise ValueError(f"unsupported shape {shape}")
+    idx = jnp.maximum(neighbors, 0)
+    nb_coords = coords[idx].astype(jnp.float32)
+    mask = (neighbors >= 0).astype(jnp.int32).astype(jnp.float32)
+    g = (n + BLOCK - 1) // BLOCK
+    n_pad = g * BLOCK
+    nbT = jnp.pad(jnp.transpose(nb_coords, (1, 2, 0)),
+                  ((0, 0), (0, 0), (0, n_pad - n))).reshape(m, dim, g, 8, 128)
+    rowT = jnp.pad(coords.T.astype(jnp.float32),
+                   ((0, 0), (0, n_pad - n))).reshape(dim, g, 8, 128)
+    maskT = jnp.pad(mask.T, ((0, 0), (0, n_pad - n)),
+                    constant_values=1.0).reshape(m, g, 8, 128)
+    r32 = r.astype(jnp.float32)
+    rnbT = jnp.pad((r32[idx] * mask).T,
+                   ((0, 0), (0, n_pad - n))).reshape(m, g, 8, 128)
+    rrowT = jnp.pad(r32[None, :], ((0, 0), (0, n_pad - n))).reshape(
+        1, g, 8, 128)
+    logp = jnp.asarray(log_cov_pars, jnp.float32)
+
+    def kernel(pars_ref, nb_ref, row_ref, mask_ref, rnb_ref, rrow_ref,
+               out_ref):
+        _nll_grad_kernel(pars_ref, nb_ref, row_ref, mask_ref, rnb_ref,
+                         rrow_ref, out_ref, m=m, dim=dim, shape=shape, n=n)
+
+    interpret = jax.default_backend() != "tpu"
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kernel,
+            interpret=interpret,
+            grid=(g,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((m, dim, 1, 8, 128),
+                             lambda i: (0, 0, i, 0, 0)),
+                pl.BlockSpec((dim, 1, 8, 128), lambda i: (0, i, 0, 0)),
+                pl.BlockSpec((m, 1, 8, 128), lambda i: (0, i, 0, 0)),
+                pl.BlockSpec((m, 1, 8, 128), lambda i: (0, i, 0, 0)),
+                pl.BlockSpec((1, 1, 8, 128), lambda i: (0, i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((g, 8, 128), jnp.float32),
+        )(logp, nbT, rowT, maskT, rnbT, rrowT)
+    tot = jnp.sum(out, axis=0)[0]
+    nll = 0.5 * n * math.log(2.0 * math.pi) + tot[0]
+    return nll, tot[1:4]
 
 
 def vecchia_factors_pallas(cov_pars, coords, neighbors, nugget,
