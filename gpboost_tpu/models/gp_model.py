@@ -122,20 +122,23 @@ class GPModel:
                 data.dists = euclidean_distance(data.coords, data.coords)
             if gp_approx in ("vecchia", "vecchia_latent"):
                 from gpboost_tpu.models.vecchia_model import VecchiaGP
-                if gp_rand_coef_data is not None and (
-                        _canonical_likelihood(likelihood) != "gaussian"
-                        or gp_approx != "vecchia" or group_data is not None):
+                # grouped REs under Vecchia: reference ERRORS here for all
+                # likelihoods ("can currently not be used when there are
+                # grouped random effects"); we exceed it for the gaussian
+                # case (VecchiaGroupedGP) and guard the rest
+                if gp_rand_coef_data is not None and group_data is not None:
                     raise NotImplementedError(
                         "gp_approx='vecchia' with GP random coefficients "
-                        "currently supports the gaussian likelihood without "
-                        "grouped random effects")
-                if data.cluster_codes is not None and (
-                        _canonical_likelihood(likelihood) != "gaussian"
-                        or gp_approx != "vecchia" or group_data is not None):
+                        "does not support additional grouped random effects")
+                if data.cluster_codes is not None and group_data is not None:
                     raise NotImplementedError(
-                        "gp_approx='vecchia' with cluster_ids currently "
-                        "supports the gaussian likelihood without grouped "
-                        "random effects")
+                        "gp_approx='vecchia' with cluster_ids does not "
+                        "support additional grouped random effects")
+                if gp_rand_coef_data is not None \
+                        and gp_approx == "vecchia_latent":
+                    raise NotImplementedError(
+                        "gp_approx='vecchia_latent' does not support GP "
+                        "random coefficients")
                 if group_data is not None:
                     # combined GP + grouped REs: Vecchia GP + low-rank
                     # Woodbury grouped part (models/vecchia_combined.py)
@@ -976,9 +979,20 @@ class GPModel:
                     mean = mean + fep
             else:
                 ap = self._aux_pars_array()
+                lap_extra = {}
+                if getattr(self._approx, "z", None) is not None:
+                    lap_extra["z_pred"] = gp_rand_coef_data_pred
+                if getattr(self._approx, "codes", None) is not None:
+                    if cluster_ids_pred is None:
+                        raise ValueError(
+                            "cluster_ids_pred is required for predictions "
+                            "from a model trained with cluster_ids")
+                    lap_extra["codes_pred"] = self._map_cluster_ids_pred(
+                        cluster_ids_pred)
                 mean, var = self._approx.predict_laplace(
                     cov_pars_arr, y_arr, ap, cp, fe, fep,
-                    bool(predict_response), bool(predict_var or predict_cov_mat))
+                    bool(predict_response),
+                    bool(predict_var or predict_cov_mat), **lap_extra)
             # cond-obs-only Vecchia predictions are conditionally independent
             # given their neighbor sets -> the prediction covariance is
             # diagonal (matches the reference's num_neighbors_pred < n case)

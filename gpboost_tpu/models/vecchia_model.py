@@ -389,6 +389,12 @@ class VecchiaGP:
     # ---- Vecchia-Laplace (non-Gaussian) -------------------------------
     def _latent_factors(self, cov_pars):
         """Latent-process factors (no nugget): Sigma^-1 ~ B' D^-1 B."""
+        if self.z is not None:
+            return vops.build_factors_svc(
+                self.cov_fn,
+                jnp.reshape(cov_pars,
+                            (self.z.shape[1], self.cov_fn.num_cov_par)),
+                self.coords_perm, self.neighbors, self.z, None, False)
         return vops.build_factors(self.cov_fn, cov_pars, self.coords_perm,
                                   self.neighbors, None, False)
 
@@ -595,11 +601,24 @@ class VecchiaGP:
         logdet_ratio = logdet_A + jnp.sum(jnp.log(d))
         return -(loglik - 0.5 * quad - 0.5 * logdet_ratio)
 
+    def _zp_full(self, z_pred, n_p):
+        """[n_p, C] prediction covariates with the leading ones column."""
+        if z_pred is None:
+            return jnp.concatenate(
+                [jnp.ones((n_p, 1), self.dtype),
+                 jnp.zeros((n_p, self.z.shape[1] - 1), self.dtype)], 1)
+        return jnp.concatenate(
+            [jnp.ones((n_p, 1), self.dtype),
+             jnp.asarray(np.asarray(z_pred, np.float64).reshape(n_p, -1),
+                         self.dtype)], 1)
+
     def predict_laplace(self, cov_pars, y, aux_pars, coords_pred,
                         fixed_part=None, fixed_part_pred=None,
-                        predict_response=True, predict_var=False):
+                        predict_response=True, predict_var=False,
+                        z_pred=None, codes_pred=None):
         """Vecchia-Laplace prediction: find mode, then local kriging on the
-        latent mode values with latent covariance."""
+        latent mode values with latent covariance. Supports GP random
+        coefficients (``z_pred``) and cluster_ids (``codes_pred``)."""
         from gpboost_tpu import likelihoods as lk
         from gpboost_tpu.models.laplace import _response_moments
         fam = lk.get_family(self.likelihood)
@@ -607,10 +626,22 @@ class VecchiaGP:
         b_perm, w_perm, Q = self._find_mode_dense(cov_pars, y, aux, fixed_part)
         # latent mean at pred points: local kriging on the mode
         b_orig = b_perm[self.inv_perm]
-        nb_pred = self._pred_neighbors(cov_pars, coords_pred)
-        mean_lat, var_prior = vops.predict_vecchia_response(
-            self.cov_fn, cov_pars, 0.0, self.coords,
-            jnp.asarray(coords_pred, self.dtype), nb_pred, b_orig, False)
+        cp = jnp.asarray(coords_pred, self.dtype)
+        n_p = cp.shape[0]
+        cdp = (None if codes_pred is None
+               else jnp.asarray(np.asarray(codes_pred, np.int32)))
+        nb_pred = self._pred_neighbors(cov_pars, coords_pred, codes_pred=cdp)
+        if self.z is not None:
+            pars_stack = jnp.reshape(
+                cov_pars, (self.z.shape[1], self.cov_fn.num_cov_par))
+            zp = self._zp_full(z_pred, n_p)
+            mean_lat, _ = vops.predict_vecchia_response_svc(
+                self.cov_fn, pars_stack, 0.0, self.coords, cp, nb_pred,
+                self.z_orig, zp, b_orig, False)
+        else:
+            mean_lat, _ = vops.predict_vecchia_response(
+                self.cov_fn, cov_pars, 0.0, self.coords, cp, nb_pred,
+                b_orig, False)
         if fixed_part_pred is not None:
             mean_lat = mean_lat + fixed_part_pred
         var = None
@@ -618,16 +649,29 @@ class VecchiaGP:
             # posterior var ~ prior kriging var + propagate mode uncertainty:
             # full formula Sigma_pp - Sigma_po (Sigma + W^-1)^-1 Sigma_op;
             # dense fallback via the observed-point posterior covariance
-            n = self.n
             M = Q + jnp.diag(w_perm)
             # cross-cov pred->obs (permuted order for obs)
-            cp = jnp.asarray(coords_pred, self.dtype)
-            c_po = self._cross_cov(cov_pars, cp, self.coords_perm)
+            if self.z is not None:
+                d_po = jnp.sqrt(jnp.maximum(jnp.sum(
+                    (cp[:, None, :] - self.coords_perm[None, :, :]) ** 2,
+                    -1), 0.0))
+                c_po = jnp.zeros((n_p, self.n), self.dtype)
+                prior_var = jnp.zeros(n_p, self.dtype)
+                z_perm = self.z
+                for c in range(self.z.shape[1]):
+                    k_c = self.cov_fn.cov_matrix(pars_stack[c], dist=d_po)
+                    c_po = c_po + (zp[:, c][:, None]
+                                   * z_perm[:, c][None, :]) * k_c
+                    prior_var = prior_var + zp[:, c] ** 2 * pars_stack[c, 0]
+            else:
+                c_po = self._cross_cov(cov_pars, cp, self.coords_perm)
+                prior_var = cov_pars[0] * jnp.ones(n_p, self.dtype)
+            if cdp is not None and self.codes_perm is not None:
+                c_po = c_po * (cdp[:, None]
+                               == self.codes_perm[None, :]).astype(c_po.dtype)
             # (Sigma + W^-1)^-1 = W (I + Sigma W)^-1 = W M^-1 Q  (M = Q + W)
             z = jnp.linalg.solve(M, Q @ c_po.T)
             quad = jnp.einsum('pn,n,np->p', c_po, w_perm, z)
-            d_self = jnp.zeros((cp.shape[0], 1))
-            prior_var = cov_pars[0] * jnp.ones(cp.shape[0], self.dtype)
             var = jnp.maximum(prior_var - quad, 1e-12)
         if predict_response:
             mean_resp, var_resp = _response_moments(
