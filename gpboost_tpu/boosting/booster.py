@@ -14,6 +14,7 @@ from __future__ import annotations
 import json
 from typing import Dict, List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -204,20 +205,37 @@ class Booster:
                 tree, jnp.asarray(self.train_set.raw_data),
                 jnp.asarray(self._cat_bins_matrix(self.train_set.raw_data)))
             return np.asarray(vals)
+        # FIXED static depth bound: per-tree max_depth_used varies and a
+        # static argnum would recompile for every new depth (each compile
+        # costs seconds over a TPU tunnel); leaf nodes self-loop so extra
+        # traversal steps are no-ops
+        depth_bound = self._depth_bound()
         if self._tree_has_cat(tree):
             vals, _ = predict_tree_binned_mixed(
                 self.train_set.binned, jnp.asarray(tree.split_feature),
                 jnp.asarray(tree.threshold_bin),
                 jnp.asarray(tree.is_categorical), jnp.asarray(tree.cat_mask),
                 jnp.asarray(tree.left), jnp.asarray(tree.right),
-                tree.max_depth_used + 1, jnp.asarray(tree.leaf_value))
+                depth_bound, jnp.asarray(tree.leaf_value))
         else:
             vals, _ = predict_tree_binned(
                 self.train_set.binned, jnp.asarray(tree.split_feature),
                 jnp.asarray(tree.threshold_bin), jnp.asarray(tree.left),
-                jnp.asarray(tree.right), tree.max_depth_used + 1,
+                jnp.asarray(tree.right), depth_bound,
                 jnp.asarray(tree.leaf_value))
         return np.asarray(vals)
+
+    def _depth_bound(self) -> int:
+        """Static traversal depth for jitted per-tree prediction: a single
+        value per booster so every tree shares one compiled program."""
+        grower = getattr(self, "grower", None)
+        if grower is not None:
+            if grower.max_depth and grower.max_depth > 0:
+                return int(grower.max_depth) + 1
+            return int(grower.num_leaves) + 1
+        # loaded model: one bound over all trees
+        return max((int(t.max_depth_used) for t in self.trees),
+                   default=1) + 1
 
     def _cat_bins_matrix(self, data: np.ndarray) -> np.ndarray:
         """[n, F] category-bin matrix for raw prediction data (0 for
@@ -245,19 +263,19 @@ class Booster:
                 jnp.asarray(tree.cat_mask if tree.cat_mask is not None
                             else np.zeros((M, 1), bool)),
                 jnp.asarray(tree.left), jnp.asarray(tree.right),
-                tree.max_depth_used + 1, jnp.asarray(tree.leaf_value),
+                self._depth_bound(), jnp.asarray(tree.leaf_value),
                 jnp.asarray(tree.lin_features), jnp.asarray(tree.lin_coefs))
         if self._tree_has_cat(tree):
             return predict_tree_mixed(
                 Xj, cat_bins_j, jnp.asarray(tree.split_feature),
                 jnp.asarray(tree.threshold), jnp.asarray(tree.is_categorical),
                 jnp.asarray(tree.cat_mask), jnp.asarray(tree.left),
-                jnp.asarray(tree.right), tree.max_depth_used + 1,
+                jnp.asarray(tree.right), self._depth_bound(),
                 jnp.asarray(tree.leaf_value))
         return predict_tree_raw(
             Xj, jnp.asarray(tree.split_feature), jnp.asarray(tree.threshold),
             jnp.asarray(tree.left), jnp.asarray(tree.right),
-            jnp.asarray(tree.leaf_value), tree.max_depth_used + 1)
+            jnp.asarray(tree.leaf_value), self._depth_bound())
 
     def _dart_drop(self):
         """Select and temporarily remove dropped trees from the train score
@@ -378,14 +396,33 @@ class Booster:
             if ds.categorical_feature:
                 cat_mask_arr = np.zeros(ds.num_features, dtype=bool)
                 cat_mask_arr[list(ds.categorical_feature)] = True
-            tree, row_leaf = grow_tree(
-                ds.binned, jnp.asarray(num_bins), jnp.asarray(g),
-                jnp.asarray(h), ds.max_num_bins, self.grower,
-                row_mask=row_mask, categorical_mask=cat_mask_arr,
-                max_cat_threshold=int(self.params.get("max_cat_threshold", 32)),
-                monotone_constraints=self._monotone,
-                forced_splits=getattr(self, "_forced_splits", None),
-                cegb=self._cegb)
+            # single-dispatch jitted grower on accelerators for the common
+            # case; the host-driven grower handles categorical / monotone /
+            # CEGB / forced splits (and stays the CPU default)
+            use_fast = (jax.default_backend() != "cpu"
+                        and cat_mask_arr is None
+                        and self._monotone is None
+                        and getattr(self, "_forced_splits", None) is None
+                        and self._cegb is None)
+            if use_fast:
+                from gpboost_tpu.boosting.tree import grow_tree_fast
+                # f32 histograms on accelerators (LightGBM's default hist
+                # precision); f64 on TPU is emulated and dispatch-heavy
+                tree, row_leaf = grow_tree_fast(
+                    ds.binned, jnp.asarray(num_bins),
+                    jnp.asarray(g, dtype=jnp.float32),
+                    jnp.asarray(h, dtype=jnp.float32), ds.max_num_bins,
+                    self.grower, row_mask=row_mask)
+            else:
+                tree, row_leaf = grow_tree(
+                    ds.binned, jnp.asarray(num_bins), jnp.asarray(g),
+                    jnp.asarray(h), ds.max_num_bins, self.grower,
+                    row_mask=row_mask, categorical_mask=cat_mask_arr,
+                    max_cat_threshold=int(
+                        self.params.get("max_cat_threshold", 32)),
+                    monotone_constraints=self._monotone,
+                    forced_splits=getattr(self, "_forced_splits", None),
+                    cegb=self._cegb)
             # real-valued thresholds for raw prediction
             for node in np.flatnonzero(~tree.is_leaf):
                 if tree.is_categorical is not None and tree.is_categorical[node]:

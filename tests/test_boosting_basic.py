@@ -1,5 +1,6 @@
 """Boosting engine mechanics (mirrors the reference's python test_basic.py /
 test_engine.py coverage: Dataset, Booster, objectives, cv, callbacks)."""
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -243,3 +244,29 @@ class TestForcedSplitsAndOVA:
         rep = timer.report(reset=True)
         assert "phase_a" in rep
         timer.enable(False)
+
+
+def test_fast_grower_matches_host_grower():
+    """The single-dispatch jitted grower (used on accelerators) reproduces
+    the host-driven grower exactly: same splits, partitions, leaf values."""
+    from gpboost_tpu.boosting.tree import (GrowerParams, grow_tree,
+                                           grow_tree_fast)
+    rng = np.random.default_rng(0)
+    n, F, B = 3000, 8, 32
+    binned = jnp.asarray(rng.integers(0, B, size=(n, F)), jnp.int32)
+    nb = jnp.full(F, B, jnp.int32)
+    grad = jnp.asarray(rng.standard_normal(n))
+    hess = jnp.ones(n)
+    params = GrowerParams(num_leaves=15, max_depth=5, min_data_in_leaf=20,
+                          min_sum_hessian_in_leaf=1e-3, lambda_l1=0.0,
+                          lambda_l2=0.1, min_gain_to_split=0.0)
+    t1, rl1 = grow_tree(binned, nb, grad, hess, B, params)
+    t2, rl2 = grow_tree_fast(binned, nb, grad, hess, B, params)
+    assert t1.num_leaves == t2.num_leaves
+    np.testing.assert_array_equal(np.asarray(t1.split_feature),
+                                  np.asarray(t2.split_feature))
+    np.testing.assert_array_equal(np.asarray(t1.threshold_bin),
+                                  np.asarray(t2.threshold_bin))
+    np.testing.assert_allclose(np.asarray(t1.leaf_value),
+                               np.asarray(t2.leaf_value), atol=1e-10)
+    np.testing.assert_array_equal(np.asarray(rl1), np.asarray(rl2))
