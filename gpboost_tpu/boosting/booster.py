@@ -218,11 +218,19 @@ class Booster:
                 jnp.asarray(tree.left), jnp.asarray(tree.right),
                 depth_bound, jnp.asarray(tree.leaf_value))
         else:
-            vals, _ = predict_tree_binned(
-                self.train_set.binned, jnp.asarray(tree.split_feature),
-                jnp.asarray(tree.threshold_bin), jnp.asarray(tree.left),
-                jnp.asarray(tree.right), depth_bound,
-                jnp.asarray(tree.leaf_value))
+            dev = getattr(tree, "_dev", None)
+            if dev is not None:
+                # structure arrays still device-resident from the grower
+                vals, _ = predict_tree_binned(
+                    self.train_set.binned, dev["feature"], dev["thresh"],
+                    dev["left"], dev["right"], depth_bound,
+                    jnp.asarray(tree.leaf_value))
+            else:
+                vals, _ = predict_tree_binned(
+                    self.train_set.binned, jnp.asarray(tree.split_feature),
+                    jnp.asarray(tree.threshold_bin), jnp.asarray(tree.left),
+                    jnp.asarray(tree.right), depth_bound,
+                    jnp.asarray(tree.leaf_value))
         return np.asarray(vals)
 
     def _depth_bound(self) -> int:

@@ -737,15 +737,18 @@ def grow_tree_fast(binned, num_bins_per_feat, grad, hess, max_num_bins,
     n, F = binned.shape
     if row_mask is None:
         row_mask = jnp.ones(n, dtype=bool)
-    (feature, thresh, left, right, leaf_value, is_leaf, cnt, depth,
-     num_leaves, row_leaf) = _grow_tree_jit(
+    out = _grow_tree_jit(
         binned, num_bins_per_feat, grad, hess, int(max_num_bins),
         int(params.num_leaves), int(params.max_depth), row_mask,
         params.lambda_l1, params.lambda_l2,
         float(params.min_data_in_leaf), params.min_sum_hessian_in_leaf,
         params.min_gain_to_split)
+    row_leaf = out[-1]
+    # ONE device->host transfer for all tree arrays (separate np.asarray
+    # fetches each cost a full round trip over the TPU tunnel)
+    (feature, thresh, left, right, leaf_value, is_leaf, cnt, depth,
+     num_leaves) = jax.device_get(out[:-1])
     max_nodes = 2 * params.num_leaves - 1
-    depth_np = np.asarray(depth)
     tree = Tree(split_feature=np.asarray(feature),
                 threshold=np.zeros(max_nodes),
                 threshold_bin=np.asarray(thresh),
@@ -756,7 +759,12 @@ def grow_tree_fast(binned, num_bins_per_feat, grad, hess, max_num_bins,
                 is_categorical=np.zeros(max_nodes, bool),
                 cat_mask=np.zeros((max_nodes, max_num_bins), bool),
                 num_leaves=int(num_leaves),
-                max_depth_used=int(depth_np.max(initial=1)))
+                max_depth_used=int(np.asarray(depth).max(initial=1)))
+    # keep the device-resident STRUCTURE arrays for per-tree prediction
+    # (avoids re-uploading every iteration; leaf values mutate afterwards
+    # via shrinkage / Newton updates, so they are always re-sent)
+    tree._dev = dict(feature=out[0], thresh=out[1], left=out[2],
+                     right=out[3])
     return tree, row_leaf
 
 
