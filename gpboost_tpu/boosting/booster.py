@@ -536,20 +536,17 @@ class Booster:
         """Leaf re-solve a = (H' Psi^-1 H)^-1 H' Psi^-1 r
         (``REModelTemplate::NewtonUpdateLeafValues``, re_model_template.h:4518).
         """
-        from gpboost_tpu.models import gaussian
-        from jax.scipy.linalg import cho_solve
         gp = self.gp_model
         resid = self.train_set.label - self._score[:self.train_set.num_data]
-        data = gp._with_y(resid)
         cov_pars = jnp.asarray(gp.cov_pars_, dtype=gp.dtype)
-        psi = gaussian.build_psi(gp.spec, data, cov_pars)
-        chol = jnp.linalg.cholesky(psi)
         leaf_nodes = tree.leaf_index_order()
         H = (np.asarray(row_leaf)[:, None] == leaf_nodes[None, :]).astype(np.float64)
-        Hj = jnp.asarray(H)
-        PiH = cho_solve((chol, True), Hj)
+        Hj = jnp.asarray(H, dtype=gp.dtype)
+        # matrix-free Psi^-1 through the active approximation (no dense Psi)
+        PiH = gp._psi_solve(cov_pars, Hj)
+        rj = jnp.asarray(resid, dtype=gp.dtype)
         A = Hj.T @ PiH
-        b = PiH.T @ data.y
+        b = PiH.T @ rj
         a = np.linalg.solve(np.asarray(A) + 1e-10 * np.eye(len(leaf_nodes)),
                             np.asarray(b))
         tree.leaf_value[leaf_nodes] = a

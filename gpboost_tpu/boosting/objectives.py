@@ -484,13 +484,10 @@ class GPBoostObjective(Objective):
         gp.fit(y=resid, params=params)
 
     def _gaussian_psi_inv_resid(self, resid):
-        from gpboost_tpu.models import gaussian
         gp = self.gp_model
-        data = self._data_with_y(resid)
         cov_pars = jnp.asarray(gp.cov_pars_, dtype=gp.dtype)
-        psi = gaussian.build_psi(gp.spec, data, cov_pars)
-        chol = jnp.linalg.cholesky(psi)
-        return np.asarray(cho_solve((chol, True), data.y))
+        return np.asarray(gp._psi_solve(
+            cov_pars, jnp.asarray(resid, dtype=gp.dtype)))
 
     def _optim_cov_pars_laplace(self, score):
         gp = self.gp_model

@@ -268,6 +268,27 @@ class GPModel:
                 np.asarray(self.data.coords), dtype=self.dtype)
         return self._cluster_blocks
 
+    def _psi_solve(self, cov_pars, R):
+        """Psi^-1 R (R [n] or [n, k], original row order) for the Gaussian
+        likelihood — matrix-free through the active approximation (never
+        densifies Psi for Vecchia/FSVA/FITC); dense Cholesky otherwise.
+        Used by the GPBoost objective and the Newton leaf re-solve."""
+        ap = self._approx
+        if ap is not None and self.gp_approx != "vecchia_latent":
+            if hasattr(ap, "psi_inv_resid"):        # Vecchia
+                return ap.psi_inv_resid(cov_pars, R)
+            if hasattr(ap, "psi_inv_mul"):          # FSVA (permuted rows)
+                return ap.psi_inv_mul(cov_pars, R[ap.perm])[ap.inv_perm]
+            if hasattr(ap, "_psi_inv_mul"):         # FITC / FSA
+                return ap._psi_inv_mul(cov_pars, R)
+        from gpboost_tpu.models import gaussian
+        if self._grouped_only:
+            from gpboost_tpu.models import grouped
+            return grouped.psi_inv_mul(self.spec, self.data, cov_pars, R)
+        psi = gaussian.build_psi(self.spec, self.data, cov_pars)
+        chol = jnp.linalg.cholesky(psi)
+        return jax.scipy.linalg.cho_solve((chol, True), R)
+
     def _map_cluster_ids_pred(self, cluster_ids_pred):
         """Map prediction cluster ids onto training codes; unseen ids get
         fresh codes (=> no same-cluster observed neighbors => prior

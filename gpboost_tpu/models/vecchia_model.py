@@ -328,6 +328,20 @@ class VecchiaGP:
         a, d = self._response_factors(cov_pars, nb)
         return vops.vecchia_nll(a, d, nb, r)
 
+    def psi_inv_resid(self, cov_pars, r):
+        """Psi^-1 r via the response-scale Vecchia precision (matrix-free,
+        original row order; r [n] or [n, k]) — the GPBoost pseudo-gradient
+        and Newton-leaf solves (``regression_objective.hpp:153-171``)."""
+        a, d = self._response_factors(cov_pars, self.neighbors)
+        rp = r[self.perm]
+        if r.ndim == 1:
+            out = vops.precision_matvec(a, self.neighbors, d, rp)
+        else:
+            out = jax.vmap(
+                lambda col: vops.precision_matvec(a, self.neighbors, d, col),
+                in_axes=1, out_axes=1)(rp)
+        return out[self.inv_perm]
+
     def wls_coef(self, cov_pars, y, X, fixed_effects=None):
         """GLS coefficients with the Vecchia precision: solve
         (X'B'D^-1BX) beta = X'B'D^-1B y — all matrix-free O(n m p)."""
