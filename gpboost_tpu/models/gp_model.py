@@ -1010,11 +1010,13 @@ class GPModel:
                 if (pred_type in ("order_obs_first_cond_all",
                                   "latent_order_obs_first_cond_all")
                         and hasattr(self._approx, "predict_gaussian_cond_all")
-                        and "z_pred" not in extra):
+                        and not ("z_pred" in extra
+                                 and "codes_pred" in extra)):
                     mean, covm = self._approx.predict_gaussian_cond_all(
                         cov_pars_arr, y_arr, cp, fixed_part,
                         bool(predict_response),
-                        codes_pred=extra.get("codes_pred"))
+                        codes_pred=extra.get("codes_pred"),
+                        z_pred=extra.get("z_pred"))
                     if fep is not None:
                         mean = mean + fep
                     return {

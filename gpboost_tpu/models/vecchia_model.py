@@ -153,7 +153,10 @@ class VecchiaGP:
         self.cov_fn = cov_fn
         self.likelihood = likelihood
         self.num_neighbors = min(num_neighbors, n - 1)
-        self.num_neighbors_pred = num_neighbors_pred or self.num_neighbors
+        # prediction-side count is NOT capped at n-1: cond-all conditioning
+        # sets include previously-ordered prediction points (the ops clamp
+        # to the actually-available candidates)
+        self.num_neighbors_pred = num_neighbors_pred or num_neighbors
         self.nugget_in_pars = nugget_in_pars
         self.perm = vops.apply_ordering(n, ordering, seed)
         self.inv_perm = np.argsort(self.perm)
@@ -359,11 +362,19 @@ class VecchiaGP:
 
     def predict_gaussian_cond_all(self, cov_pars, y, coords_pred,
                                   fixed_part=None, predict_response=True,
-                                  codes_pred=None):
+                                  codes_pred=None, z_pred=None):
         """``order_obs_first_cond_all`` prediction: returns (mean, cov)
-        with the full [n_p, n_p] predictive covariance."""
+        with the full [n_p, n_p] predictive covariance. Supports GP random
+        coefficients via ``z_pred``."""
         r = y if fixed_part is None else y - fixed_part
         cp = jnp.asarray(coords_pred, self.dtype)
+        if self.z is not None:
+            zp = self._zp_full(z_pred, cp.shape[0])
+            return vops.predict_vecchia_cond_all_svc(
+                self.cov_fn, self._pars_stack(cov_pars[1:]), cov_pars[0],
+                self.coords, cp, self.z_orig, zp, r,
+                self.num_neighbors_pred,
+                predict_response=bool(predict_response))
         cdp = (None if codes_pred is None
                else jnp.asarray(np.asarray(codes_pred, np.int32)))
         return vops.predict_vecchia_cond_all(

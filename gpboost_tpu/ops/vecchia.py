@@ -479,7 +479,9 @@ def build_factors_residual(cov_fn: CovFunction, cov_pars: jnp.ndarray,
 def build_factors_svc(cov_fn: CovFunction, pars_stack: jnp.ndarray,
                       coords: jnp.ndarray, neighbors: jnp.ndarray,
                       z: jnp.ndarray, nugget: Optional[jnp.ndarray],
-                      include_nugget: bool):
+                      include_nugget: bool,
+                      row_coords: Optional[jnp.ndarray] = None,
+                      row_z: Optional[jnp.ndarray] = None):
     """Multi-component Vecchia factors for GP random coefficients (SVC).
 
     Total latent process u(s_i) = sum_c z[i, c] b_c(s_i) with z[:, 0] = 1
@@ -490,8 +492,15 @@ def build_factors_svc(cov_fn: CovFunction, pars_stack: jnp.ndarray,
     autodiff through this build).
 
     ``pars_stack``: [C, p] per-component covariance parameters;
-    ``z``: [n, C] covariate columns. Returns (A [n, m], D [n]).
+    ``z``: [n, C] covariate columns. ``row_coords``/``row_z`` (default =
+    coords/z) are the rows the ``neighbors`` matrix refers to — pass the
+    prediction points with the combined obs+pred tables for the cond-all
+    prediction build. Returns (A [n, m], D [n]).
     """
+    if row_coords is None:
+        row_coords = coords
+    if row_z is None:
+        row_z = z
     n, m = neighbors.shape
     C = z.shape[1]
     mask = neighbors >= 0
@@ -499,7 +508,7 @@ def build_factors_svc(cov_fn: CovFunction, pars_stack: jnp.ndarray,
     nb_coords = coords[idx]                                 # [n, m, d]
     diffs = nb_coords[:, :, None, :] - nb_coords[:, None, :, :]
     d_nn = _safe_dist(jnp.sum(diffs * diffs, -1))           # [n, m, m]
-    di = coords[:, None, :] - nb_coords
+    di = row_coords[:, None, :] - nb_coords
     d_in = _safe_dist(jnp.sum(di * di, -1))                 # [n, m]
     z_nb = z[idx]                                           # [n, m, C]
     c_nn = jnp.zeros((n, m, m), coords.dtype)
@@ -511,8 +520,8 @@ def build_factors_svc(cov_fn: CovFunction, pars_stack: jnp.ndarray,
         k_in = cov_fn.cov_matrix(pc, dist=d_in[:, None, :])[:, 0, :]
         zc = z_nb[:, :, c]
         c_nn = c_nn + (zc[:, :, None] * zc[:, None, :]) * k_nn
-        c_in = c_in + (z[:, c][:, None] * zc) * k_in
-        var_ii = var_ii + z[:, c] * z[:, c] * pc[0]
+        c_in = c_in + (row_z[:, c][:, None] * zc) * k_in
+        var_ii = var_ii + row_z[:, c] * row_z[:, c] * pc[0]
     if include_nugget and nugget is not None:
         eye = jnp.eye(m, dtype=coords.dtype)
         c_nn = c_nn + nugget * eye[None]
@@ -573,6 +582,15 @@ def predict_vecchia_cond_all(cov_fn: CovFunction, cov_pars: jnp.ndarray,
 
     a, d = build_factors(cov_fn, cov_pars, combined, nb, nugget, True,
                          row_coords=coords_pred)
+    return _cond_all_assemble(a, d, nb, n_o, n_p, r_obs, nugget,
+                              predict_response, dtype)
+
+
+def _cond_all_assemble(a, d, nb, n_o, n_p, r_obs, nugget, predict_response,
+                       dtype):
+    """Mean/cov from obs-first cond-all factors: with B = [[B_oo, 0],
+    [B_po, B_pp]], mean = -B_pp^-1 B_po r and cov = B_pp^-1 D_p B_pp^-T."""
+    m = nb.shape[1]
     is_obs = (nb >= 0) & (nb < n_o)
     is_prd = nb >= n_o
     rhs = jnp.sum(jnp.where(is_obs, a, 0.0)
@@ -589,6 +607,41 @@ def predict_vecchia_cond_all(cov_fn: CovFunction, cov_pars: jnp.ndarray,
     if not predict_response:
         cov = cov - nugget * jnp.eye(n_p, dtype=dtype)
     return mean, cov
+
+
+def predict_vecchia_cond_all_svc(cov_fn: CovFunction, pars_stack: jnp.ndarray,
+                                 nugget, coords_obs, coords_pred,
+                                 z_obs, z_pred, r_obs, num_neighbors: int,
+                                 predict_response: bool = True):
+    """``order_obs_first_cond_all`` prediction for multi-component (SVC)
+    Vecchia models (``CalcPredVecchiaObservedFirstOrder`` with random
+    coefficients and CondObsOnly=false, ``Vecchia_utils.cpp:1634``).
+
+    Neighbor search runs on coordinates only (SVC requires an isotropic
+    kernel); covariances are the z-weighted component sums. Returns
+    (mean [n_p], cov [n_p, n_p])."""
+    n_o = coords_obs.shape[0]
+    n_p = coords_pred.shape[0]
+    m = min(num_neighbors, n_o + n_p - 1)
+    dtype = coords_obs.dtype
+    combined = jnp.concatenate([coords_obs, coords_pred], axis=0)
+    z_comb = jnp.concatenate([z_obs, z_pred], axis=0)
+    sq = jnp.sum(combined * combined, axis=1)
+    rows = combined[n_o:]
+    d2 = (jnp.sum(rows * rows, axis=1)[:, None] + sq[None, :]
+          - 2.0 * jnp.matmul(rows, combined.T,
+                             precision=jax.lax.Precision.HIGHEST))
+    col_ids = jnp.arange(n_o + n_p)[None, :]
+    row_ids = n_o + jnp.arange(n_p)[:, None]
+    d2 = jnp.where(col_ids < row_ids, d2, jnp.inf)
+    neg_d, nb = jax.lax.top_k(-d2, m)
+    nb = jnp.where(jnp.isfinite(neg_d), nb, -1).astype(jnp.int32)
+
+    a, d = build_factors_svc(cov_fn, pars_stack, combined, nb, z_comb,
+                             nugget, True, row_coords=coords_pred,
+                             row_z=z_pred)
+    return _cond_all_assemble(a, d, nb, n_o, n_p, r_obs, nugget,
+                              predict_response, dtype)
 
 
 @partial(jax.jit, static_argnums=(0, 9))

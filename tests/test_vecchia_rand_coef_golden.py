@@ -79,6 +79,27 @@ def test_vecchia_svc_prediction_all_neighbors_mu(svc):
     assert np.sum(np.abs(pred["var"] - expected_var)) < TOL_STRICT
 
 
+def test_vecchia_svc_prediction_cond_all(svc):
+    """order_obs_first_cond_all with nn = n+2: full predictive covariance
+    incl. off-diagonals (R:1336-1351)."""
+    m = GPModel(gp_coords=svc["coords"], cov_function="exponential",
+                gp_approx="vecchia", num_neighbors=svc["n"] + 2,
+                vecchia_ordering="none", gp_rand_coef_data=svc["Z"])
+    m.set_prediction_data(vecchia_pred_type="order_obs_first_cond_all")
+    coord_test = np.column_stack([[0.1, 0.2, 0.7], [0.9, 0.4, 0.55]])
+    z_test = np.column_stack([[0.1, 0.3, 0.7], [0.5, 0.2, 0.4]])
+    pred = m.predict(y=svc["y"], gp_coords_pred=coord_test,
+                     gp_rand_coef_data_pred=z_test, cov_pars=COV_PARS,
+                     predict_cov_mat=True, predict_response=True)
+    expected_mu = np.array([-0.1669209, 1.6166381, 0.2861320])
+    expected_cov = np.array(
+        [9.643323e-01, 3.536846e-04, -1.783557e-04, 3.536846e-04,
+         5.155009e-01, 4.554321e-07, -1.783557e-04, 4.554321e-07,
+         7.701614e-01]).reshape(3, 3)
+    assert np.sum(np.abs(pred["mu"] - expected_mu)) < TOL_STRICT
+    assert np.sum(np.abs(pred["cov"] - expected_cov)) < TOL_STRICT
+
+
 def test_vecchia_svc_fit_reaches_good_nll(svc):
     """The R golden parameters come from GD stopped at maxit=10 (a
     trajectory value; CLAUDE.md) — instead require the converged lbfgs fit
