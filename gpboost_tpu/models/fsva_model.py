@@ -22,6 +22,7 @@ power-of-2 optimizer iterations (``re_model_template.h:4630-4656``).
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Optional
 
 import jax
@@ -34,6 +35,149 @@ from gpboost_tpu.ops.inducing import select_inducing_points
 
 LOG_2PI = math.log(2.0 * math.pi)
 JITTER = 1e-8
+
+
+# ---------------------------------------------------------------------------
+# Matrix-free FSVA latent covariance: Sigma = U S^-1 U' + Lambda with
+# Lambda^-1 = B' D^-1 B (Vecchia residual). Sigma^-1 via Woodbury is
+# O(n m + n k) per matvec — the TPU-native replacement for the reference's
+# CGVIF machinery (``CG_utils.h:208-282``, arXiv:2405.14492).
+# ---------------------------------------------------------------------------
+
+
+def _lam_inv_fn(a, neighbors, d):
+    def lam_inv(x):
+        if x.ndim == 1:
+            return vops.precision_matvec(a, neighbors, d, x)
+        return jax.vmap(lambda col: vops.precision_matvec(a, neighbors, d,
+                                                          col),
+                        in_axes=1, out_axes=1)(x)
+    return lam_inv
+
+
+def _sigma_inv_pieces(a, d, neighbors, u, l_mm):
+    """(sigma_inv_mv, li_u, l_M): Sigma^-1 x = Lambda^-1 x - (Lambda^-1 U)
+    M^-1 U' Lambda^-1 x with M = S + U' Lambda^-1 U (all differentiable)."""
+    lam_inv = _lam_inv_fn(a, neighbors, d)
+    li_u = lam_inv(u)                                     # [n, k]
+    M = (jnp.matmul(l_mm, l_mm.T, precision=jax.lax.Precision.HIGHEST)
+         + jnp.matmul(u.T, li_u, precision=jax.lax.Precision.HIGHEST))
+    l_M = jnp.linalg.cholesky(M)
+
+    def sigma_inv_mv(x):
+        t = lam_inv(x)
+        sol = jax.scipy.linalg.cho_solve((l_M, True), u.T @ t)
+        return t - li_u @ sol
+
+    return sigma_inv_mv, li_u, l_M
+
+
+def _sigma_inv_diag(a, d, neighbors, li_u, l_M):
+    """diag(Sigma^-1) = diag(Lambda^-1) - rowsum((Lambda^-1 U) L_M^-T)^2."""
+    from gpboost_tpu.models.vecchia_model import _precision_diag
+    X = jax.scipy.linalg.solve_triangular(l_M, li_u.T, lower=True)  # [k, n]
+    return _precision_diag(a, neighbors, d) - jnp.sum(X * X, axis=0)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _find_mode_cg_fsva(lik_name, a, d, neighbors, u, l_mm, y, F, aux):
+    """Matrix-free FSVA posterior mode: Newton-CG on
+    Sigma^-1 b = d1(y, F+b); implicit differentiation w.r.t.
+    (a, d, u, l_mm, F, aux) via one adjoint CG solve."""
+    return _find_mode_cg_fsva_impl(lik_name, a, d, neighbors, u, l_mm, y, F,
+                                   aux)
+
+
+def _find_mode_cg_fsva_impl(lik_name, a, d, neighbors, u, l_mm, y, F, aux):
+    from gpboost_tpu import likelihoods as lk
+    from gpboost_tpu.ops import cg as cgops
+    fam = lk.get_family(lik_name)
+    n = y.shape[0]
+    sigma_inv_mv, li_u, l_M = _sigma_inv_pieces(a, d, neighbors, u, l_mm)
+    diag_si = _sigma_inv_diag(a, d, neighbors, li_u, l_M)
+
+    def obj(b):
+        return jnp.sum(fam.log_lik(y, F + b, aux)) - 0.5 * jnp.dot(
+            b, sigma_inv_mv(b))
+
+    def newton(state):
+        b, psi, it, conv = state
+        loc = F + b
+        d1 = fam.d_loc(y, loc, aux)
+        w = jnp.maximum(-fam.d2_loc(y, loc, aux), 1e-10)
+        g = d1 - sigma_inv_mv(b)
+        pre_d = jnp.maximum(diag_si + w, 1e-10)
+
+        def amv(V):  # [n, q]
+            return sigma_inv_mv(V) + w[:, None] * V
+
+        delta, _ = cgops.pcg(amv, g, lambda r: r / pre_d[:, None],
+                             tol=1e-6, max_iter=1000)
+
+        def halve(hs):
+            t, _, k = hs
+            return (0.5 * t, obj(b + 0.5 * t * delta), k + 1)
+
+        def cond_h(hs):
+            t, val, k = hs
+            return jnp.logical_and(
+                jnp.logical_or(val < psi, jnp.isnan(val)), k < 60)
+
+        t, psi_new, _ = jax.lax.while_loop(cond_h, halve,
+                                           (1.0, obj(b + delta), 0))
+        b_new = b + t * delta
+        conv = jnp.abs(psi_new - psi) < 1e-9 * (jnp.abs(psi) + 1e-10)
+        return b_new, psi_new, it + 1, conv
+
+    def cond(state):
+        _, _, it, conv = state
+        return jnp.logical_and(it < 100, jnp.logical_not(conv))
+
+    b0 = jnp.zeros(n, d.dtype)
+    b, _, _, _ = jax.lax.while_loop(cond, newton, (b0, obj(b0), 0, False))
+    return b
+
+
+def _find_mode_cg_fsva_fwd(lik_name, a, d, neighbors, u, l_mm, y, F, aux):
+    b = _find_mode_cg_fsva_impl(lik_name, a, d, neighbors, u, l_mm, y, F,
+                                aux)
+    return b, (a, d, neighbors, u, l_mm, y, F, aux, b)
+
+
+def _find_mode_cg_fsva_bwd(lik_name, res, v):
+    from gpboost_tpu import likelihoods as lk
+    from gpboost_tpu.ops import cg as cgops
+    fam = lk.get_family(lik_name)
+    a, d, neighbors, u, l_mm, y, F, aux, b = res
+    loc = F + b
+    w = -fam.d2_loc(y, loc, aux)
+    sigma_inv_mv, li_u, l_M = _sigma_inv_pieces(a, d, neighbors, u, l_mm)
+    pre_d = jnp.maximum(_sigma_inv_diag(a, d, neighbors, li_u, l_M) + w,
+                        1e-10)
+
+    def amv(V):
+        return sigma_inv_mv(V) + w[:, None] * V
+
+    lam, _ = cgops.pcg(amv, v, lambda r: r / pre_d[:, None],
+                       tol=1e-8, max_iter=1000)
+
+    def g(a_, d_, u_, l_mm_, F_, aux_):
+        lam_inv_ = _lam_inv_fn(a_, neighbors, d_)
+        t = lam_inv_(b)
+        li_u_ = lam_inv_(u_)
+        M_ = (jnp.matmul(l_mm_, l_mm_.T,
+                         precision=jax.lax.Precision.HIGHEST)
+              + jnp.matmul(u_.T, li_u_,
+                           precision=jax.lax.Precision.HIGHEST))
+        sib = t - li_u_ @ jnp.linalg.solve(M_, u_.T @ t)
+        return sib - fam.d_loc(y, F_ + b, aux_)
+
+    _, vjp = jax.vjp(g, a, d, u, l_mm, F, aux)
+    ga, gd, gu, glmm, gF, gaux = vjp(-lam)
+    return ga, gd, None, gu, glmm, jnp.zeros_like(y), gF, gaux
+
+
+_find_mode_cg_fsva.defvjp(_find_mode_cg_fsva_fwd, _find_mode_cg_fsva_bwd)
 
 
 class FSVAGP:
@@ -248,6 +392,90 @@ class FSVAGP:
         aux = aux_pars if aux_pars is not None else jnp.zeros((0,), self.dtype)
         sigma = self._latent_sigma_dense(cov_pars, neighbors)
         return _laplace_nll_from_sigma(self.likelihood, sigma, yp, Fp, aux)
+
+    def nll_laplace_iterative(self, cov_pars, y, aux_pars, fixed_part=None,
+                              num_rand_vec_trace: int = 50,
+                              lanczos_steps: int = 50,
+                              cg_tol: float = 1e-3, cg_max_iter: int = 1000,
+                              seed_rand_vec_trace: int = 1):
+        """Laplace NLL with matrix-free Newton-CG + preconditioned Lanczos
+        stochastic logdet — the TPU answer to the reference's CGVIF iterative
+        path for the full-scale Vecchia approximation
+        (``CG_utils.h:208-282`` CGVIFLaplace*, arXiv:2405.14492): Sigma^-1
+        matvecs are O(n m + n k) via Woodbury over the Vecchia-residual
+        precision, no dense [n, n] matrices anywhere.
+
+        logdet(Sigma) is EXACT (= sum log D + logdet M - logdet S); only
+        logdet(Sigma^-1 + W) is stochastic, with Hutchinson-surrogate
+        gradients and a Jacobi preconditioner on diag(Sigma^-1) + W.
+        """
+        from gpboost_tpu import likelihoods as lk
+        from gpboost_tpu.ops import cg as cgops
+        fam = lk.get_family(self.likelihood)
+        yp = y[self.perm]
+        Fp = (jnp.zeros(self.n, self.dtype) if fixed_part is None
+              else fixed_part[self.perm])
+        aux = aux_pars if aux_pars is not None else jnp.zeros((0,), self.dtype)
+        nb = self.neighbors
+        u, l_mm, v = self._lr_cols(cov_pars)
+        a, d = vops.build_factors_residual(
+            self.cov_fn, cov_pars, self.coords_perm, nb, v, None, False)
+        b = _find_mode_cg_fsva(self.likelihood, a, d, nb, u, l_mm, yp, Fp,
+                               aux)
+        loc = Fp + b
+        w = -fam.d2_loc(yp, loc, aux)
+        loglik = jnp.sum(fam.log_lik(yp, loc, aux))
+        sigma_inv_mv, li_u, l_M = _sigma_inv_pieces(a, d, nb, u, l_mm)
+        quad = jnp.dot(b, sigma_inv_mv(b))
+
+        # Split logdet (matching the reference's Woodbury logdet assembly,
+        # ``re_model_template.h:2698-2712``): with Q = Lambda^-1,
+        #   logdet(Sigma^-1 + W) = logdet(Q + W)
+        #       + logdet(I_k - M^-1 U'Q (Q+W)^-1 Q U)
+        # The k x k term is EXACT given one batched CG solve; only the pure
+        # Vecchia-residual part logdet(Q + W) is stochastic — strictly lower
+        # variance than estimating the full low-rank-shifted operator.
+        from gpboost_tpu.models.vecchia_model import _precision_diag
+
+        def qw_mv(V):
+            if V.ndim == 1:
+                return vops.precision_matvec(a, nb, d, V) + w * V
+            return (jax.vmap(lambda col: vops.precision_matvec(a, nb, d,
+                                                               col),
+                             in_axes=1, out_axes=1)(V) + w[:, None] * V)
+
+        pre = cgops.JacobiPreconditioner(
+            jax.lax.stop_gradient(jnp.maximum(
+                _precision_diag(a, nb, d) + w, 1e-10)))
+
+        def qw_of(th, V):
+            a_, d_, w_ = th
+            qv = jax.vmap(lambda col: vops.precision_matvec(a_, nb, d_, col),
+                          in_axes=1, out_axes=1)(V)
+            return qv + w_[:, None] * V
+
+        X = cgops.pcg_implicit(qw_of, (a, d, w), li_u, pre.d,
+                               min(cg_tol, 1e-6), cg_max_iter)
+        k = u.shape[1]
+        M = jnp.matmul(l_mm, l_mm.T, precision=jax.lax.Precision.HIGHEST) \
+            + jnp.matmul(u.T, li_u, precision=jax.lax.Precision.HIGHEST)
+        K2 = jnp.eye(k, dtype=self.dtype) - jnp.linalg.solve(
+            M, jnp.matmul(li_u.T, X, precision=jax.lax.Precision.HIGHEST))
+        _, logdet_k = jnp.linalg.slogdet(K2)
+        key = jax.random.PRNGKey(seed_rand_vec_trace)
+        k1, k2 = jax.random.split(key)
+        Z = pre.sample_probes(k1, num_rand_vec_trace)
+        Zg = cgops.rademacher_probes(k2, self.n, num_rand_vec_trace,
+                                     self.dtype)
+        logdet_qw = cgops.stochastic_logdet_grad(
+            qw_mv, None, Z, lanczos_steps, pre.solve, pre.logdet(),
+            cg_tol, cg_max_iter, probes_grad=Zg)
+        logdet_A = logdet_qw + logdet_k
+        # logdet(Sigma) = sum log D + logdet(M) - logdet(S)  (exact)
+        logdet_sigma = (jnp.sum(jnp.log(d))
+                        + 2.0 * jnp.sum(jnp.log(jnp.diagonal(l_M)))
+                        - 2.0 * jnp.sum(jnp.log(jnp.diagonal(l_mm))))
+        return -(loglik - 0.5 * quad - 0.5 * (logdet_A + logdet_sigma))
 
     def predict_laplace(self, cov_pars, y, aux_pars, coords_pred,
                         fixed_part=None, fixed_part_pred=None,

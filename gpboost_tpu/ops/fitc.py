@@ -167,3 +167,118 @@ def fsa_psi(cov_fn: CovFunction, taper_range: float, taper_shape: float,
     Q = c_nm @ sol
     T = wendland_correlation(d_nn, taper_range, taper_shape, taper_mu)
     return Q + T * (sigma - Q) + nugget * jnp.eye(n, dtype=coords.dtype)
+
+
+# ---------------------------------------------------------------------------
+# taper-sparse full-scale tapering (iterative large-n path)
+#
+# The tapered residual T o (Sigma - Q) has compact support: row i touches
+# only the points within the taper radius. On TPU that irregular sparsity is
+# stored Vecchia-style as dense [n, k_t] index/value arrays (k_t = max
+# in-radius count, -1 padded) — residual matvecs are gathers, the
+# inducing-point part is one [n, k] matmul, and NLL/solves go through CG +
+# stochastic Lanczos logdet with the FITC preconditioner
+# (reference ``CGFSA``/``CGFSA_MULTI_RHS``/``LogDetStochTridiag``,
+# ``CG_utils.h:507-900``).
+# ---------------------------------------------------------------------------
+
+
+def taper_neighbors(coords: jnp.ndarray, taper_range: float,
+                    chunk: int = 1024):
+    """[n, k_t] int32 indices of the OTHER points within the taper support
+    of each point (d < taper_range, excluding self), -1 padded. k_t is the
+    max in-radius count — a static property of (coords, taper_range)."""
+    import numpy as np
+    n = coords.shape[0]
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    cp = jnp.pad(coords, ((0, n_pad - n), (0, 0)),
+                 constant_values=jnp.inf)
+    sq = jnp.sum(coords * coords, axis=1)
+
+    @jax.jit
+    def count_chunk(start):
+        rows = jax.lax.dynamic_slice(cp, (start, 0), (chunk, cp.shape[1]))
+        d2 = (jnp.sum(rows * rows, axis=1)[:, None] + sq[None, :]
+              - 2.0 * jnp.matmul(rows, coords.T,
+                                 precision=jax.lax.Precision.HIGHEST))
+        row_ids = start + jnp.arange(chunk)[:, None]
+        col_ids = jnp.arange(n)[None, :]
+        ok = (d2 < taper_range * taper_range) & (row_ids != col_ids)
+        return jnp.sum(ok, axis=1)
+
+    counts = jnp.concatenate([count_chunk(jnp.asarray(s))
+                              for s in range(0, n_pad, chunk)])[:n]
+    k_t = max(int(jnp.max(counts)), 1)
+
+    @partial(jax.jit, static_argnums=(1,))
+    def idx_chunk(start, kt):
+        rows = jax.lax.dynamic_slice(cp, (start, 0), (chunk, cp.shape[1]))
+        d2 = (jnp.sum(rows * rows, axis=1)[:, None] + sq[None, :]
+              - 2.0 * jnp.matmul(rows, coords.T,
+                                 precision=jax.lax.Precision.HIGHEST))
+        row_ids = start + jnp.arange(chunk)[:, None]
+        col_ids = jnp.arange(n)[None, :]
+        ok = (d2 < taper_range * taper_range) & (row_ids != col_ids)
+        d2 = jnp.where(ok, d2, jnp.inf)
+        neg_d, idx = jax.lax.top_k(-d2, kt)
+        return jnp.where(jnp.isfinite(neg_d), idx, -1).astype(jnp.int32)
+
+    out = jnp.concatenate([idx_chunk(jnp.asarray(s), k_t)
+                           for s in range(0, n_pad, chunk)], axis=0)[:n]
+    return np.asarray(out)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 7))
+def fsa_taper_values(cov_fn: CovFunction, taper_range: float,
+                     taper_shape: float, taper_mu: float,
+                     gp_pars: jnp.ndarray, coords: jnp.ndarray,
+                     idx: jnp.ndarray, chunk: int, v: jnp.ndarray):
+    """Tapered-residual entries for the [n, k_t] taper structure.
+
+    vals[i, j] = T(d_ij) * (k(d_ij) - p_i . p_j) for j = idx[i, :]
+    (0 where idx < 0), diag[i] = gp_var - |p_i|^2 (T(0) = 1);
+    p_i = v[:, i] = L_mm^-1 K_m,i. The p_i . p_j inner products come from a
+    chunked [c, n] matmul + gather (never materializing [n, k_t, k])."""
+    n, k_t = idx.shape
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    cp = jnp.pad(coords, ((0, n_pad - n), (0, 0)))
+    idx_pad = jnp.pad(idx, ((0, n_pad - n), (0, 0)), constant_values=-1)
+    vp = jnp.pad(v, ((0, 0), (0, n_pad - n)))
+
+    def one_chunk(start):
+        rows = jax.lax.dynamic_slice(cp, (start, 0), (chunk, cp.shape[1]))
+        ix = jax.lax.dynamic_slice(idx_pad, (start, 0), (chunk, k_t))
+        mask = ix >= 0
+        ixs = jnp.maximum(ix, 0)
+        nb = coords[ixs]                                    # [c, k_t, d]
+        d2 = jnp.sum((rows[:, None, :] - nb) ** 2, axis=-1)
+        d2 = jnp.maximum(d2, 0.0)
+        pos = d2 > 0.0
+        dist = jnp.where(pos, jnp.sqrt(jnp.where(pos, d2, 1.0)), 0.0)
+        k_val = cov_fn.cov_matrix(gp_pars, dist=dist)
+        t_val = wendland_correlation(dist, taper_range, taper_shape,
+                                     taper_mu)
+        v_rows = jax.lax.dynamic_slice(vp, (0, start), (v.shape[0], chunk))
+        G = jnp.matmul(v_rows.T, v,
+                       precision=jax.lax.Precision.HIGHEST)   # [c, n]
+        pq = jnp.take_along_axis(G, ixs, axis=1)              # [c, k_t]
+        return jnp.where(mask, t_val * (k_val - pq), 0.0)
+
+    starts = jnp.arange(0, n_pad, chunk)
+    _, vals = jax.lax.scan(lambda _, s: (None, one_chunk(s)), None, starts)
+    vals = vals.reshape(n_pad, k_t)[:n]
+    diag = gp_pars[0] - jnp.sum(v * v, axis=0)
+    return vals, diag
+
+
+@jax.jit
+def fsa_resid_mv(vals: jnp.ndarray, diag: jnp.ndarray, idx: jnp.ndarray,
+                 x: jnp.ndarray):
+    """(T o (Sigma - Q) + diag) x via gathers; x [n] or [n, q]. The taper
+    structure is symmetric (d_ij < range is symmetric), so no scatter."""
+    ixs = jnp.maximum(idx, 0)
+    if x.ndim == 1:
+        gathered = jnp.where(idx >= 0, x[ixs], 0.0)
+        return diag * x + jnp.sum(vals * gathered, axis=1)
+    gathered = jnp.where((idx >= 0)[:, :, None], x[ixs], 0.0)
+    return diag[:, None] * x + jnp.einsum('nk,nkq->nq', vals, gathered)

@@ -100,3 +100,66 @@ def test_fsva_laplace_less_neighbors(vif):
         pred["mu"] - [0.3362000, 0.1499488, -0.1014509])) < TOL_ITER
     assert np.sum(np.abs(
         pred["var"] - [0.6036511, 0.6025073, 0.4220153])) < TOL_ITER
+
+
+def test_fsva_laplace_iterative_matches_dense(vif):
+    """matrix_inversion_method='iterative' (matrix-free Newton-CG +
+    stochastic Lanczos logdet, the CGVIF role): NLL and its cov-par
+    gradients agree with the dense Cholesky path. Only the
+    logdet(Sigma^-1 + W) term is stochastic (Hutchinson MC noise shrinks
+    relative to the logdet as n grows; n=100 is the worst case — use
+    1000 probes here)."""
+    import jax
+    import jax.numpy as jnp
+
+    m = GPModel(gp_coords=vif["coords"], cov_function="exponential",
+                likelihood="bernoulli_probit",
+                gp_approx="full_scale_vecchia",
+                num_neighbors=15, num_ind_points=20,
+                vecchia_ordering="none",
+                matrix_inversion_method="iterative")
+    m2 = GPModel(gp_coords=vif["coords"], cov_function="exponential",
+                 likelihood="bernoulli_probit",
+                 gp_approx="full_scale_vecchia",
+                 num_neighbors=15, num_ind_points=20,
+                 vecchia_ordering="none")
+    nll_ch = m2.neg_log_likelihood(cov_pars=[1.0, 0.2], y=vif["y"])
+
+    vec = m._approx
+    y = jnp.asarray(vif["y"])
+
+    def f_it(lp):
+        return vec.nll_laplace_iterative(jnp.exp(lp), y, None,
+                                         num_rand_vec_trace=1000,
+                                         lanczos_steps=60)
+
+    def f_ch(lp):
+        return vec.nll_laplace(jnp.exp(lp), y, None)
+
+    lp = jnp.log(jnp.asarray([1.0, 0.2]))
+    (v_it, g_it) = jax.value_and_grad(f_it)(lp)
+    (v_ch, g_ch) = jax.value_and_grad(f_ch)(lp)
+    assert abs(float(v_ch) - nll_ch) < 1e-6
+    assert abs(float(v_it) - float(v_ch)) < 0.3
+    assert np.all(np.abs(np.asarray(g_it) - np.asarray(g_ch))
+                  < 0.1 * (np.abs(np.asarray(g_ch)) + 1.0))
+
+
+def test_fsva_laplace_iterative_fit(vif):
+    """End-to-end iterative fit reaches parameters close to the Cholesky
+    fit (R golden values, TOLERANCE_ITERATIVE)."""
+    iu = np.triu_indices(vif["n"], 1)
+    D = np.sqrt(((vif["coords"][:, None, :]
+                  - vif["coords"][None, :, :]) ** 2).sum(-1))
+    m = GPModel(gp_coords=vif["coords"], cov_function="exponential",
+                likelihood="bernoulli_probit",
+                gp_approx="full_scale_vecchia",
+                num_neighbors=vif["n"] - 1, num_ind_points=20,
+                vecchia_ordering="none",
+                matrix_inversion_method="iterative")
+    m.fit(y=vif["y"], X=vif["X"], params={
+        "optimizer_cov": "lbfgs",
+        "init_cov_pars": [1.0, np.mean(D[iu]) / 3]})
+    assert np.sum(np.abs(m.get_cov_pars()
+                         - [0.92350821208, 0.05944214192])) < 2 * TOL_ITER
+    assert np.sum(np.abs(m.get_coef() - [0.3983333, -0.2653886])) < TOL_ITER
