@@ -203,12 +203,13 @@ class VecchiaGP:
         if self._pallas_shape is not None:
             from gpboost_tpu.ops.kernels.vecchia_factors import (
                 vecchia_factors_pallas, vecchia_nll_grad_pallas)
-            shape_code = self._pallas_shape
+            shape_code, is_ard = self._pallas_shape
             perm = jnp.asarray(self.perm)
 
             def _nll_pallas(cp, r, nb):
                 a, d_c = vecchia_factors_pallas(cp[1:], self.coords_perm, nb,
-                                                cp[0], True, shape_code)
+                                                cp[0], True, shape_code,
+                                                ard=is_ard)
                 return vops.vecchia_nll(a, d_c, nb, r[perm])
 
             self._nll_pallas_jit = jax.jit(_nll_pallas)
@@ -216,25 +217,28 @@ class VecchiaGP:
             def _vg_pallas(th, r, nb):
                 return vecchia_nll_grad_pallas(
                     jnp.asarray(th, jnp.float32), self.coords_perm, nb,
-                    jnp.asarray(r, jnp.float32)[perm], shape_code)
+                    jnp.asarray(r, jnp.float32)[perm], shape_code,
+                    ard=is_ard)
 
             self._vg_pallas_jit = jax.jit(_vg_pallas)
 
     def _pallas_shape_code(self):
-        """Matern-shape code for the fused factor kernel, or None if the
-        model/kernel combination is not eligible."""
+        """(matern-shape code, is_ard) for the fused factor kernel, or None
+        if the model/kernel combination is not eligible."""
         cf = self.cov_fn
         if self.z is not None or self.dtype != jnp.float32 \
                 or not self.nugget_in_pars:
             return None
         if cf.cov_fct_type == "exponential":
-            return 0.5
-        if cf.cov_fct_type == "matern":
+            return (0.5, False)
+        if cf.cov_fct_type in ("matern", "matern_ard"):
             for s in (0.5, 1.5, 2.5):
                 if abs(cf.shape - s) < 1e-10:
-                    return s
+                    return (s, cf.cov_fct_type == "matern_ard")
         if cf.cov_fct_type == "gaussian":
-            return -1.0
+            return (-1.0, False)
+        if cf.cov_fct_type == "gaussian_ard":
+            return (-1.0, True)
         return None
 
     def _vg_gaussian(self, th, y, fp):

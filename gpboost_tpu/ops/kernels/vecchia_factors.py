@@ -33,17 +33,25 @@ _SUPPORTED_SHAPES = (0.5, 1.5, 2.5, -1.0)  # -1.0 = gaussian (sq-exp)
 BLOCK = 1024  # points per grid step, viewed as [8, 128]
 
 
-def _corr(dist, inv_range, shape: float):
-    x = dist * inv_range
+def _corr_x(x, shape: float):
+    """Correlation at SCALED distance x (range/ARD scales and the matern
+    sqrt(3)/sqrt(5) multipliers are folded into the coordinate scaling)."""
     if shape == 0.5:
         return jnp.exp(-x)
     if shape == 1.5:
-        x = x * SQRT3
         return (1.0 + x) * jnp.exp(-x)
     if shape == 2.5:
-        x = x * SQRT5
         return (1.0 + x + x * x / 3.0) * jnp.exp(-x)
     return jnp.exp(-x * x)  # gaussian
+
+
+def _mult_const(shape: float) -> float:
+    """Distance multiplier folded into the scale (matern shortcuts)."""
+    if shape == 1.5:
+        return SQRT3
+    if shape == 2.5:
+        return SQRT5
+    return 1.0
 
 
 def _tri_pairs(m: int):
@@ -53,13 +61,15 @@ def _tri_pairs(m: int):
 def _factors_kernel(pars_ref, nb_ref, row_ref, mask_ref, a_ref, d_ref,
                     *, m, dim, shape, include_nugget):
     """Blocks: nb [m, d, 8, 128], row [d, 8, 128], mask [m, 8, 128] (f32);
-    outputs a [m, 8, 128], d [1, 8, 128]. pars [4] SMEM:
-    (gp_var, inv_range, nugget, _)."""
+    outputs a [m, 8, 128], d [1, 8, 128]. pars SMEM [2 + d]:
+    (gp_var, nugget, scale_1..scale_d) — per-dim coordinate scales
+    (isotropic: all equal to mult_const/range; ARD: mult_const/rho_k)."""
     nb = [[nb_ref[i, k] for k in range(dim)] for i in range(m)]
     row = [row_ref[k] for k in range(dim)]
     mask = [mask_ref[i] for i in range(m)]
+    scales = [pars_ref[2 + k] for k in range(dim)]
     a, d_cond = _block_factors(
-        (pars_ref[0], pars_ref[1], pars_ref[2]), nb, row, mask,
+        (pars_ref[0], scales, pars_ref[1]), nb, row, mask,
         m=m, dim=dim, shape=shape, include_nugget=include_nugget)
     for i in range(m):
         a_ref[i] = a[i]
@@ -68,19 +78,19 @@ def _factors_kernel(pars_ref, nb_ref, row_ref, mask_ref, a_ref, d_ref,
 
 def _block_factors(pars, nb, row, mask, *, m, dim, shape, include_nugget):
     """Factor computation on [1, 8, 128] tile values (shared by the factor
-    kernel and the fused NLL+grad kernel). pars = (gp_var, inv_range,
+    kernel and the fused NLL+grad kernel). pars = (gp_var, scales [d],
     nugget) as traced scalars."""
-    gp_var, inv_range, nugget = pars
+    gp_var, scales, nugget = pars
     var_ii = gp_var + (nugget if include_nugget else 0.0)
 
     def cov_between(p, q):
         d2 = None
         for k in range(dim):
-            dk = p[k] - q[k]
+            dk = (p[k] - q[k]) * scales[k]
             d2 = dk * dk if d2 is None else d2 + dk * dk
         safe = jnp.where(d2 > 0.0, d2, 1.0)
         dist = jnp.where(d2 > 0.0, jnp.sqrt(safe), 0.0)
-        return gp_var * _corr(dist, inv_range, shape)
+        return gp_var * _corr_x(dist, shape)
 
     B = {}
     for i in range(m):
@@ -122,11 +132,13 @@ def _block_factors(pars, nb, row, mask, *, m, dim, shape, include_nugget):
 
 
 def _nll_grad_kernel(pars_ref, nb_ref, row_ref, mask_ref, rnb_ref, rrow_ref,
-                     out_ref, *, m, dim, shape, n):
+                     out_ref, *, m, dim, shape, n, ard):
     """Per-block Gaussian Vecchia NLL contribution and its gradient w.r.t.
-    log(p) for p = [nugget, gp_var, range]: reverse-mode AD traced INSIDE
-    the kernel body (all elementwise ops -> Mosaic-compatible).
-    out [1, 8] = (nll, d/dlog nugget, d/dlog var, d/dlog range, 0...)."""
+    log(p) for p = [nugget, gp_var, range(s)...]: reverse-mode AD traced
+    INSIDE the kernel body (all elementwise ops -> Mosaic-compatible).
+    out [1, 8, 128] = (nll, d/dlog nugget, d/dlog var, d/dlog range_k...)
+    in lanes 0..(2 + n_ranges) of sublane 0. ARD: one range per coordinate
+    dimension (per-dim scaled distances)."""
     gid = pl.program_id(0)
     sub = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 2)
@@ -138,9 +150,15 @@ def _nll_grad_kernel(pars_ref, nb_ref, row_ref, mask_ref, rnb_ref, rrow_ref,
     mask = [mask_ref[i] for i in range(m)]
     rnb = [rnb_ref[i] for i in range(m)]
     rrow = rrow_ref[0]
+    n_ranges = dim if ard else 1
+    mc = _mult_const(shape)
 
-    def block_nll(l_nugget, l_var, l_range):
-        pars = (jnp.exp(l_var), jnp.exp(-l_range), jnp.exp(l_nugget))
+    def block_nll(l_nugget, l_var, *l_ranges):
+        if ard:
+            scales = [mc * jnp.exp(-l_ranges[k]) for k in range(dim)]
+        else:
+            scales = [mc * jnp.exp(-l_ranges[0])] * dim
+        pars = (jnp.exp(l_var), scales, jnp.exp(l_nugget))
         a, d_cond = _block_factors(pars, nb, row, mask, m=m, dim=dim,
                                    shape=shape, include_nugget=True)
         br = rrow
@@ -149,24 +167,26 @@ def _nll_grad_kernel(pars_ref, nb_ref, row_ref, mask_ref, rnb_ref, rrow_ref,
         contrib = (jnp.log(d_cond) + br * br / d_cond) * row_valid
         return 0.5 * jnp.sum(contrib)
 
-    val, g = jax.value_and_grad(block_nll, argnums=(0, 1, 2))(
-        pars_ref[0], pars_ref[1], pars_ref[2])
-    # scatter-free placement: value in lane 0, grads in lanes 1-3 (sublane 0)
+    args = [pars_ref[t] for t in range(2 + n_ranges)]
+    val, g = jax.value_and_grad(
+        block_nll, argnums=tuple(range(2 + n_ranges)))(*args)
+    # scatter-free placement: value in lane 0, grads in lanes 1.. (sublane 0)
     tile = jnp.zeros((1, 8, 128), jnp.float32)
     on0 = jnp.where((sub == 0) & (lane == 0), 1.0, 0.0)
     tile = tile + val * on0
-    for t in range(3):
+    for t in range(2 + n_ranges):
         tile = tile + g[t] * jnp.where((sub == 0) & (lane == t + 1), 1.0, 0.0)
     out_ref[0] = tile[0]
 
 
 def vecchia_nll_grad_pallas(log_cov_pars, coords, neighbors, r,
-                            shape: float):
+                            shape: float, ard: bool = False):
     """Fused Gaussian Vecchia (NLL, dNLL/dlog cov_pars) in one kernel pass.
 
-    log_cov_pars = log([nugget, gp_var, range]); r = centered residual [n]
-    (original order of ``coords``/``neighbors``). Returns (nll, grad [3]).
-    """
+    log_cov_pars = log([nugget, gp_var, range]) (isotropic) or
+    log([nugget, gp_var, rho_1..rho_d]) (``ard=True``); r = centered
+    residual [n] (original order of ``coords``/``neighbors``). Returns
+    (nll, grad [2 + n_ranges])."""
     n, m = neighbors.shape
     dim = coords.shape[1]
     if shape not in _SUPPORTED_SHAPES:
@@ -192,7 +212,8 @@ def vecchia_nll_grad_pallas(log_cov_pars, coords, neighbors, r,
     def kernel(pars_ref, nb_ref, row_ref, mask_ref, rnb_ref, rrow_ref,
                out_ref):
         _nll_grad_kernel(pars_ref, nb_ref, row_ref, mask_ref, rnb_ref,
-                         rrow_ref, out_ref, m=m, dim=dim, shape=shape, n=n)
+                         rrow_ref, out_ref, m=m, dim=dim, shape=shape, n=n,
+                         ard=ard)
 
     interpret = jax.default_backend() != "tpu"
     with jax.enable_x64(False):
@@ -214,12 +235,15 @@ def vecchia_nll_grad_pallas(log_cov_pars, coords, neighbors, r,
         )(logp, nbT, rowT, maskT, rnbT, rrowT)
     tot = jnp.sum(out, axis=0)[0]
     nll = 0.5 * n * math.log(2.0 * math.pi) + tot[0]
-    return nll, tot[1:4]
+    n_ranges = dim if ard else 1
+    return nll, tot[1:3 + n_ranges]
 
 
 def vecchia_factors_pallas(cov_pars, coords, neighbors, nugget,
-                           include_nugget: bool, shape: float):
-    """Fused (A [n, m], D [n]) Vecchia factor build; cov_pars = [var, range].
+                           include_nugget: bool, shape: float,
+                           ard: bool = False):
+    """Fused (A [n, m], D [n]) Vecchia factor build; cov_pars = [var, range]
+    (isotropic) or [var, rho_1..rho_d] (``ard=True``).
 
     f32 in/out. Forward only — wrap with a custom VJP at the call site for
     gradients (the jnp transposed path supplies the backward).
@@ -240,12 +264,16 @@ def vecchia_factors_pallas(cov_pars, coords, neighbors, nugget,
                    ((0, 0), (0, n_pad - n))).reshape(dim, g, 8, 128)
     maskT = jnp.pad(mask.T, ((0, 0), (0, n_pad - n)),
                     constant_values=1.0).reshape(m, g, 8, 128)
+    mc = jnp.asarray(_mult_const(shape), jnp.float32)
+    if ard:
+        scales = [mc / jnp.asarray(cov_pars[1 + k], jnp.float32)
+                  for k in range(dim)]
+    else:
+        scales = [mc / jnp.asarray(cov_pars[1], jnp.float32)] * dim
     pars = jnp.stack([
         jnp.asarray(cov_pars[0], jnp.float32),
-        jnp.asarray(1.0, jnp.float32) / jnp.asarray(cov_pars[1], jnp.float32),
         (jnp.asarray(nugget, jnp.float32) if nugget is not None
-         else jnp.zeros((), jnp.float32)),
-        jnp.zeros((), jnp.float32)])
+         else jnp.zeros((), jnp.float32))] + scales)
 
     def kernel(pars_ref, nb_ref, row_ref, mask_ref, a_ref, d_ref):
         _factors_kernel(pars_ref, nb_ref, row_ref, mask_ref, a_ref, d_ref,

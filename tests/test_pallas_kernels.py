@@ -63,3 +63,39 @@ def test_vecchia_nll_grad_pallas_interpret():
     assert abs(float(v_ref) - float(v_k)) < 1e-2
     np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_ref),
                                rtol=2e-3, atol=2e-2)
+
+
+def test_vecchia_nll_grad_pallas_ard_interpret():
+    """ARD extension of the fused kernel: per-dimension ranges, gradients
+    for all 2 + d log-parameters."""
+    from gpboost_tpu.ops import vecchia as vops
+    from gpboost_tpu.ops.cov_fns import CovFunction
+    from gpboost_tpu.ops.kernels.vecchia_factors import (
+        vecchia_factors_pallas, vecchia_nll_grad_pallas)
+    rng = np.random.default_rng(2)
+    n, m = 1500, 12
+    coords = jnp.asarray(rng.uniform(size=(n, 2)), dtype=jnp.float32)
+    y = jnp.asarray(np.sin(4 * np.asarray(coords)[:, 0])
+                    + 0.4 * rng.standard_normal(n), jnp.float32)
+    cov_fn = CovFunction.create("matern_ard", shape=1.5)
+    cp = jnp.asarray([0.2, 1.1, 0.13, 0.21], jnp.float32)  # nug, var, r1, r2
+    scaled = cov_fn.scale_coords(coords, cp[1:])
+    nb = vops.find_neighbors(scaled, m, method="exact")
+    lp = jnp.log(cp)
+    with jax.enable_x64(False):
+        def nll_ref(t):
+            c = jnp.exp(t)
+            a, d = vops.build_factors.__wrapped__(
+                cov_fn, c[1:], coords, nb, c[0], True)
+            return vops.vecchia_nll(a, d, nb, y)
+        v_ref, g_ref = jax.value_and_grad(nll_ref)(lp)
+        v_k, g_k = vecchia_nll_grad_pallas(lp, coords, nb, y, 1.5, ard=True)
+        a1, d1 = vops.build_factors.__wrapped__(
+            cov_fn, cp[1:], coords, nb, cp[0], True)
+        a2, d2 = vecchia_factors_pallas(cp[1:], coords, nb, cp[0], True,
+                                        1.5, ard=True)
+    assert abs(float(v_ref) - float(v_k)) < 1e-2
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_ref),
+                               rtol=2e-3, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=2e-5)
