@@ -29,6 +29,7 @@ class FITCGP:
                  likelihood: str = "gaussian", gp_approx: str = "fitc",
                  cov_fct_taper_range: float = 1.0,
                  cov_fct_taper_shape: float = 1.0,
+                 matrix_inversion_method: str = "cholesky",
                  dtype=jnp.float64):
         n = coords.shape[0]
         n_unique = np.unique(coords, axis=0).shape[0]
@@ -47,9 +48,50 @@ class FITCGP:
             select_inducing_points(coords, num_ind_points,
                                    ind_points_selection, seed), dtype=dtype)
         self.dtype = dtype
+        self.matrix_inversion_method = matrix_inversion_method
+        # iterative-path knobs (reference defaults; sync_iter_cfg adopts
+        # the optimizer config's values)
+        self.num_rand_vec_trace = 50
+        self.lanczos_steps = 50
+        self.cg_tol = 1e-4
+        self.cg_max_iter = 1000
+        self.seed_rand_vec_trace = 1
+        self._taper_idx = None  # [n, k_t] taper support (static structure)
+        if self._use_iterative:
+            # materialize EAGERLY: the structure search concretizes k_t
+            # (int(max(counts))), which is impossible inside a jit trace
+            _ = self.taper_idx
         # persistent jitted value+grad (shared fit driver expects this)
         self._vg_gaussian = jax.jit(jax.value_and_grad(
             lambda th, y, fp: self.nll_gaussian(jnp.exp(th), y, fp)))
+
+    @property
+    def _use_iterative(self):
+        return (self.gp_approx == "full_scale_tapering"
+                and self.matrix_inversion_method == "iterative")
+
+    def sync_iter_cfg(self, cfg):
+        """Adopt the optimizer config's iterative-method knobs. Rebuilds
+        the jitted value+grad when they change (they are trace-time
+        constants of the compiled graph)."""
+        new = (max(int(cfg.num_rand_vec_trace), 1),
+               min(int(cfg.cg_max_num_it_tridiag), 200),
+               float(cfg.cg_delta_conv), int(cfg.cg_max_num_it),
+               int(cfg.seed_rand_vec_trace))
+        cur = (self.num_rand_vec_trace, self.lanczos_steps, self.cg_tol,
+               self.cg_max_iter, self.seed_rand_vec_trace)
+        if new != cur:
+            (self.num_rand_vec_trace, self.lanczos_steps, self.cg_tol,
+             self.cg_max_iter, self.seed_rand_vec_trace) = new
+            self._vg_gaussian = jax.jit(jax.value_and_grad(
+                lambda th, y, fp: self.nll_gaussian(jnp.exp(th), y, fp)))
+
+    @property
+    def taper_idx(self):
+        if self._taper_idx is None:
+            self._taper_idx = jnp.asarray(
+                fops.taper_neighbors(self.coords, self.taper_range))
+        return self._taper_idx
 
     # -- Gaussian ------------------------------------------------------
     def nll_gaussian(self, cov_pars, y, fixed_part=None):
@@ -57,6 +99,8 @@ class FITCGP:
         if self.gp_approx == "fitc":
             return fops.fitc_nll(self.cov_fn, cov_pars, self.coords,
                                  self.ind_points, r)
+        if self._use_iterative:
+            return self.nll_gaussian_iterative(cov_pars, y, fixed_part)
         psi = fops.fsa_psi(self.cov_fn, self.taper_range, self.taper_shape,
                            self.taper_mu, cov_pars, self.coords,
                            self.ind_points)
@@ -67,10 +111,71 @@ class FITCGP:
                       + 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
                       + n * LOG_2PI)
 
+    # -- taper-sparse iterative FSA (CGFSA role, CG_utils.h:507-900) ----
+    def _fsa_iter_theta(self, cov_pars_full):
+        """Differentiable matrix-free Psi pieces: (v, vals, diag + nugget)
+        with Psi x = v'(v x) + resid_mv(vals, diag+nugget, idx, x)."""
+        nugget = cov_pars_full[0]
+        gp = cov_pars_full[1:]
+        _, _, _, v = fops.fitc_parts(self.cov_fn, gp, self.coords,
+                                     self.ind_points, nugget)
+        vals, diag = fops.fsa_taper_values(
+            self.cov_fn, self.taper_range, self.taper_shape, self.taper_mu,
+            gp, self.coords, self.taper_idx, 1024, v)
+        return v, vals, diag + nugget
+
+    def _psi_of(self, theta, X):
+        v, vals, dfull = theta
+        return (fops.fsa_resid_mv(vals, dfull, self.taper_idx, X)
+                + v.T @ (v @ X))
+
+    def nll_gaussian_iterative(self, cov_pars, y, fixed_part=None):
+        """Gaussian FSA NLL with CG solves + preconditioned stochastic
+        Lanczos logdet under the FITC (low-rank + diag) preconditioner —
+        the TPU-native CGFSA/CGTridiagFSA path (``CG_utils.h:507,622``,
+        stochastic logdet ``LogDetStochTridiag`` :384). O(n k_t + n k) per
+        matvec, no dense [n, n] matrices; differentiable (implicit-diff CG
+        for the quadratic form, Hutchinson surrogate for the logdet)."""
+        from gpboost_tpu.ops import cg as cgops
+        r = y if fixed_part is None else y - fixed_part
+        theta = self._fsa_iter_theta(cov_pars)
+        v, vals, dfull = theta
+        n = r.shape[0]
+        pre_U = jax.lax.stop_gradient(v.T)
+        pre_d = jax.lax.stop_gradient(jnp.maximum(dfull, 1e-10))
+        alpha = cgops.pcg_implicit(self._psi_of, theta, r,
+                                   pre_d, self.cg_tol, self.cg_max_iter,
+                                   pre_U=pre_U)
+        quad = jnp.dot(r, alpha)
+        pre = cgops.LowRankDiagPreconditioner.create(pre_U, pre_d)
+        key = jax.random.PRNGKey(self.seed_rand_vec_trace)
+        k1, k2 = jax.random.split(key)
+        Z = pre.sample_probes(k1, self.num_rand_vec_trace)
+        Zg = cgops.rademacher_probes(k2, n, self.num_rand_vec_trace,
+                                     self.dtype)
+        logdet = cgops.stochastic_logdet_grad(
+            lambda V: self._psi_of(theta, V), None, Z, self.lanczos_steps,
+            pre.solve, pre.logdet(), self.cg_tol, self.cg_max_iter,
+            probes_grad=Zg)
+        return 0.5 * (quad + logdet + n * LOG_2PI)
+
+    def _psi_inv_mul_iterative(self, cov_pars, R):
+        from gpboost_tpu.ops import cg as cgops
+        theta = self._fsa_iter_theta(cov_pars)
+        v, vals, dfull = theta
+        pre = cgops.LowRankDiagPreconditioner.create(
+            v.T, jnp.maximum(dfull, 1e-10))
+        X, _ = cgops.pcg(lambda V: self._psi_of(theta, V), R, pre.solve,
+                         tol=min(self.cg_tol, 1e-6),
+                         max_iter=self.cg_max_iter)
+        return X
+
     def _psi_inv_mul(self, cov_pars, R):
         if self.gp_approx == "fitc":
             return fops.fitc_psi_inv_mul(self.cov_fn, cov_pars, self.coords,
                                          self.ind_points, R)
+        if self._use_iterative:
+            return self._psi_inv_mul_iterative(cov_pars, R)
         psi = fops.fsa_psi(self.cov_fn, self.taper_range, self.taper_shape,
                            self.taper_mu, cov_pars, self.coords,
                            self.ind_points)

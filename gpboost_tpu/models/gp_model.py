@@ -218,7 +218,9 @@ class GPModel:
                     likelihood=_canonical_likelihood(likelihood),
                     gp_approx=gp_approx,
                     cov_fct_taper_range=cov_fct_taper_range,
-                    cov_fct_taper_shape=cov_fct_taper_shape, dtype=dtype)
+                    cov_fct_taper_shape=cov_fct_taper_shape,
+                    matrix_inversion_method=matrix_inversion_method,
+                    dtype=dtype)
             else:
                 self._approx = None
         else:
@@ -396,6 +398,8 @@ class GPModel:
                 fixed_effects, dtype=self.dtype)
             if hasattr(self._approx, "ensure_neighbors"):
                 self._approx.ensure_neighbors(np.asarray(cov_pars))
+            if hasattr(self._approx, "sync_iter_cfg"):
+                self._approx.sync_iter_cfg(self.optim_cfg)
             if self.spec.is_gaussian and self.gp_approx == "vecchia_latent":
                 # latent-process Vecchia + iid noise: cov_pars = GP pars (no
                 # nugget), nugget passed/estimated as an aux parameter

@@ -14,6 +14,8 @@ from gpboost_tpu.models import optimizers
 def fit(model, data, fixed_effects: Optional[jnp.ndarray] = None):
     cfg = model.optim_cfg
     vec = model._approx
+    if hasattr(vec, "sync_iter_cfg"):
+        vec.sync_iter_cfg(cfg)
     y = data.y
     y_np = np.asarray(y)
     has_coef = data.X is not None

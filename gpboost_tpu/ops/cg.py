@@ -90,44 +90,50 @@ def pcg(matvec: Callable, B: jnp.ndarray,
     return X, it
 
 
-def _diag_solve(pre_diag):
+def _pre_solve(pre_diag, pre_U):
+    """Preconditioner solve from ARRAY arguments (not closures — closures
+    over traced values leak tracers through nondiff_argnums): Jacobi when
+    ``pre_U`` is None, else P = pre_U pre_U' + diag(pre_diag) Woodbury."""
     if pre_diag is None:
         return None
-    return lambda r: r / (pre_diag[:, None] if r.ndim == 2 else pre_diag)
+    if pre_U is None:
+        return lambda r: r / (pre_diag[:, None] if r.ndim == 2 else pre_diag)
+    return LowRankDiagPreconditioner.create(pre_U, pre_diag).solve
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 4, 5))
 def pcg_implicit(mv_of_theta: Callable, theta, B: jnp.ndarray,
                  pre_diag: Optional[jnp.ndarray] = None,
-                 tol: float = 1e-8, max_iter: int = 1000):
+                 tol: float = 1e-8, max_iter: int = 1000,
+                 pre_U: Optional[jnp.ndarray] = None):
     """X = A(theta)^-1 B with IMPLICIT differentiation.
 
     ``mv_of_theta(theta, V)`` is the SPD matvec, differentiable in the
-    ``theta`` pytree; ``pre_diag`` an optional Jacobi preconditioner
-    diagonal (an array argument, NOT a closure — closures over traced
-    values leak tracers through nondiff_argnums). ``lax.while_loop``-based
-    CG is not reverse-mode differentiable; the custom VJP solves one
-    adjoint system A lam = X_bar and returns
+    ``theta`` pytree; the preconditioner is Jacobi(``pre_diag``) or
+    low-rank+diag (``pre_U``, ``pre_diag``). ``lax.while_loop``-based CG
+    is not reverse-mode differentiable; the custom VJP solves one adjoint
+    system A lam = X_bar and returns
     d theta = -vjp_theta(A(theta) X)[lam], dB = lam."""
-    X, _ = pcg(lambda V: mv_of_theta(theta, V), B, _diag_solve(pre_diag),
-               tol, max_iter)
+    X, _ = pcg(lambda V: mv_of_theta(theta, V), B,
+               _pre_solve(pre_diag, pre_U), tol, max_iter)
     return X
 
 
-def _pcg_implicit_fwd(mv_of_theta, theta, B, pre_diag, tol, max_iter):
-    X, _ = pcg(lambda V: mv_of_theta(theta, V), B, _diag_solve(pre_diag),
-               tol, max_iter)
-    return X, (theta, X, pre_diag)
+def _pcg_implicit_fwd(mv_of_theta, theta, B, pre_diag, tol, max_iter, pre_U):
+    X, _ = pcg(lambda V: mv_of_theta(theta, V), B,
+               _pre_solve(pre_diag, pre_U), tol, max_iter)
+    return X, (theta, X, pre_diag, pre_U)
 
 
 def _pcg_implicit_bwd(mv_of_theta, tol, max_iter, res, x_bar):
-    theta, X, pre_diag = res
+    theta, X, pre_diag, pre_U = res
     lam, _ = pcg(lambda V: mv_of_theta(theta, V), x_bar,
-                 _diag_solve(pre_diag), tol, max_iter)
+                 _pre_solve(pre_diag, pre_U), tol, max_iter)
     _, vjp = jax.vjp(lambda th: mv_of_theta(th, X), theta)
     (g_theta,) = vjp(-lam)
     g_pre = None if pre_diag is None else jnp.zeros_like(pre_diag)
-    return g_theta, lam, g_pre
+    g_pre_u = None if pre_U is None else jnp.zeros_like(pre_U)
+    return g_theta, lam, g_pre, g_pre_u
 
 
 pcg_implicit.defvjp(_pcg_implicit_fwd, _pcg_implicit_bwd)

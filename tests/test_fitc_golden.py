@@ -146,3 +146,60 @@ class TestFITCLaplaceWoodbury:
             lambda c: _laplace_nll_from_sigma(
                 "poisson", gp._latent_sigma(c), y, jnp.zeros(n), aux))(cov))
         np.testing.assert_allclose(g_w, g_d, rtol=1e-6)
+
+
+class TestFullScaleTaperingIterative:
+    """matrix_inversion_method='iterative' for full_scale_tapering: the
+    taper-sparse matrix-free CG + stochastic Lanczos path (the reference's
+    CGFSA machinery, ``CG_utils.h:507-900``) must agree with the Cholesky
+    path (the R tests compare iterative vs no-approx at
+    TOLERANCE_ITERATIVE = 1e-1)."""
+
+    def test_fsa_iterative_nll_and_grad_match_cholesky(self, gp_fixture_data):
+        import jax
+        import jax.numpy as jnp
+        f = gp_fixture_data
+        y = f["eps"] + f["xi"]
+        common = dict(gp_coords=f["coords"], cov_function="exponential",
+                      gp_approx="full_scale_tapering", num_ind_points=40,
+                      cov_fct_taper_range=0.5, cov_fct_taper_shape=0.0,
+                      ind_points_selection="kmeans++")
+        m_it = GPModel(matrix_inversion_method="iterative", **common)
+        m_ch = GPModel(**common)
+        m_it.set_optim_params({"num_rand_vec_trace": 500})
+        nll_it = m_it.neg_log_likelihood(cov_pars=[0.1, 1.6, 0.2], y=y)
+        nll_ch = m_ch.neg_log_likelihood(cov_pars=[0.1, 1.6, 0.2], y=y)
+        assert abs(nll_it - nll_ch) < 0.1
+
+        th = jnp.log(jnp.asarray([0.1, 1.6, 0.2]))
+        yj = jnp.asarray(y)
+        _, g_it = m_it._approx._vg_gaussian(th, yj, None)
+        _, g_ch = m_ch._approx._vg_gaussian(th, yj, None)
+        assert np.all(np.abs(np.asarray(g_it) - np.asarray(g_ch))
+                      < 0.05 * (np.abs(np.asarray(g_ch)) + 1.0))
+
+    def test_fsa_iterative_fit_and_predict(self, gp_fixture_data):
+        f = gp_fixture_data
+        y = f["eps"] + f["xi"]
+        iu = np.triu_indices(f["n"], 1)
+        init = [np.var(y, ddof=1) / 2, np.var(y, ddof=1) / 2,
+                np.mean(f["D"][iu]) / 3]
+        common = dict(gp_coords=f["coords"], cov_function="exponential",
+                      gp_approx="full_scale_tapering", num_ind_points=50,
+                      cov_fct_taper_range=0.8, cov_fct_taper_shape=0.0)
+        m_it = GPModel(matrix_inversion_method="iterative", **common)
+        m_it.fit(y=y, params={"optimizer_cov": "lbfgs",
+                              "init_cov_pars": init,
+                              "num_rand_vec_trace": 500})
+        m_ch = GPModel(**common)
+        m_ch.fit(y=y, params={"optimizer_cov": "lbfgs",
+                              "init_cov_pars": init})
+        assert np.sum(np.abs(m_it.get_cov_pars() - m_ch.get_cov_pars())) < 0.1
+        p_it = m_it.predict(y=y, gp_coords_pred=f["coords"][:4] + 0.01,
+                            predict_var=True, predict_response=False,
+                            cov_pars=[0.1, 1.6, 0.2])
+        p_ch = m_ch.predict(y=y, gp_coords_pred=f["coords"][:4] + 0.01,
+                            predict_var=True, predict_response=False,
+                            cov_pars=[0.1, 1.6, 0.2])
+        assert np.sum(np.abs(p_it["mu"] - p_ch["mu"])) < 1e-3
+        assert np.sum(np.abs(p_it["var"] - p_ch["var"])) < 1e-2
