@@ -42,7 +42,10 @@ class FITCGP:
         self.gp_approx = gp_approx
         self.taper_range = cov_fct_taper_range
         self.taper_shape = cov_fct_taper_shape
-        self.taper_mu = 1.5  # reference default for d<=2: (dim+1)/2 + 1/2...
+        # FSA residual tapering uses apply_tapering=true in the reference
+        # (re_model_template.h:7090-7092), so mu = (1+d)/2 + shape + 1/2
+        # (re_comp.h:842-845)
+        self.taper_mu = (1.0 + coords.shape[1]) / 2.0 + cov_fct_taper_shape + 0.5
         self.coords = jnp.asarray(coords, dtype=dtype)
         self.ind_points = jnp.asarray(
             select_inducing_points(coords, num_ind_points,

@@ -269,6 +269,16 @@ def euclidean_distance(c1: jnp.ndarray, c2: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(d2 > 0.0, jnp.sqrt(safe), 0.0)
 
 
+def get_taper_mu(cov_fct_type: str, taper_shape: float, dim_coords: int,
+                 apply_tapering: bool) -> float:
+    """Wendland mu parameter, Bevilacqua et al. (2019) notation: the
+    reference sets mu = (1 + d)/2 + taper_shape + 1/2 for wendland and
+    tapered models, else 2 (``re_comp.h:842-845,1821``)."""
+    if cov_fct_type == "wendland" or apply_tapering:
+        return (1.0 + dim_coords) / 2.0 + taper_shape + 0.5
+    return 2.0
+
+
 @dataclass(frozen=True)
 class CovFunction:
     """Static spec of one covariance function (hashable; safe as jit static arg).
@@ -288,7 +298,7 @@ class CovFunction:
 
     @staticmethod
     def create(cov_fct_type: str, shape: float = 0.0, taper_range: float = 1.0,
-               taper_shape: float = 1.0, taper_mu: float = 1.5,
+               taper_shape: float = 1.0, taper_mu: float = None,
                apply_tapering: bool = False, dim_coords: int = 2) -> "CovFunction":
         cov_fct_type, shape = parse_cov_alias(cov_fct_type, shape)
         if cov_fct_type not in SUPPORTED_COV_TYPES:
@@ -297,6 +307,9 @@ class CovFunction:
             raise ValueError("'shape' must be > 0 for matern covariances")
         if cov_fct_type == "powered_exponential" and not (0.0 < shape <= 2.0):
             raise ValueError("'shape' must be in (0, 2] for powered_exponential")
+        if taper_mu is None:
+            taper_mu = get_taper_mu(cov_fct_type, taper_shape, dim_coords,
+                                    apply_tapering)
         return CovFunction(cov_fct_type, shape, taper_range, taper_shape,
                            taper_mu, apply_tapering, dim_coords)
 
