@@ -228,6 +228,120 @@ def _bessel_kv_general(nu: float, x: jnp.ndarray) -> jnp.ndarray:
     return k_hi
 
 
+def _signed_gamma(z: jnp.ndarray) -> jnp.ndarray:
+    """Gamma(z) for real (possibly negative, non-pole) traced z.
+
+    z > 0: exp(lgamma z); z < 0: reflection Gamma(z) = pi /
+    (sin(pi z) Gamma(1 - z)). Arguments are kept away from the poles by the
+    caller (non-integer order perturbation)."""
+    from jax.scipy.special import gammaln
+    pos = jnp.exp(gammaln(jnp.maximum(z, 1e-10)))
+    neg = jnp.pi / (jnp.sin(jnp.pi * z)
+                    * jnp.exp(gammaln(jnp.maximum(1.0 - z, 1e-10))))
+    return jnp.where(z > 0, pos, neg)
+
+
+def bessel_kv_traced(nu, x: jnp.ndarray) -> jnp.ndarray:
+    """K_nu(x) with a TRACED order nu > 0 — differentiable in BOTH nu and x.
+
+    Same series (x < 10) + uniform asymptotic (x >= 10) construction as the
+    static ``_bessel_kv``, but with jnp gamma/sin so nu can be a jit-traced
+    parameter (needed for ``matern_estimate_shape`` and the Gneiting nu,
+    where the reference falls back to finite differences for the shape
+    gradient, ``cov_fcts.h:1794-1813``; AD through this series replaces
+    that). Orders within ~1e-6 of an integer are nudged off the
+    sin(nu pi) pole (relative error ~1e-3 there, as in the static path)."""
+    nu = jnp.asarray(nu, x.dtype)
+    r = jnp.round(nu)
+    # sin(nu pi) pole cancellation scales like eps/|nu - r|: a 1e-4 nudge
+    # keeps the cancellation ~1e-4 relative while the O(nudge) bias in nu
+    # stays ~1e-3 relative — only orders within 1e-4 of an integer pay it
+    near = jnp.abs(nu - r) < 1e-4
+    nu_eff = jnp.where(near, r + jnp.where(nu >= r, 1e-4, -1e-4), nu)
+
+    from jax.scipy.special import gammaln
+    xc = jnp.minimum(x, _KV_SERIES_ASYMPT_CUTOFF)
+    log_xh = jnp.log(xc / 2.0)
+    n_terms = 30
+
+    def iv_series(order):
+        # fori_loop (static trip count -> scan, reverse-differentiable)
+        # keeps the traced graph tiny vs a 30-term unroll — the unrolled
+        # form made jit compiles of estimate-shape models take minutes
+        def body(k, s):
+            kf = jnp.asarray(k, x.dtype)
+            coef = jnp.exp(-gammaln(kf + 1.0)) \
+                / _signed_gamma(kf + order + 1.0)
+            return s + coef * jnp.exp((2.0 * kf + order) * log_xh)
+        return jax.lax.fori_loop(0, n_terms, body, jnp.zeros_like(xc))
+
+    small = (jnp.pi / 2.0) * (iv_series(-nu_eff) - iv_series(nu_eff)) \
+        / jnp.sin(nu_eff * jnp.pi)
+
+    xa = jnp.maximum(x, _KV_SERIES_ASYMPT_CUTOFF)
+    mu4 = 4.0 * nu_eff * nu_eff
+
+    def body_a(k, carry):
+        a, term = carry
+        kf = jnp.asarray(k, x.dtype)
+        term = term * (mu4 - (2.0 * kf - 1.0) ** 2) / (8.0 * kf * xa)
+        return a + term, term
+
+    a, _ = jax.lax.fori_loop(1, 15, body_a,
+                             (jnp.ones_like(xa), jnp.ones_like(xa)))
+    large = jnp.sqrt(jnp.pi / (2.0 * xa)) * jnp.exp(-xa) * a
+    return jnp.where(x < _KV_SERIES_ASYMPT_CUTOFF, small, large)
+
+
+_KV_UNIFORM_NU_SWITCH = 8.0
+
+
+def _log_kv_uniform(nu, x: jnp.ndarray) -> jnp.ndarray:
+    """log K_nu(x) via the LARGE-ORDER uniform asymptotic expansion
+    (DLMF 10.41.4, four u_k terms) — the small-x series + fixed-order
+    asymptotic pair breaks down for nu >~ 9 (the x >= 10 expansion
+    diverges once 4 nu^2 >> x), but estimated-smoothness fits walk nu into
+    the hundreds (the reference R fit reaches nu ~ 142, the Gaussian
+    limit). Log-space keeps Gamma(nu)-scale factors finite. Relative
+    accuracy ~1e-8 at nu = 8 and improving like nu^-4."""
+    z = x / nu
+    s = jnp.sqrt(1.0 + z * z)
+    eta = s + jnp.log(z / (1.0 + s))
+    t = 1.0 / s
+    t2 = t * t
+    u1 = (3.0 * t - 5.0 * t * t2) / 24.0
+    u2 = (81.0 * t2 - 462.0 * t2 * t2 + 385.0 * t2 * t2 * t2) / 1152.0
+    u3 = (30375.0 * t * t2 - 369603.0 * t * t2 * t2
+          + 765765.0 * t * t2 * t2 * t2
+          - 425425.0 * t * t2 * t2 * t2 * t2) / 414720.0
+    # alternating signs for K (DLMF 10.41.4: (-1)^k u_k(t)/nu^k)
+    series = 1.0 - u1 / nu + u2 / (nu * nu) - u3 / (nu * nu * nu)
+    return (0.5 * jnp.log(jnp.pi / (2.0 * nu)) - nu * eta
+            - 0.25 * jnp.log(1.0 + z * z) + jnp.log(series))
+
+
+def matern_correlation_traced(x: jnp.ndarray, nu) -> jnp.ndarray:
+    """Matern correlation 2^(1-nu)/Gamma(nu) x^nu K_nu(x) with traced nu.
+
+    ``x`` is the transformed distance (the caller applies the sqrt(2 nu)/rho
+    scaling where the parametrization requires it). nu < 8 uses the series /
+    fixed-order asymptotic Bessel; nu >= 8 evaluates the whole correlation
+    in log space with the large-order uniform expansion (overflow-free up
+    to the Gaussian limit nu -> inf)."""
+    from jax.scipy.special import gammaln
+    nu = jnp.asarray(nu, x.dtype)
+    xs = jnp.maximum(x, 1e-12)
+    log_pref = (1.0 - nu) * math.log(2.0) - gammaln(nu) + nu * jnp.log(xs)
+    # small-order branch: clamp nu so the series/asymptotic pair never sees
+    # a large order (values are discarded by the where)
+    nu_small = jnp.minimum(nu, _KV_UNIFORM_NU_SWITCH)
+    small = jnp.exp(log_pref) * bessel_kv_traced(nu_small, xs)
+    nu_large = jnp.maximum(nu, _KV_UNIFORM_NU_SWITCH)
+    large = jnp.exp(log_pref + _log_kv_uniform(nu_large, xs))
+    val = jnp.where(nu < _KV_UNIFORM_NU_SWITCH, small, large)
+    return jnp.where(x <= 1e-12, jnp.ones_like(x), val)
+
+
 def wendland_correlation(dist: jnp.ndarray, taper_range: float,
                          taper_shape: float, taper_mu: float) -> jnp.ndarray:
     """Wendland correlation (compact support), shapes 0/1/2.
@@ -379,13 +493,15 @@ class CovFunction:
             return wendland_correlation(dist, self.taper_range,
                                         self.taper_shape, self.taper_mu)
         if t == "matern_estimate_shape":
-            # pars = [sigma2, range, shape]; shape is a *traced* parameter here,
-            # so route through the general Bessel path is impossible with a
-            # traced nu. The reference treats shape as a dynamic parameter; we
-            # re-trace per value (host-driven optimizers pass concrete floats).
-            raise RuntimeError(
-                "matern_estimate_shape must go through cov_matrix() with "
-                "concrete shape")
+            # pars = [sigma2, range, shape]; shape is a TRACED parameter —
+            # routed through the traced-nu Bessel series (the reference uses
+            # finite differences for the shape gradient instead,
+            # ``cov_fcts.h:1794-1813``; reverse-mode AD replaces that).
+            # x = d sqrt(2 nu) / rho (``CovarianceMaternEstimateShape``
+            # cov_fcts.h:1722)
+            nu = pars[2]
+            return matern_correlation_traced(
+                dist * jnp.sqrt(2.0 * nu) / pars[1], nu)
         raise ValueError(f"correlation_from_dist: unsupported type {t}")
 
     def scale_coords(self, coords: jnp.ndarray, pars: jnp.ndarray) -> jnp.ndarray:
@@ -427,9 +543,21 @@ class CovFunction:
                     dist, self.taper_range, self.taper_shape, self.taper_mu)
             return pars[0] * corr
         if t == "matern_estimate_shape":
-            nu = float(pars[2]) if not isinstance(pars, jnp.ndarray) else None
-            raise NotImplementedError(
-                "matern_estimate_shape: pass shape via CovFunction.shape for now")
+            d = (dist if dist is not None
+                 else euclidean_distance(coords1, coords1 if coords2 is None
+                                         else coords2))
+            return pars[0] * self.correlation_from_dist(d, pars)
+        if t == "matern_ard_estimate_shape":
+            # pars = [sigma2, rho_1..rho_d, shape]: per-dim scaled distances,
+            # x = sqrt(2 nu) d_scaled (``cov_fcts.h:138,189,273``)
+            c2 = coords1 if coords2 is None else coords2
+            d_comp = coords1.shape[1]
+            rho = pars[1:1 + d_comp]
+            sdist = euclidean_distance(coords1 / rho[None, :],
+                                       c2 / rho[None, :])
+            nu = pars[1 + d_comp]
+            return pars[0] * matern_correlation_traced(
+                jnp.sqrt(2.0 * nu) * sdist, nu)
         if t == "hurst":
             # fractional-Brownian-motion covariance (cov_fcts.h HurstCovariance):
             # C(x, y) = sigma2/2 (|x|^2H + |y|^2H - |x-y|^2H); NOT stationary,
@@ -460,7 +588,10 @@ class CovFunction:
             d_aux = c_s * ds / jnp.power(d_aux_time, beta / 2.0)
             d_aux2 = pars[0] / jnp.power(d_aux_time,
                                          delta + beta * dim_space / 2.0)
-            return d_aux2 * _matern_correlation(d_aux, float(self.shape))
+            # the Matern smoothness is the ESTIMABLE parameter nu = pars[4]
+            # (``SpaceTimeGneitingCovariance_vec`` cov_fcts.h:2433-2463), not
+            # the static cov_fct_shape
+            return d_aux2 * matern_correlation_traced(d_aux, nu)
         # coordinate-based (ARD / space-time)
         cs1 = self.scale_coords(coords1, pars)
         cs2 = cs1 if coords2 is coords1 else self.scale_coords(coords2, pars)
