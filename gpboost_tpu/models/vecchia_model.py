@@ -158,7 +158,19 @@ class VecchiaGP:
         # to the actually-available candidates)
         self.num_neighbors_pred = num_neighbors_pred or num_neighbors
         self.nugget_in_pars = nugget_in_pars
-        self.perm = vops.apply_ordering(n, ordering, seed)
+        if ordering in ("time", "time_random_space"):
+            # reference errors when the kernel is not space-time
+            # (Vecchia_utils.cpp:1133-1135); time = coordinate 0
+            if not (cov_fn.cov_fct_type in ("matern_space_time",
+                                            "exponential_space_time",
+                                            "space_time_gneiting")):
+                raise ValueError(
+                    f"'vecchia_ordering' is '{ordering}' but the "
+                    "'cov_function' is not a space-time covariance function")
+            time_col = np.asarray(coords)[:, 0]
+        else:
+            time_col = None
+        self.perm = vops.apply_ordering(n, ordering, seed, time_col)
         self.inv_perm = np.argsort(self.perm)
         self.coords = jnp.asarray(coords, dtype=dtype)
         self.coords_perm = jnp.asarray(coords[self.perm], dtype=dtype)

@@ -46,7 +46,10 @@ def _safe_dist(sq: jnp.ndarray) -> jnp.ndarray:
 def apply_ordering(n: int, ordering: str, seed: int = 0,
                    time_col: Optional[np.ndarray] = None) -> np.ndarray:
     """Permutation used before neighbor search (``docs/Main_parameters.rst:184``:
-    none / random / time / time_random_space)."""
+    none / random / time / time_random_space). ``time`` stable-sorts by the
+    first (time) coordinate; ``time_random_space`` shuffles first so spatial
+    points at equal times land in random order (``Vecchia_utils.cpp:1094-1120``:
+    shuffle then stable sort by coordinate 0)."""
     if ordering in ("none", None):
         return np.arange(n)
     if ordering == "random":
@@ -55,6 +58,11 @@ def apply_ordering(n: int, ordering: str, seed: int = 0,
     if ordering == "time":
         assert time_col is not None
         return np.argsort(time_col, kind="stable")
+    if ordering == "time_random_space":
+        assert time_col is not None
+        rng = np.random.default_rng(seed)
+        perm = rng.permutation(n)
+        return perm[np.argsort(np.asarray(time_col)[perm], kind="stable")]
     raise ValueError(f"vecchia_ordering '{ordering}' not supported")
 
 
