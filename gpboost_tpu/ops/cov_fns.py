@@ -460,15 +460,25 @@ class CovFunction:
         makes Vecchia neighbor search + batched factor builds work for
         anisotropic kernels."""
         return self.cov_fct_type in ("matern_ard", "gaussian_ard",
-                                     "matern_space_time")
+                                     "matern_space_time",
+                                     "matern_ard_estimate_shape")
 
-    def corr_from_scaled_dist(self, sdist: jnp.ndarray) -> jnp.ndarray:
-        """Correlation given distances in the SCALED coordinate space."""
+    def corr_from_scaled_dist(self, sdist: jnp.ndarray,
+                              pars: Optional[jnp.ndarray] = None
+                              ) -> jnp.ndarray:
+        """Correlation given distances in the SCALED coordinate space.
+
+        ``pars`` (the GP parameter vector) is only needed for
+        ``matern_ard_estimate_shape``, whose smoothness is the last traced
+        parameter (the sqrt(2 nu) distance factor is folded into
+        ``scale_coords``)."""
         t = self.cov_fct_type
         if t in ("matern_ard", "matern_space_time"):
             return _matern_correlation(sdist, self.shape)
         if t == "gaussian_ard":
             return jnp.exp(-sdist * sdist)
+        if t == "matern_ard_estimate_shape":
+            return matern_correlation_traced(sdist, pars[-1])
         raise ValueError(f"corr_from_scaled_dist: unsupported type {t}")
 
     # ---- covariance evaluation -------------------------------------------
@@ -514,6 +524,10 @@ class CovFunction:
         if t == "matern_ard":
             c = _matern_mult_const(self.shape)
             return coords * (c / pars[1:1 + coords.shape[1]])[None, :]
+        if t == "matern_ard_estimate_shape":
+            # traced smoothness: fold sqrt(2 nu) into the per-dim scales
+            c = jnp.sqrt(2.0 * pars[1 + coords.shape[1]])
+            return coords * (c / pars[1:1 + coords.shape[1]])[None, :]
         if t == "gaussian_ard":
             return coords / pars[1:1 + coords.shape[1]][None, :]
         if t == "matern_space_time":
@@ -523,6 +537,15 @@ class CovFunction:
                 jnp.full((coords.shape[1] - 1,), 1.0) * c / pars[2]])
             return coords * scale[None, :]
         raise ValueError(f"scale_coords: unsupported type {t}")
+
+    def cov_between(self, pars: jnp.ndarray, coords1: jnp.ndarray,
+                    coords2: jnp.ndarray) -> jnp.ndarray:
+        """Covariance between two coordinate sets, dispatching distances for
+        isotropic kernels and raw coordinates for anisotropic ones."""
+        if self.is_isotropic:
+            return self.cov_matrix(pars,
+                                   dist=euclidean_distance(coords1, coords2))
+        return self.cov_matrix(pars, coords1=coords1, coords2=coords2)
 
     def cov_matrix(self, pars: jnp.ndarray, dist: Optional[jnp.ndarray] = None,
                    coords1: Optional[jnp.ndarray] = None,

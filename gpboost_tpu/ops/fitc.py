@@ -36,10 +36,10 @@ def fitc_parts(cov_fn: CovFunction, cov_pars: jnp.ndarray,
 
     cov_pars = GP parameters [sigma1^2, range, ...]; nugget = error variance.
     """
-    d_nm = euclidean_distance(coords, ind_points)
-    d_mm = euclidean_distance(ind_points, ind_points)
-    c_nm = cov_fn.cov_matrix(cov_pars, dist=d_nm)
-    c_mm = cov_fn.cov_matrix(cov_pars, dist=d_mm)
+    # cov_between dispatches distances (isotropic) vs raw coordinates
+    # (ARD / space-time / estimate-shape anisotropic scaling)
+    c_nm = cov_fn.cov_between(cov_pars, coords, ind_points)
+    c_mm = cov_fn.cov_between(cov_pars, ind_points, ind_points)
     k = ind_points.shape[0]
     c_mm = c_mm + JITTER * cov_pars[0] * jnp.eye(k, dtype=coords.dtype)
     l_mm = jnp.linalg.cholesky(c_mm)
@@ -108,12 +108,10 @@ def fitc_predict(cov_fn: CovFunction, cov_pars_full: jnp.ndarray,
     nugget = cov_pars_full[0]
     cov_pars = cov_pars_full[1:]
     psi_inv_r = fitc_psi_inv_mul(cov_fn, cov_pars_full, coords, ind_points, r)
-    d_pm = euclidean_distance(coords_pred, ind_points)
-    c_pm = cov_fn.cov_matrix(cov_pars, dist=d_pm)
-    d_nm = euclidean_distance(coords, ind_points)
-    c_nm = cov_fn.cov_matrix(cov_pars, dist=d_nm)
-    d_mm = euclidean_distance(ind_points, ind_points)
-    c_mm = cov_fn.cov_matrix(cov_pars, dist=d_mm) + JITTER * cov_pars[0] * jnp.eye(
+    c_pm = cov_fn.cov_between(cov_pars, coords_pred, ind_points)
+    c_nm = cov_fn.cov_between(cov_pars, coords, ind_points)
+    c_mm = cov_fn.cov_between(cov_pars, ind_points,
+                              ind_points) + JITTER * cov_pars[0] * jnp.eye(
         ind_points.shape[0], dtype=coords.dtype)
     l_mm = jnp.linalg.cholesky(c_mm)
     # Q_pn = C_pm C_mm^-1 C_mn
@@ -157,11 +155,12 @@ def fsa_psi(cov_fn: CovFunction, taper_range: float, taper_shape: float,
     cov_pars = cov_pars_full[1:]
     n = coords.shape[0]
     d_nn = euclidean_distance(coords, coords)
-    sigma = cov_fn.cov_matrix(cov_pars, dist=d_nn)
-    d_nm = euclidean_distance(coords, ind_points)
-    c_nm = cov_fn.cov_matrix(cov_pars, dist=d_nm)
-    d_mm = euclidean_distance(ind_points, ind_points)
-    c_mm = cov_fn.cov_matrix(cov_pars, dist=d_mm) + JITTER * cov_pars[0] * jnp.eye(
+    sigma = (cov_fn.cov_matrix(cov_pars, dist=d_nn) if cov_fn.is_isotropic
+             else cov_fn.cov_matrix(cov_pars, coords1=coords,
+                                    coords2=coords))
+    c_nm = cov_fn.cov_between(cov_pars, coords, ind_points)
+    c_mm = cov_fn.cov_between(cov_pars, ind_points,
+                              ind_points) + JITTER * cov_pars[0] * jnp.eye(
         ind_points.shape[0], dtype=coords.dtype)
     sol = jnp.linalg.solve(c_mm, c_nm.T)
     Q = c_nm @ sol

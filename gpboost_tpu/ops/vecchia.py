@@ -338,7 +338,7 @@ def _build_factors_transposed(cov_fn, cov_pars, coords, neighbors, nugget,
 
     def corr(dist):
         if scaled:
-            return cov_pars[0] * cov_fn.corr_from_scaled_dist(dist)
+            return cov_pars[0] * cov_fn.corr_from_scaled_dist(dist, cov_pars)
         return cov_fn.cov_matrix(cov_pars, dist=dist)
 
     pairs = _tri_pairs(m)
@@ -409,8 +409,8 @@ def build_factors(cov_fn: CovFunction, cov_pars: jnp.ndarray,
     d_in = _safe_dist(jnp.sum(di * di, -1))                        # [n, m]
 
     if scaled:
-        c_nn = cov_pars[0] * cov_fn.corr_from_scaled_dist(d_nn)
-        c_in = cov_pars[0] * cov_fn.corr_from_scaled_dist(d_in)
+        c_nn = cov_pars[0] * cov_fn.corr_from_scaled_dist(d_nn, cov_pars)
+        c_in = cov_pars[0] * cov_fn.corr_from_scaled_dist(d_in, cov_pars)
     else:
         c_nn = cov_fn.cov_matrix(cov_pars, dist=d_nn)
         c_in = cov_fn.cov_matrix(cov_pars, dist=d_in[:, None, :])[:, 0, :]
@@ -458,8 +458,8 @@ def build_factors_residual(cov_fn: CovFunction, cov_pars: jnp.ndarray,
     di = coords[:, None, :] - nb_coords
     d_in = _safe_dist(jnp.sum(di * di, -1))
     if scaled:
-        c_nn = cov_pars[0] * cov_fn.corr_from_scaled_dist(d_nn)
-        c_in = cov_pars[0] * cov_fn.corr_from_scaled_dist(d_in)
+        c_nn = cov_pars[0] * cov_fn.corr_from_scaled_dist(d_nn, cov_pars)
+        c_in = cov_pars[0] * cov_fn.corr_from_scaled_dist(d_in, cov_pars)
     else:
         c_nn = cov_fn.cov_matrix(cov_pars, dist=d_nn)
         c_in = cov_fn.cov_matrix(cov_pars, dist=d_in[:, None, :])[:, 0, :]
@@ -805,8 +805,8 @@ def predict_vecchia_response(cov_fn: CovFunction, cov_pars: jnp.ndarray,
     di = coords_pred[:, None, :] - nb_coords
     d_in = _safe_dist(jnp.sum(di * di, -1))
     if scaled:
-        c_nn = cov_pars[0] * cov_fn.corr_from_scaled_dist(d_nn)
-        c_in = cov_pars[0] * cov_fn.corr_from_scaled_dist(d_in)
+        c_nn = cov_pars[0] * cov_fn.corr_from_scaled_dist(d_nn, cov_pars)
+        c_in = cov_pars[0] * cov_fn.corr_from_scaled_dist(d_in, cov_pars)
     else:
         c_nn = cov_fn.cov_matrix(cov_pars, dist=d_nn)
         c_in = cov_fn.cov_matrix(cov_pars, dist=d_in[:, None, :])[:, 0, :]

@@ -319,3 +319,72 @@ def ard_est_data(gp_fixture_data):
         di = np.abs(coords[:, i][:, None] - coords[:, i][None, :])
         init.append(np.mean(di[iu]) / 3)
     return dict(coords=coords, y=y, X=f["X"], init=init)
+
+
+class TestAnisotropicApproximations:
+    """ARD / estimate-shape kernels under vecchia and fitc (the reference
+    exercises these at R:2780-2830 (vecchia ARD) and :3213 (fitc ARD
+    estimate-shape)); with nn = n-1 / k = n both must equal the dense NLL."""
+
+    def test_vecchia_ard_estimate_shape_exact(self, ard_est_data):
+        d = ard_est_data
+        cp = [0.1, 1.0, 0.2, 0.3, 0.25, 1.3]
+        md = GPModel(gp_coords=d["coords"],
+                     cov_function="matern_ard_estimate_shape")
+        mv = GPModel(gp_coords=d["coords"],
+                     cov_function="matern_ard_estimate_shape",
+                     gp_approx="vecchia", num_neighbors=99,
+                     vecchia_ordering="none")
+        vd = md.neg_log_likelihood(cov_pars=cp, y=d["y"])
+        vv = mv.neg_log_likelihood(cov_pars=cp, y=d["y"])
+        assert abs(vd - vv) < 1e-6
+
+    def test_fitc_ard_estimate_shape_exact(self, ard_est_data):
+        d = ard_est_data
+        cp = [0.1, 1.0, 0.2, 0.3, 0.25, 1.3]
+        md = GPModel(gp_coords=d["coords"],
+                     cov_function="matern_ard_estimate_shape")
+        mf = GPModel(gp_coords=d["coords"],
+                     cov_function="matern_ard_estimate_shape",
+                     gp_approx="fitc", num_ind_points=100,
+                     ind_points_selection="random")
+        vd = md.neg_log_likelihood(cov_pars=cp, y=d["y"])
+        vf = mf.neg_log_likelihood(cov_pars=cp, y=d["y"])
+        assert abs(vd - vf) < 1e-6
+
+    def test_fitc_matern_ard_predict(self, ard_est_data):
+        d = ard_est_data
+        cp = [0.1, 1.0, 0.2, 0.3, 0.25]
+        md = GPModel(gp_coords=d["coords"], cov_function="matern_ard",
+                     cov_fct_shape=1.5)
+        mf = GPModel(gp_coords=d["coords"], cov_function="matern_ard",
+                     cov_fct_shape=1.5, gp_approx="fitc", num_ind_points=100,
+                     ind_points_selection="random")
+        assert abs(md.neg_log_likelihood(cov_pars=cp, y=d["y"])
+                   - mf.neg_log_likelihood(cov_pars=cp, y=d["y"])) < 1e-6
+        pd = md.predict(y=d["y"], gp_coords_pred=d["coords"][:3] + 0.01,
+                        cov_pars=cp, predict_var=True,
+                        predict_response=False)
+        pf = mf.predict(y=d["y"], gp_coords_pred=d["coords"][:3] + 0.01,
+                        cov_pars=cp, predict_var=True,
+                        predict_response=False)
+        np.testing.assert_allclose(pf["mu"], pd["mu"], atol=1e-6)
+        np.testing.assert_allclose(pf["var"], pd["var"], atol=1e-6)
+
+    def test_vecchia_estimate_shape_fit(self, gp_fixture_data):
+        """Vecchia matern_estimate_shape fit reaches the dense optimum
+        (R:2822-2830 asserts the same pars as the dense fit at nn=n-1)."""
+        f = gp_fixture_data
+        y = f["eps"] + f["xi"]
+        iu = np.triu_indices(f["n"], 1)
+        init = [np.var(y, ddof=1) / 2, np.var(y, ddof=1) / 2,
+                np.mean(f["D"][iu]) / 4.7 * np.sqrt(3), 1.5]
+        m = GPModel(gp_coords=f["coords"],
+                    cov_function="matern_estimate_shape",
+                    gp_approx="vecchia", num_neighbors=f["n"] - 1,
+                    vecchia_ordering="none")
+        m.fit(y=y, params={"optimizer_cov": "lbfgs", "init_cov_pars": init})
+        assert abs(m.get_current_neg_log_likelihood() - 122.7099697) < 1e-3
+        np.testing.assert_allclose(
+            m.get_cov_pars()[1:], [1.1022115, 0.1187387, 0.4181997],
+            rtol=2e-2)
