@@ -70,7 +70,36 @@ def fit(model, data, fixed_effects: Optional[jnp.ndarray] = None):
         theta0 = np.log(np.maximum(np.asarray(init_cov, np.float64), 1e-300))
         if has_coef:
             coef_update(theta0)
-        if cfg.optimizer_cov in ("lbfgs", "lbfgs_linesearch_nocedal_wright"):
+        # whole-loop-on-device L-BFGS: eligible when the fused Pallas
+        # value+grad kernel serves this model (TPU, f32, isotropic — no
+        # neighbor redetermination mid-fit). Each scipy L-BFGS evaluation
+        # is a blocking host<->device round trip; the compiled
+        # lax.while_loop runs the entire fit in ONE dispatch.
+        device_loop = (jax.default_backend() == "tpu"
+                       and getattr(vec, "_vg_pallas_jit", None) is not None
+                       and vec.cov_fn.is_isotropic
+                       and cfg.optimizer_cov in (
+                           "lbfgs", "lbfgs_linesearch_nocedal_wright"))
+        if device_loop:
+            def run_device(theta):
+                fp = fixed_part()
+                r = y if fp is None else y - fp
+                # data flows through traced operands (r, neighbors) so the
+                # compiled whole-fit driver is reused across coef rounds
+                # and across per-boosting-iteration refits
+                return optimizers.lbfgs_device(
+                    vec._vg_pallas_jit, theta, cfg, jnp.float32,
+                    jnp.asarray(r, jnp.float32), vec.neighbors)
+
+            if has_coef:
+                theta = theta0
+                for _ in range(3):
+                    result = run_device(theta)
+                    theta = np.log(result.params)
+                    coef_update(theta)
+            else:
+                result = run_device(theta0)
+        elif cfg.optimizer_cov in ("lbfgs", "lbfgs_linesearch_nocedal_wright"):
             if has_coef:
                 theta = theta0
                 for _ in range(3):
