@@ -393,6 +393,118 @@ def _device_lbfgs_runner(vg_fn, maxit: int, ftol: float, dt):
     return run
 
 
+def gd_device(vg_fn: Callable, theta0: np.ndarray, cfg: OptimConfig,
+              dtype=None, *op_args) -> OptimResult:
+    """Nesterov-accelerated GD with the ENTIRE loop compiled on device.
+
+    Mirrors the host ``gradient_descent`` semantics (permanent LR capping,
+    LR/acc halving with Armijo, momentum dropped after two rejections,
+    halved-step convergence streak) as one ``lax.while_loop`` — a single
+    dispatch per fit instead of two blocking round trips per iteration.
+    Supports the default relative-change-in-log-likelihood criterion; other
+    criteria / trace / callbacks stay on the host path."""
+    import jax.numpy as jnp
+
+    dt = dtype or jnp.float64
+    run = _device_gd_runner(
+        vg_fn, int(cfg.maxit), float(cfg.delta_rel_conv),
+        float(cfg.lr_cov), float(cfg.acc_rate_cov),
+        bool(cfg.use_nesterov_acc), int(cfg.momentum_offset),
+        bool(cfg.armijo_condition), dt)
+    t0 = jnp.asarray(np.asarray(theta0, np.float64), dt)
+    t_fin, v_fin, n_it, conv = run(t0, *op_args)
+    return OptimResult(params=np.exp(np.asarray(t_fin, np.float64)),
+                       nll=float(v_fin), num_it=int(n_it),
+                       converged=bool(conv), history=[float(v_fin)])
+
+
+_DEVICE_GD_RUNNERS: dict = {}
+
+
+def _device_gd_runner(vg_fn, maxit: int, ftol: float, lr0: float,
+                      acc_rate: float, use_acc: bool, offset: int,
+                      armijo: bool, dt):
+    key = (id(vg_fn), maxit, ftol, lr0, acc_rate, use_acc, offset, armijo,
+           dt)
+    hit = _DEVICE_GD_RUNNERS.get(key)
+    if hit is not None:
+        return hit[1]
+
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(t0, *ops):
+        v0, _g0 = vg_fn(t0, *ops)
+        v0 = jnp.asarray(v0, dt)
+
+        def linesearch(t, t_ag1, g, nll, lr, it):
+            dir_deriv = -jnp.dot(g, g)
+
+            def ls_cond(c):
+                j, _lr_t, _acc_t, ok, _v, _cand, _cag = c
+                return (~ok) & (j < MAX_LR_SHRINKAGE_STEPS)
+
+            def ls_body(c):
+                j, lr_t, acc_t, _ok, _v, _cand, _cag = c
+                lr_t = jnp.where(j == 0, lr_t, lr_t * LR_SHRINKAGE_FACTOR)
+                acc_t = jnp.where(j == 0, acc_t, acc_t * 0.5)
+                mu = jnp.where(
+                    use_acc & (it >= offset) & (j < 2), acc_t, 0.0)
+                cag = t - lr_t * g
+                cand = (1.0 + mu) * cag - mu * t_ag1
+                v, _ = vg_fn(cand, *ops)
+                v = jnp.asarray(v, dt)
+                bound = (nll + C_ARMIJO * lr_t * dir_deriv if armijo
+                         else nll)
+                ok = jnp.isfinite(v) & (v <= bound)
+                return (j + 1, lr_t, acc_t, ok, v, cand, cag)
+
+            init = (jnp.asarray(0, jnp.int32), lr,
+                    jnp.asarray(acc_rate, dt), jnp.asarray(False),
+                    jnp.asarray(jnp.inf, dt), t, t)
+            j, lr_t, _acc, ok, v, cand, cag = jax.lax.while_loop(
+                ls_cond, ls_body, init)
+            return ok, v, cand, cag, lr_t, j > 1
+
+        def body(carry):
+            (t, t_ag, t_ag1, lr, nll, it, streak, _stop, conv) = carry
+            _v, g = vg_fn(t, *ops)
+            g = jnp.asarray(g, dt)
+            g_ok = jnp.all(jnp.isfinite(g))
+            gmax = jnp.max(jnp.abs(g))
+            lr = jnp.minimum(lr, MAX_GRADIENT_UPDATE_LOG_SCALE
+                             / jnp.maximum(gmax, 1e-300))
+            ok, v_new, cand, cag, lr_new, halved = linesearch(
+                t, t_ag1, g, nll, lr, it)
+            accept = ok & g_ok
+            rel = jnp.abs(v_new - nll) / jnp.maximum(jnp.abs(nll), 1e-300)
+            small = rel < ftol
+            streak = jnp.where(small, streak + 1, 0)
+            done = accept & small & ((~halved) | (streak >= 2))
+            return (jnp.where(accept, cand, t),
+                    jnp.where(accept, cag, t_ag),
+                    jnp.where(accept, t_ag, t_ag1),
+                    jnp.where(accept, lr_new, lr),
+                    jnp.where(accept, v_new, nll),
+                    it + jnp.asarray(accept, it.dtype),
+                    streak, (~accept) | done, conv | done)
+
+        def cond(carry):
+            *_rest, it, _streak, stop, _conv = carry
+            return (~stop) & (it < maxit)
+
+        init = (t0, t0, t0, jnp.asarray(lr0, dt), v0,
+                jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+                jnp.asarray(False), jnp.asarray(False))
+        t, _tag, _tag1, _lr, v, it, _s, _stop, conv = jax.lax.while_loop(
+            cond, body, init)
+        return t, v, it, conv
+
+    _DEVICE_GD_RUNNERS[key] = (vg_fn, run)
+    return run
+
+
 def nelder_mead(value_fn: Callable, theta0: np.ndarray,
                 cfg: OptimConfig) -> OptimResult:
     """Nelder-Mead on log-scale parameters (reference: OptimLib)."""

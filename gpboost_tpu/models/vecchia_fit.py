@@ -70,14 +70,21 @@ def fit(model, data, fixed_effects: Optional[jnp.ndarray] = None):
         theta0 = np.log(np.maximum(np.asarray(init_cov, np.float64), 1e-300))
         if has_coef:
             coef_update(theta0)
-        # whole-loop-on-device L-BFGS: eligible when the fused Pallas
+        # whole-loop-on-device optimizers: eligible when the fused Pallas
         # value+grad kernel serves this model (TPU, f32, isotropic — no
-        # neighbor redetermination mid-fit). Each scipy L-BFGS evaluation
-        # is a blocking host<->device round trip; the compiled
-        # lax.while_loop runs the entire fit in ONE dispatch.
-        device_loop = (jax.default_backend() == "tpu"
-                       and getattr(vec, "_vg_pallas_jit", None) is not None
-                       and vec.cov_fn.is_isotropic
+        # neighbor redetermination mid-fit). Each host-driven objective
+        # evaluation is a blocking host<->device round trip; the compiled
+        # lax.while_loop runs the entire fit in ONE dispatch
+        # (measured 36 s -> 0.58 s warm at n=1e5).
+        def device_loop_eligible(c):
+            return (jax.default_backend() == "tpu"
+                    and getattr(vec, "_vg_pallas_jit", None) is not None
+                    and vec.cov_fn.is_isotropic
+                    and c.optimizer_cov in (
+                        "gradient_descent", "lbfgs",
+                        "lbfgs_linesearch_nocedal_wright"))
+
+        device_loop = (device_loop_eligible(cfg)
                        and cfg.optimizer_cov in (
                            "lbfgs", "lbfgs_linesearch_nocedal_wright"))
         if device_loop:
@@ -111,6 +118,25 @@ def fit(model, data, fixed_effects: Optional[jnp.ndarray] = None):
         elif cfg.optimizer_cov == "nelder_mead":
             result = optimizers.nelder_mead(lambda t: vg(t)[0], theta0, cfg)
             coef_update(np.log(result.params))
+        elif (device_loop_eligible(cfg) and not cfg.trace
+              and cfg.convergence_criterion
+              == "relative_change_in_log_likelihood"):
+            # default GD optimizer, whole loop on device (one dispatch)
+            def run_gd(theta):
+                fp = fixed_part()
+                r = y if fp is None else y - fp
+                return optimizers.gd_device(
+                    vec._vg_pallas_jit, theta, cfg, jnp.float32,
+                    jnp.asarray(r, jnp.float32), vec.neighbors)
+
+            if has_coef:
+                theta = theta0
+                for _ in range(3):
+                    result = run_gd(theta)
+                    theta = np.log(result.params)
+                    coef_update(theta)
+            else:
+                result = run_gd(theta0)
         else:  # gradient_descent / fisher_scoring fallback -> GD
             def cb(it, theta, nll):
                 coef_update(theta)

@@ -57,3 +57,40 @@ def test_device_lbfgs_with_kernel_style_vg():
     res = optimizers.lbfgs_device(vg, np.zeros(3), cfg)
     np.testing.assert_allclose(np.log(res.params), 2.0 * np.ones(3),
                                atol=1e-6)
+
+
+def test_device_gd_matches_host_gd():
+    """gd_device mirrors the host GD loop (LR capping/halving, Nesterov,
+    Armijo, halved-step streak) on a real Vecchia NLL."""
+    from gpboost_tpu import GPModel
+    from gpboost_tpu.utils.rng import sim_rand_unif, sim_rand_normal
+    n = 100
+    x = sim_rand_unif(n * 2, init_c=0.1)
+    coords = np.column_stack([x[:n], x[n:]])
+    D = np.sqrt(((coords[:, None, :] - coords[None, :, :]) ** 2).sum(-1))
+    C = np.linalg.cholesky(np.exp(-D / 0.1) + np.eye(n) * 1e-20)
+    y = C @ sim_rand_normal(n, init_c=0.8) \
+        + sim_rand_normal(n, init_c=0.1) / 5.0
+    m = GPModel(gp_coords=coords, cov_function="exponential",
+                gp_approx="vecchia", num_neighbors=30)
+    vec = m._approx
+    yj = jnp.asarray(y)
+
+    def vg(th, yv, nb):
+        return vec._vg_gaussian_jit(th, yv, None, nb)
+
+    iu = np.triu_indices(n, 1)
+    init = np.log([np.var(y, ddof=1) / 2, np.var(y, ddof=1) / 2,
+                   np.mean(D[iu]) / 3])
+    cfg = optimizers.OptimConfig(maxit=1000, delta_rel_conv=1e-6,
+                                 lr_cov=0.1, use_nesterov_acc=True,
+                                 acc_rate_cov=0.5)
+    res_dev = optimizers.gd_device(vg, init, cfg, jnp.float64, yj,
+                                   vec.neighbors)
+    res_host = optimizers.gradient_descent(
+        lambda t: float(vg(jnp.asarray(t), yj, vec.neighbors)[0]),
+        lambda t: np.asarray(vg(jnp.asarray(t), yj, vec.neighbors)[1]),
+        init, cfg)
+    assert abs(res_dev.nll - res_host.nll) < 1e-6
+    np.testing.assert_allclose(res_dev.params, res_host.params, rtol=1e-5)
+    assert res_dev.num_it == res_host.num_it
