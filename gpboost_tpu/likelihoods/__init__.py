@@ -31,7 +31,10 @@ def _canonical(name: str) -> str:
     aliases = {
         "binary": "bernoulli_probit", "binary_probit": "bernoulli_probit",
         "binary_logit": "bernoulli_logit", "regression": "gaussian",
-        "zoctn": "zero_censored_power_transformed_normal",
+        # NB: "zoctn" (zero-ONE-censored transformed normal) is its own
+        # family, distinct from zero_censored_power_transformed_normal
+        "gamma_zero_inflated": "zero_inflated_gamma",
+        "betabinomial": "beta_binomial",
         "student_t": "t", "student-t": "t",
     }
     return aliases.get(name, name)
@@ -60,6 +63,16 @@ class LikelihoodFamily:
     # reference SecondDerivNegLogLik* returns 0 when H < 0,
     # ``information_ll_can_be_exact_zero_``, likelihoods.h:311,319)
     clip_information: bool = False
+    # binomial-type families: weights are the NUMBER OF TRIALS, entering
+    # the density non-multiplicatively (binomial coefficient; beta-binomial
+    # trials inside the beta function) — ``log_lik_weighted(y, loc, aux, w)``
+    # replaces the default w * log_lik scaling (likelihoods.h:30-56)
+    log_lik_weighted: Optional[Callable] = None
+    # per-aux-parameter optimization transform: "log" (positive, default),
+    # "identity" (real-valued, e.g. zoctn asymmetry), "logit" (in (0,1),
+    # e.g. zero_inflated_gamma p0). The reference keeps transformed
+    # aux_pars_ + aux_pars_original_ the same way.
+    aux_transforms: Optional[Tuple[str, ...]] = None
 
     def default_aux_pars(self, additional_param=None):
         if self.num_aux_pars == 0:
@@ -107,6 +120,62 @@ def supported_likelihoods():
     return sorted(_REGISTRY)
 
 
+# ---- aux-parameter optimization transforms --------------------------------
+# per-family kinds ("log" / "logit" / "identity"); the optimizer works on
+# the transformed scale like the reference's aux_pars_ vs aux_pars_original_
+
+def aux_transform_kinds(fam: "LikelihoodFamily", n_aux: int):
+    return (list(fam.aux_transforms) if fam.aux_transforms is not None
+            else ["log"] * n_aux)[:n_aux]
+
+
+def aux_to_optim_scale(fam, a):
+    """User scale -> optimizer scale (numpy, host side)."""
+    import numpy as np
+    a = np.asarray(a, np.float64)
+    out = []
+    for v, t in zip(a, aux_transform_kinds(fam, len(a))):
+        if t == "log":
+            out.append(math.log(max(v, 1e-300)))
+        elif t == "logit":
+            vc = min(max(v, 1e-12), 1.0 - 1e-12)
+            out.append(math.log(vc / (1.0 - vc)))
+        else:
+            out.append(float(v))
+    return np.asarray(out)
+
+
+def aux_from_optim_scale(fam, t_aux):
+    """Optimizer scale -> user scale (jnp, traceable)."""
+    kinds = aux_transform_kinds(fam, t_aux.shape[0])
+    parts = []
+    for i, t in enumerate(kinds):
+        if t == "log":
+            parts.append(jnp.exp(t_aux[i]))
+        elif t == "logit":
+            parts.append(jax.nn.sigmoid(t_aux[i]))
+        else:
+            parts.append(t_aux[i])
+    return jnp.stack(parts)
+
+
+def aux_chain_factors(fam, theta_aux):
+    """d(user aux)/d(optimizer par), elementwise (numpy)."""
+    import numpy as np
+    theta_aux = np.asarray(theta_aux, np.float64)
+    kinds = aux_transform_kinds(fam, len(theta_aux))
+    out = []
+    for i, t in enumerate(kinds):
+        if t == "log":
+            out.append(np.exp(theta_aux[i]))
+        elif t == "logit":
+            s = 1.0 / (1.0 + np.exp(-theta_aux[i]))
+            out.append(s * (1.0 - s))
+        else:
+            out.append(1.0)
+    return np.asarray(out)
+
+
 # ---------------------------------------------------------------------------
 # families (parametrizations: likelihoods.h:10-70)
 # ---------------------------------------------------------------------------
@@ -150,9 +219,12 @@ _register(LikelihoodFamily(
     discrete=True))
 
 
-def _ll_binomial_logit(y, loc, aux, n_trials=None):
-    # y = successes/trials in the reference; here y = successes, weights carry
-    # trials (handled by the caller scaling); basic form:
+def _lchoose(n, k):
+    return gammaln(n + 1.0) - gammaln(k + 1.0) - gammaln(n - k + 1.0)
+
+
+def _ll_binomial_logit(y, loc, aux):
+    # y = successes/trials; trials come in via weights (log_lik_weighted)
     return y * loc - jax.nn.softplus(loc)
 
 
@@ -160,7 +232,11 @@ _register(LikelihoodFamily(
     "binomial_logit", 0, (), _ll_binomial_logit,
     response_mean=lambda loc, aux: jax.nn.sigmoid(loc),
     response_var=lambda loc, aux: jax.nn.sigmoid(loc) * (1 - jax.nn.sigmoid(loc)),
-    discrete=True))
+    discrete=True,
+    # n [y loc - softplus(loc)] + log C(n, n y): the derivative structure is
+    # multiplicative in n but the NLL carries the binomial coefficient
+    log_lik_weighted=lambda y, loc, aux, w:
+        w * _ll_binomial_logit(y, loc, aux) + _lchoose(w, w * y)))
 
 
 def _ll_binomial_probit(y, loc, aux):
@@ -171,7 +247,9 @@ _register(LikelihoodFamily(
     "binomial_probit", 0, (), _ll_binomial_probit,
     response_mean=lambda loc, aux: ndtr(loc),
     response_var=lambda loc, aux: ndtr(loc) * (1.0 - ndtr(loc)),
-    discrete=True))
+    discrete=True,
+    log_lik_weighted=lambda y, loc, aux, w:
+        w * _ll_binomial_probit(y, loc, aux) + _lchoose(w, w * y)))
 
 
 def _ll_poisson(y, loc, aux):
@@ -232,7 +310,7 @@ _register(LikelihoodFamily(
     "negative_binomial_1", 1, ("dispersion",), _ll_negative_binomial_1,
     response_mean=lambda loc, aux: jnp.exp(loc),
     response_var=lambda loc, aux: jnp.exp(loc) * (1.0 + aux[0]),
-    discrete=True, default_aux=(1.0,)))
+    discrete=True, default_aux=(0.5,)))
 
 
 def _ll_beta(y, loc, aux):
@@ -290,7 +368,7 @@ _register(LikelihoodFamily(
     "lognormal", 1, ("variance_log",), _ll_lognormal,
     response_mean=lambda loc, aux: jnp.exp(loc),
     response_var=lambda loc, aux: (jnp.exp(aux[0]) - 1.0) * jnp.exp(2.0 * loc),
-    default_aux=(1.0,)))
+    default_aux=(0.5,)))
 
 
 def _ll_beta_binomial(y, loc, aux, n_trials=1.0):
@@ -312,13 +390,18 @@ def _ll_beta_binomial(y, loc, aux, n_trials=1.0):
 _register(LikelihoodFamily(
     "beta_binomial", 1, ("precision",), _ll_beta_binomial,
     response_mean=lambda loc, aux: jax.nn.sigmoid(loc),
-    discrete=True, default_aux=(1.0,)))
+    discrete=True, default_aux=(20.0,),
+    # trials enter INSIDE the beta functions — not a multiplicative weight
+    log_lik_weighted=lambda y, loc, aux, w:
+        _ll_beta_binomial(y, loc, aux, n_trials=w)))
 
 
 def _ll_zero_inflated_gamma(y, loc, aux):
     # f(y) = p0 1{y=0} + (1-p0) Gamma(shape, rate=(1-p0)*shape/mu) 1{y>0}
+    # aux = (shape, p0) on the USER scale (the reference's
+    # aux_pars_original_; estimation runs on logit(p0), likelihoods.h:285)
     g = aux[0]
-    p0 = aux[1] / (aux[1] + 1.0)
+    p0 = aux[1]
     mu = jnp.exp(loc)
     lam = (1.0 - p0) * g / mu
     y_safe = jnp.where(y > 0, y, 1.0)
@@ -328,9 +411,9 @@ def _ll_zero_inflated_gamma(y, loc, aux):
 
 
 _register(LikelihoodFamily(
-    "zero_inflated_gamma", 2, ("shape", "zero_odds"), _ll_zero_inflated_gamma,
+    "zero_inflated_gamma", 2, ("shape", "p0"), _ll_zero_inflated_gamma,
     response_mean=lambda loc, aux: jnp.exp(loc),
-    default_aux=(1.0, 0.5)))
+    default_aux=(1.0, 0.5), aux_transforms=("log", "logit")))
 
 
 def _ll_zctn(y, loc, aux):
@@ -349,6 +432,33 @@ _register(LikelihoodFamily(
     "zero_censored_power_transformed_normal", 2, ("sigma", "lambda"), _ll_zctn,
     response_mean=lambda loc, aux: loc,
     default_aux=(1.0, 1.0)))
+
+
+def _ll_zoctn(y, loc, aux):
+    # zero-one-censored transformed normal ("zoctn",
+    # ``LogLikZeroOneCensTransfNorm`` likelihoods.h:8877-8900):
+    # y in [0,1]; interior y maps to the pseudo-latent
+    # x = sigmoid((logit(y) - a)/b), x | eta ~ N(eta, sigma^2) with censoring
+    # at 0 and 1. aux = (sigma, a (real-valued asymmetry), b (skewness)).
+    sigma, a, b = aux[0], aux[1], aux[2]
+    y_int = jnp.clip(y, 1e-12, 1.0 - 1e-12)
+    logit_y = jnp.log(y_int) - jnp.log1p(-y_int)
+    x = jax.nn.sigmoid((logit_y - a) / b)
+    z = (x - loc) / sigma
+    ll_int = (-0.5 * z * z - jnp.log(sigma) - 0.5 * LOG_2PI
+              + jnp.log(x) + jnp.log1p(-x) - jnp.log(b)
+              - jnp.log(y_int) - jnp.log1p(-y_int))
+    ll0 = log_ndtr(-loc / sigma)
+    ll1 = log_ndtr((loc - 1.0) / sigma)
+    return jnp.where(y <= 0.0, ll0, jnp.where(y >= 1.0, ll1, ll_int))
+
+
+_register(LikelihoodFamily(
+    "zoctn", 3, ("sigma", "asymmetry", "skewness"), _ll_zoctn,
+    response_mean=lambda loc, aux: loc,
+    default_aux=(1.0, 1.0, 1.0),
+    aux_transforms=("log", "identity", "log"),
+    clip_information=True))
 
 
 def _ll_zocb(y, loc, aux):

@@ -35,9 +35,8 @@ SUPPORTED_LIKELIHOODS = (
 
 
 def _canonical_likelihood(lik: str) -> str:
-    aliases = {"binary": "bernoulli_probit", "binary_probit": "bernoulli_probit",
-               "binary_logit": "bernoulli_logit", "regression": "gaussian"}
-    return aliases.get(lik, lik)
+    from gpboost_tpu.likelihoods import _canonical
+    return _canonical(lik)
 
 
 class GPModel:
@@ -483,11 +482,18 @@ class GPModel:
             if np.any(y <= 0):
                 raise ValueError(
                     f"Response must be strictly positive for '{lik}'")
+        elif lik in ("zero_inflated_gamma",
+                     "zero_censored_power_transformed_normal"):
+            if np.any(y < 0):
+                raise ValueError(
+                    f"Response must be non-negative for '{lik}'")
         elif lik == "beta":
             if np.any((y <= 0) | (y >= 1)):
                 raise ValueError("Response must be in (0, 1) for 'beta'")
         elif lik in ("zero_one_censored_transformed_beta",
-                     "zero_one_censored_shifted_gamma"):
+                     "zero_one_censored_shifted_gamma", "zoctn",
+                     "beta_binomial", "binomial_logit", "binomial_probit"):
+            # binomial-type: y = successes / trials (trials via weights)
             if np.any(y < 0) or np.any(y > 1):
                 raise ValueError(
                     f"Response must be in [0, 1] for likelihood '{lik}'")

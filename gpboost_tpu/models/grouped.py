@@ -434,7 +434,9 @@ def laplace_mode_and_w(spec, data, cov_pars, aux_pars, fixed_effects):
     db = _sigma_b_diag(spec, cov_pars, data.y.dtype)
     b = find_mode_grouped(spec.likelihood, spec, data, db, F, aux)
     loc = F + z_mul(spec, data, b)
-    w = -fam.d2_loc(data.y, loc, aux)
+    from gpboost_tpu.models.laplace import _weighted_fns
+    _, _, d2_fn = _weighted_fns(fam, data.weights)
+    w = -d2_fn(data.y, loc, aux)
     return b, w, db
 
 

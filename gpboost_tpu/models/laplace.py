@@ -51,6 +51,22 @@ def find_mode(lik_name: str, sigma, y, F, aux, obs_weights=None):
 
 
 def _weighted_fns(fam, obs_weights):
+    if obs_weights is not None and fam.log_lik_weighted is not None:
+        # binomial-type: weights are trial counts entering the density
+        # non-multiplicatively (binomial coefficient / beta functions)
+        def ll(y, l, a):
+            return fam.log_lik_weighted(y, l, a, obs_weights)
+
+        def d1(y, l, a):
+            return jax.grad(lambda lo: jnp.sum(ll(y, lo, a)))(l)
+
+        def d2(y, l, a):
+            out = jax.grad(lambda lo: jnp.sum(d1(y, lo, a)))(l)
+            if fam.clip_information:
+                out = jnp.minimum(out, 0.0)
+            return out
+
+        return ll, d1, d2
     if obs_weights is None:
         return fam.log_lik, fam.d_loc, fam.d2_loc
     return (lambda y, l, a: obs_weights * fam.log_lik(y, l, a),
@@ -323,15 +339,66 @@ _GH_W_NORM = _GH_WEIGHTS / math.sqrt(2.0 * math.pi)
 def _response_moments(lik_name, mu, var, aux):
     """E[mean(y)|latent ~ N(mu, var)] and Var via Gauss-Hermite quadrature
     (``PredictResponse``/``RespMeanAdaptiveGHQuadrature``, likelihoods.h:7526).
-    Probit uses the closed form Phi(mu/sqrt(1+var))."""
+    Probit uses the closed form Phi(mu/sqrt(1+var)); t / beta_binomial /
+    zero_inflated_gamma / zero_censored_power_transformed_normal follow the
+    reference's family-specific formulas (likelihoods.h:7626-7755)."""
     fam = lk.get_family(lik_name)
+    var = jnp.maximum(var, 0.0)
     if lik_name in ("bernoulli_probit", "binomial_probit"):
         from jax.scipy.special import ndtr
         p = ndtr(mu / jnp.sqrt(1.0 + var))
         return p, p * (1.0 - p)
+    if lik_name in ("t", "t_fix_df"):
+        # reference: add scale^2 to the latent variance — the t is treated
+        # as a robust-regression tool, not the true response distribution
+        # (likelihoods.h:7626-7633)
+        return mu, var + aux[0] * aux[0]
+    if lik_name == "beta_binomial":
+        # second-order delta method, one trial (likelihoods.h:7689-7710)
+        p = jax.nn.sigmoid(mu)
+        s = p * (1.0 - p)
+        mean = p + 0.5 * s * (1.0 - 2.0 * p) * var
+        var_of_mean = s * s * var
+        s_dd = s * (1.0 - 6.0 * p + 6.0 * p * p)
+        mean_of_var = jnp.clip(s + 0.5 * s_dd * var, 0.0, 0.25)
+        return mean, var_of_mean + mean_of_var
+    if lik_name == "zero_inflated_gamma":
+        # lognormal closed forms (likelihoods.h:7711-7734); aux[1] = p0
+        k = aux[0]
+        p0 = aux[1]
+        q = 1.0 - p0
+        pm = jnp.exp(mu + 0.5 * var)
+        var_of_mean = (jnp.exp(var) - 1.0) * pm * pm
+        mean_of_var = ((1.0 + p0 * k) / (q * k)) * jnp.exp(
+            2.0 * mu + 2.0 * var)
+        return pm, var_of_mean + mean_of_var
     nodes = jnp.asarray(_GH_NODES, mu.dtype)
     wts = jnp.asarray(_GH_W_NORM, mu.dtype)
-    sd = jnp.sqrt(jnp.maximum(var, 0.0))
+    if lik_name == "zoctn":
+        # Z ~ N(mu, var + sigma^2); y(Z) = censor-0/1 outside (0,1), else
+        # sigmoid(a + b logit(Z)) — GH over the widened latent
+        # (ZeroOneCensTransNormalMomentGH, likelihoods.h:11517-11547)
+        sigma, a, b = aux[0], aux[1], aux[2]
+        s = jnp.sqrt(var + sigma * sigma)
+        z = mu[:, None] + s[:, None] * nodes[None, :]
+        zc = jnp.clip(z, 1e-12, 1.0 - 1e-12)
+        yv = jax.nn.sigmoid(a + b * (jnp.log(zc) - jnp.log1p(-zc)))
+        yv = jnp.where(z <= 0.0, 0.0, jnp.where(z >= 1.0, 1.0, yv))
+        ey = yv @ wts
+        ey2 = (yv * yv) @ wts
+        return ey, jnp.maximum(ey2 - ey * ey, 0.0)
+    if lik_name == "zero_censored_power_transformed_normal":
+        # Y = max(0, X)^lambda with X ~ N(mu, var + sigma^2): moments by GH
+        # over the widened normal (TruncPowerNormalMomentGH,
+        # likelihoods.h:7735-7755)
+        sigma, lam = aux[0], aux[1]
+        s = jnp.sqrt(var + sigma * sigma)
+        x = mu[:, None] + s[:, None] * nodes[None, :]
+        xp = jnp.maximum(x, 0.0)
+        ey = jnp.power(xp, lam) @ wts
+        ey2 = jnp.power(xp, 2.0 * lam) @ wts
+        return ey, jnp.maximum(ey2 - ey * ey, 0.0)
+    sd = jnp.sqrt(var)
     locs = mu[:, None] + sd[:, None] * nodes[None, :]
     m = fam.response_mean(locs, aux)
     mean = m @ wts

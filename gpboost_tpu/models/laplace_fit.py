@@ -49,14 +49,15 @@ def fit(model, data: ModelData, fixed_effects: Optional[jnp.ndarray] = None):
 
     theta0 = np.concatenate([
         np.log(np.maximum(np.asarray(init_cov, dtype=np.float64), 1e-300)),
-        np.log(np.maximum(np.asarray(init_aux, dtype=np.float64), 1e-300))
-        if n_aux else np.zeros(0),
+        lk.aux_to_optim_scale(fam, init_aux[:n_aux]) if n_aux
+        else np.zeros(0),
         np.asarray(init_beta, dtype=np.float64),
     ])
 
     def unpack(theta):
         cov = jnp.exp(theta[:n_cov])
-        aux = jnp.exp(theta[n_cov:n_cov + n_aux]) if n_aux else aux_fixed
+        aux = (lk.aux_from_optim_scale(fam, theta[n_cov:n_cov + n_aux])
+               if n_aux else aux_fixed)
         beta = theta[n_cov + n_aux:] if has_coef else None
         return cov, aux, beta
 
@@ -75,7 +76,9 @@ def fit(model, data: ModelData, fixed_effects: Optional[jnp.ndarray] = None):
         g = np.asarray(g_cov) * np.exp(theta[:n_cov])
         parts = [g]
         if n_aux:
-            parts.append(np.asarray(g_aux) * np.exp(theta[n_cov:n_cov + n_aux]))
+            parts.append(np.asarray(g_aux)
+                         * lk.aux_chain_factors(fam,
+                                                theta[n_cov:n_cov + n_aux]))
         if has_coef:
             parts.append(np.asarray(g_beta))
         return float(v), np.concatenate(parts)

@@ -179,13 +179,16 @@ def fit(model, data, fixed_effects: Optional[jnp.ndarray] = None):
 
     theta0 = np.concatenate([
         np.log(np.maximum(np.asarray(init_cov, np.float64), 1e-300)),
-        np.log(np.maximum(np.asarray(init_aux, np.float64), 1e-300))
-        if n_aux else np.zeros(0),
+        lk.aux_to_optim_scale(fam, np.asarray(init_aux)[:n_aux]) if n_aux
+        else np.zeros(0),
         np.asarray(init_beta, np.float64)])
 
     def unpack(theta):
         cov = jnp.exp(theta[:n_cov])
-        aux = jnp.exp(theta[n_cov:n_cov + n_aux]) if n_aux else aux_fixed
+        # per-family transform kinds (log / logit / identity), the
+        # reference's aux_pars_ vs aux_pars_original_ split
+        aux = (lk.aux_from_optim_scale(fam, theta[n_cov:n_cov + n_aux])
+               if n_aux else aux_fixed)
         beta = theta[n_cov + n_aux:] if has_coef else None
         return cov, aux, beta
 
