@@ -29,6 +29,19 @@ from gpboost_tpu.boosting.tree import (CEGBState, GrowerParams, Tree,
                                        predict_tree_mixed, predict_tree_raw)
 
 
+def nesterov_schedule(it: int, version: int, rate: float, offset: int):
+    """Momentum schedule for Nesterov-accelerated boosting
+    (``REModelTemplate::NesterovSchedule``, re_model_template.h:5643)."""
+    if it < offset:
+        return 0.0
+    if version == 0:
+        return rate
+    if version == 1:
+        return 1.0 - 3.0 / (6.0 + it)
+    raise ValueError(
+        f"momentum_schedule_version = {version} is not supported")
+
+
 def _parse_params(params: dict):
     p = dict(params or {})
     aliases = {
@@ -103,7 +116,16 @@ class Booster:
         self.other_rate = float(p.get("other_rate", 0.1))
         self.bagging_fraction = float(p.get("bagging_fraction", 1.0))
         self.bagging_freq = int(p.get("bagging_freq", 0))
+        self._bag_mask = None  # reused between re-bagging iterations
         self.feature_fraction = float(p.get("feature_fraction", 1.0))
+        # Nesterov-accelerated boosting (nesterov_boosting.h:20, gbdt.cpp:414)
+        self.use_nesterov_acc = bool(p.get("use_nesterov_acc", False))
+        self.nesterov_acc_rate = float(p.get("nesterov_acc_rate", 0.5))
+        self.momentum_offset = int(p.get("momentum_offset", 0))
+        self.momentum_schedule_version = int(
+            p.get("momentum_schedule_version", 1))
+        self._score_lag1 = None
+        self._valid_lag1: List[np.ndarray] = []
         if self.boosting_type == "rf":
             if not (self.bagging_freq > 0 and self.bagging_fraction < 1.0):
                 self.bagging_freq = 1
@@ -210,13 +232,15 @@ class Booster:
         # costs seconds over a TPU tunnel); leaf nodes self-loop so extra
         # traversal steps are no-ops
         depth_bound = self._depth_bound()
+        dl = (None if tree.default_left is None
+              else jnp.asarray(tree.default_left))
         if self._tree_has_cat(tree):
             vals, _ = predict_tree_binned_mixed(
                 self.train_set.binned, jnp.asarray(tree.split_feature),
                 jnp.asarray(tree.threshold_bin),
                 jnp.asarray(tree.is_categorical), jnp.asarray(tree.cat_mask),
                 jnp.asarray(tree.left), jnp.asarray(tree.right),
-                depth_bound, jnp.asarray(tree.leaf_value))
+                depth_bound, jnp.asarray(tree.leaf_value), default_left=dl)
         else:
             dev = getattr(tree, "_dev", None)
             if dev is not None:
@@ -224,13 +248,14 @@ class Booster:
                 vals, _ = predict_tree_binned(
                     self.train_set.binned, dev["feature"], dev["thresh"],
                     dev["left"], dev["right"], depth_bound,
-                    jnp.asarray(tree.leaf_value))
+                    jnp.asarray(tree.leaf_value),
+                    default_left=dev.get("dleft"))
             else:
                 vals, _ = predict_tree_binned(
                     self.train_set.binned, jnp.asarray(tree.split_feature),
                     jnp.asarray(tree.threshold_bin), jnp.asarray(tree.left),
                     jnp.asarray(tree.right), depth_bound,
-                    jnp.asarray(tree.leaf_value))
+                    jnp.asarray(tree.leaf_value), default_left=dl)
         return np.asarray(vals)
 
     def _depth_bound(self) -> int:
@@ -260,6 +285,8 @@ class Booster:
         return out
 
     def _tree_raw_pred(self, tree: Tree, Xj, cat_bins_j):
+        dl = (None if tree.default_left is None
+              else jnp.asarray(tree.default_left))
         if tree.lin_features is not None:
             M = len(tree.is_leaf)
             B = (tree.cat_mask.shape[1] if tree.cat_mask is not None else 1)
@@ -272,18 +299,20 @@ class Booster:
                             else np.zeros((M, 1), bool)),
                 jnp.asarray(tree.left), jnp.asarray(tree.right),
                 self._depth_bound(), jnp.asarray(tree.leaf_value),
-                jnp.asarray(tree.lin_features), jnp.asarray(tree.lin_coefs))
+                jnp.asarray(tree.lin_features), jnp.asarray(tree.lin_coefs),
+                default_left=dl)
         if self._tree_has_cat(tree):
             return predict_tree_mixed(
                 Xj, cat_bins_j, jnp.asarray(tree.split_feature),
                 jnp.asarray(tree.threshold), jnp.asarray(tree.is_categorical),
                 jnp.asarray(tree.cat_mask), jnp.asarray(tree.left),
                 jnp.asarray(tree.right), self._depth_bound(),
-                jnp.asarray(tree.leaf_value))
+                jnp.asarray(tree.leaf_value), default_left=dl)
         return predict_tree_raw(
             Xj, jnp.asarray(tree.split_feature), jnp.asarray(tree.threshold),
             jnp.asarray(tree.left), jnp.asarray(tree.right),
-            jnp.asarray(tree.leaf_value), self._depth_bound())
+            jnp.asarray(tree.leaf_value), self._depth_bound(),
+            default_left=dl)
 
     def _dart_drop(self):
         """Select and temporarily remove dropped trees from the train score
@@ -344,6 +373,23 @@ class Booster:
         dart_drop = None
         if self.boosting_type == "dart":
             dart_drop = self._dart_drop()
+        if self.use_nesterov_acc and self.boosting_type == "gbdt":
+            # momentum step BEFORE the gradient computation so gradients are
+            # taken at the momentum-shifted score (gbdt.cpp:414-419)
+            if self._score_lag1 is None:
+                self._score_lag1 = self._score.copy()
+            while len(self._valid_lag1) < len(self._valid_scores):
+                self._valid_lag1.append(
+                    self._valid_scores[len(self._valid_lag1)].copy())
+            mu = nesterov_schedule(
+                self.current_iteration(), self.momentum_schedule_version,
+                self.nesterov_acc_rate, self.momentum_offset)
+            for arr, lag in ([(self._score, self._score_lag1)]
+                             + list(zip(self._valid_scores,
+                                        self._valid_lag1))):
+                momentum = (mu + 1.0) * arr - mu * lag
+                lag[:] = arr
+                arr[:] = momentum
         if self.boosting_type == "rf":
             # RF: gradients always at the constant init score (rf.hpp)
             base = np.repeat(self.init_score, n)
@@ -382,11 +428,13 @@ class Booster:
                 grad[sampled] *= mult
                 hess[sampled] *= mult
                 row_mask = jnp.asarray(keep)
-        elif self.bagging_freq > 0 and self.bagging_fraction < 1.0 and \
-                it % self.bagging_freq == 0 or (
-                self.bagging_fraction < 1.0 and self.bagging_freq > 0):
-            keep = self._rng.random(n) < self.bagging_fraction
-            row_mask = jnp.asarray(keep)
+        elif self.bagging_freq > 0 and self.bagging_fraction < 1.0:
+            # re-bag every bagging_freq iterations, REUSE the bag in between
+            # (GBDT::Bagging, gbdt.cpp:255)
+            if self._bag_mask is None or it % self.bagging_freq == 0:
+                keep = self._rng.random(n) < self.bagging_fraction
+                self._bag_mask = jnp.asarray(keep)
+            row_mask = self._bag_mask
         # feature subsampling per tree
         num_bins = np.asarray(self.train_set.num_bins)
         if self.feature_fraction < 1.0:
@@ -412,6 +460,7 @@ class Booster:
                         and self._monotone is None
                         and getattr(self, "_forced_splits", None) is None
                         and self._cegb is None)
+            nan_mask = ds.has_nan if bool(np.any(ds.has_nan)) else None
             if use_fast:
                 from gpboost_tpu.boosting.tree import grow_tree_fast
                 # f32 histograms on accelerators (LightGBM's default hist
@@ -420,7 +469,7 @@ class Booster:
                     ds.binned, jnp.asarray(num_bins),
                     jnp.asarray(g, dtype=jnp.float32),
                     jnp.asarray(h, dtype=jnp.float32), ds.max_num_bins,
-                    self.grower, row_mask=row_mask)
+                    self.grower, row_mask=row_mask, nan_mask=nan_mask)
             else:
                 tree, row_leaf = grow_tree(
                     ds.binned, jnp.asarray(num_bins), jnp.asarray(g),
@@ -430,7 +479,7 @@ class Booster:
                         self.params.get("max_cat_threshold", 32)),
                     monotone_constraints=self._monotone,
                     forced_splits=getattr(self, "_forced_splits", None),
-                    cegb=self._cegb)
+                    cegb=self._cegb, nan_mask=nan_mask)
             # real-valued thresholds for raw prediction
             for node in np.flatnonzero(~tree.is_leaf):
                 if tree.is_categorical is not None and tree.is_categorical[node]:
@@ -564,8 +613,24 @@ class Booster:
 
     def _eval(self, dset: Dataset, name: str, score: np.ndarray):
         res = []
-        pred = self._convert_for_metric(dset, score)
+        pred = None
         for metric in self.metric_names:
+            if metric in metrics_mod.GP_METRICS:
+                val = self._eval_gp_metric(metric, dset, score)
+                res.append((name, metric, val, False))
+                continue
+            if metric == "ndcg" or metric.startswith("ndcg@"):
+                k = int(metric.split("@")[1]) if "@" in metric else int(
+                    self.params.get("eval_at", [5])[0]
+                    if isinstance(self.params.get("eval_at", 5), (list, tuple))
+                    else self.params.get("eval_at", 5))
+                val = metrics_mod.ndcg_at_k(dset.label,
+                                            score[:dset.num_data],
+                                            dset.group, k)
+                res.append((name, metric, val, True))
+                continue
+            if pred is None:
+                pred = self._convert_for_metric(dset, score)
             fn, higher_better = metrics_mod.METRICS[metric]
             kwargs = {}
             if metric in ("multi_logloss", "multi_error"):
@@ -573,6 +638,104 @@ class Booster:
             val = fn(dset.label, pred, dset.weight, **kwargs)
             res.append((name, metric, val, higher_better))
         return res
+
+    def _residual_variance(self) -> float:
+        """Training residual variance for Gaussian predictive metrics
+        without a gp_model (reference regression objective's
+        ``residual_variance_``)."""
+        n = self.train_set.num_data
+        resid = self.train_set.label - self._score[:n]
+        return float(np.var(resid))
+
+    def _eval_gp_metric(self, metric: str, dset: Dataset, score: np.ndarray):
+        """GP-aware metrics (``random_effects_metric.hpp:25,69``,
+        ``regression_metric.hpp:373`` TestNegLogLikelihood, ``:499``
+        CRPSGaussian)."""
+        import math
+        gp = self.gp_model
+        is_train = dset is self.train_set
+        LOG2PI = math.log(2.0 * math.pi)
+        if metric in ("neg_log_likelihood",
+                      "approx_neg_marginal_log_likelihood"):
+            # training-data-only: the (approximate) negative marginal
+            # log-likelihood at the current covariance parameters
+            if not is_train:
+                raise ValueError(f"The metric '{metric}' cannot be used for "
+                                 "validation data, only for training data")
+            if gp is None:
+                raise ValueError(f"The metric '{metric}' requires an "
+                                 "attached gp_model")
+            n = self.train_set.num_data
+            if gp.spec.is_gaussian:
+                resid = dset.label - self._score[:n]
+                return float(gp.neg_log_likelihood(cov_pars=gp.cov_pars_,
+                                                   y=resid))
+            ns = getattr(gp, "num_sets_re", 1)
+            return float(gp.neg_log_likelihood(
+                cov_pars=gp.cov_pars_, y=dset.label,
+                fixed_effects=self._score[:n * ns]))
+        # validation-only metrics
+        if is_train:
+            raise ValueError(f"Cannot use the metric '{metric}' on the "
+                             "training data")
+        label = dset.label
+        nv = dset.num_data
+        raw = score[:nv]
+        if gp is not None and self.use_gp_model_for_validation:
+            pd = getattr(gp, "_valid_pred_data", None)
+            if pd is None:
+                raise ValueError(
+                    "gp_model.set_prediction_data(...) must be called before "
+                    f"using the metric '{metric}' with "
+                    "use_gp_model_for_validation=True")
+            n = self.train_set.num_data
+            ns = getattr(gp, "num_sets_re", 1)
+            if gp.spec.is_gaussian:
+                resid = self.train_set.label - self._score[:n]
+                pred = gp.predict(y=resid, predict_var=True,
+                                  predict_response=True, **pd)
+                mu = raw + np.asarray(pred["mu"])
+                var = np.asarray(pred["var"]).ravel()
+            else:
+                pred = gp.predict(
+                    y=self.train_set.label,
+                    fixed_effects=self._score[:n * ns],
+                    fixed_effects_pred=score[:nv * ns], predict_var=True,
+                    predict_response=(metric == "crps_gaussian"), **pd)
+                mu = np.asarray(pred["mu"])
+                var = np.asarray(pred["var"]).ravel()
+                if metric == "test_neg_log_likelihood":
+                    # adaptive-GH integral of the response likelihood over
+                    # the latent predictive Gaussian (likelihoods.h:7931)
+                    from gpboost_tpu.models import laplace
+                    nlls = laplace.test_nll_adaptive_gh(
+                        gp.spec.likelihood,
+                        jnp.asarray(label, dtype=gp.dtype),
+                        jnp.asarray(mu, dtype=gp.dtype),
+                        jnp.asarray(np.maximum(var, 1e-12), dtype=gp.dtype),
+                        gp._aux_pars_array())
+                    return float(np.mean(np.asarray(nlls)))
+            if metric == "test_neg_log_likelihood":
+                return float(np.mean(
+                    0.5 * ((label - mu) ** 2 / var + np.log(var) + LOG2PI)))
+            return metrics_mod.crps_gaussian(label, mu, var)
+        # no gp_model (or not used for validation): Gaussian with the
+        # training residual variance / mean_scale two-parameter score
+        if self.objective_name == "mean_scale_regression":
+            if metric == "crps_gaussian":
+                return metrics_mod.crps_gaussian(label, raw,
+                                                 np.exp(score[nv:2 * nv]))
+            raise ValueError(f"The metric '{metric}' cannot be used for the "
+                             "objective 'mean_scale_regression'")
+        if self.objective_name not in ("regression", "regression_gp"):
+            raise ValueError(
+                f"The metric '{metric}' can only be used with a gp_model or "
+                "the 'regression' objective")
+        rv = max(self._residual_variance(), 1e-300)
+        if metric == "test_neg_log_likelihood":
+            return float(np.mean(
+                0.5 * ((raw - label) ** 2 / rv + math.log(rv) + LOG2PI)))
+        return metrics_mod.crps_gaussian(label, raw, np.full(nv, rv))
 
     def _convert_for_metric(self, dset: Dataset, score: np.ndarray):
         """Convert raw scores for metric eval; with an attached gp_model and
@@ -592,7 +755,11 @@ class Booster:
                 gp_rand_coef_data_pred=None, cluster_ids_pred=None,
                 predict_var=False, pred_latent=False, **kwargs):
         """Predict on raw features. With an attached gp_model, returns the
-        combined tree + random-effects prediction (``basic.py:3560-3650``)."""
+        combined tree + random-effects prediction (``basic.py:3560-3650``).
+        ``num_iteration=None`` uses ``best_iteration`` when early stopping
+        set one (reference ``basic.py`` predict default)."""
+        if num_iteration is None and getattr(self, "best_iteration", -1) > 0:
+            num_iteration = self.best_iteration
         data = np.asarray(data, dtype=np.float64)
         if data.ndim == 1:
             data = data[:, None]
@@ -658,6 +825,28 @@ class Booster:
                         top2 = np.sort(smat, axis=0)[-2:]
                         margin = top2[1] - top2[0]
                     active &= margin <= thresh
+            return smat.reshape(-1)
+        if (getattr(self, "use_nesterov_acc", False)
+                and getattr(self, "boosting_type", "gbdt") == "gbdt"):
+            # replay the momentum steps between iterations exactly as the
+            # reference prediction path does (gbdt_prediction.cpp:20-35)
+            smat = score.reshape(self.num_models, n)
+            lag = None
+            n_iters = limit // self.num_models
+            for i in range(n_iters):
+                if i == 1:
+                    lag = smat.copy()
+                elif i > 1:
+                    mu = nesterov_schedule(
+                        i, self.momentum_schedule_version,
+                        self.nesterov_acc_rate, self.momentum_offset)
+                    momentum = (mu + 1.0) * smat - mu * lag
+                    lag = smat.copy()
+                    smat = momentum
+                for m in range(self.num_models):
+                    tree = self.trees[i * self.num_models + m]
+                    vals, _ = self._tree_raw_pred(tree, Xj, cat_bins_j)
+                    smat[m] += np.asarray(vals)
             return smat.reshape(-1)
         for k in range(limit):
             tree = self.trees[k]
@@ -794,12 +983,18 @@ class Booster:
         F = self.train_set.num_features if self.train_set is not None else (
             int(max(max(t.split_feature) for t in self.trees)) + 1)
         imp = np.zeros(F)
-        for tree in self.trees:
+        limit = (len(self.trees) if iteration in (None, -1, 0)
+                 else min(iteration * self.num_models, len(self.trees)))
+        for tree in self.trees[:limit]:
             for node in np.flatnonzero(~tree.is_leaf):
-                if importance_type == "split":
-                    imp[tree.split_feature[node]] += 1
+                if importance_type == "gain":
+                    if tree.split_gain is None:
+                        raise ValueError(
+                            "gain importance unavailable: model has no "
+                            "recorded split gains (legacy save file)")
+                    imp[tree.split_feature[node]] += tree.split_gain[node]
                 else:
-                    imp[tree.split_feature[node]] += 1  # gain tracking TODO
+                    imp[tree.split_feature[node]] += 1
         return imp
 
     def num_feature(self):
@@ -852,6 +1047,12 @@ class Booster:
         self.params = d.get("params", {})
         self.objective_name = d["objective"]
         self.boosting_type = d.get("boosting_type", "gbdt")
+        p = self.params
+        self.use_nesterov_acc = bool(p.get("use_nesterov_acc", False))
+        self.nesterov_acc_rate = float(p.get("nesterov_acc_rate", 0.5))
+        self.momentum_offset = int(p.get("momentum_offset", 0))
+        self.momentum_schedule_version = int(
+            p.get("momentum_schedule_version", 1))
         cm = d.get("cat_maps")
         self._cat_maps = (None if not cm else
                           {int(f): {float(k): int(v) for k, v in mp.items()}

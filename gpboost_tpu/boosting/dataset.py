@@ -63,19 +63,29 @@ class Dataset:
             self.num_bins = reference.num_bins
             self.categorical_feature = reference.categorical_feature
             self.cat_maps = reference.cat_maps
+            self.has_nan = reference.has_nan
         else:
             self._find_bins()
         self._bin_data()
 
     # ------------------------------------------------------------------
     def _find_bins(self):
-        """Quantile bin boundaries per feature (``BinMapper::FindBin``)."""
+        """Quantile bin boundaries per feature (``BinMapper::FindBin``).
+
+        Features containing missing values get an EXCLUSIVE NA bin at index 0
+        (LightGBM ``MissingType::NaN`` semantics, ``io/bin.cpp``): real-value
+        bins shift up by one and the split finder learns a per-node default
+        direction for the NA bin.
+        """
         self.bin_upper_bounds = []
         self.num_bins = np.zeros(self.num_features, dtype=np.int32)
         self.cat_maps = {}
+        self.has_nan = np.zeros(self.num_features, dtype=bool)
         for f in range(self.num_features):
             col = self.raw_data[:, f]
             finite = col[np.isfinite(col)]
+            if f not in self.categorical_feature:
+                self.has_nan[f] = len(finite) < len(col)
             if f in self.categorical_feature:
                 cats = np.unique(finite)
                 self.cat_maps[f] = {v: i for i, v in enumerate(cats)}
@@ -93,32 +103,37 @@ class Dataset:
                 ub = np.unique(qs[1:-1])
                 ub = np.append(ub, np.inf)
             self.bin_upper_bounds.append(ub.astype(np.float64))
-            self.num_bins[f] = len(ub)
+            self.num_bins[f] = len(ub) + (1 if self.has_nan[f] else 0)
 
     def _bin_data(self):
-        """Map raw values to bin indices. NaN -> bin 0 shifts others by 1 when
-        the feature has missing values (LightGBM NA-bin semantics, simplified).
+        """Map raw values to bin indices. Features whose TRAINING data had
+        missing values use bin 0 exclusively for NaN and shift the real-value
+        bins by one (LightGBM NA-bin semantics, ``io/bin.cpp``). NaN in a
+        feature without a training-time NA bin maps to the lowest bin
+        (LightGBM converts missing to 0.0 when the train data had none).
         """
         n, F = self.raw_data.shape
         binned = np.zeros((n, F), dtype=np.int32)
-        has_nan = np.zeros(F, dtype=bool)
         for f in range(F):
             col = self.raw_data[:, f]
             nan_mask = ~np.isfinite(col)
-            has_nan[f] = bool(nan_mask.any())
             if f in self.categorical_feature:
                 lookup = self.cat_maps[f]
                 vals = np.asarray([lookup.get(v, 0) for v in col], dtype=np.int32)
                 binned[:, f] = np.clip(vals, 0, self.max_bin - 1)
+            elif self.has_nan[f]:
+                nb_real = int(self.num_bins[f]) - 1
+                idx = np.searchsorted(self.bin_upper_bounds[f], col,
+                                      side="left")
+                idx = np.clip(idx, 0, nb_real - 1) + 1
+                idx[nan_mask] = 0  # exclusive NA bin
+                binned[:, f] = idx
             else:
                 idx = np.searchsorted(self.bin_upper_bounds[f], col,
                                       side="left")
                 idx = np.clip(idx, 0, self.num_bins[f] - 1)
-                binned[:, f] = idx
-            if has_nan[f]:
-                binned[nan_mask, f] = 0  # missing bin (simplified)
+                binned[:, f] = np.where(nan_mask, 0, idx)
         self.binned = jnp.asarray(binned)
-        self.has_nan = has_nan
         self.max_num_bins = int(self.num_bins.max()) if F > 0 else 1
 
     # ------------------------------------------------------------------
@@ -152,13 +167,18 @@ class Dataset:
         """Largest bin whose upper bound is <= value (forced splits resolve
         raw thresholds to the binned split the grower uses)."""
         ub = np.asarray(self.bin_upper_bounds[feature], dtype=np.float64)
-        return int(np.clip(np.searchsorted(ub, value, side="left"),
-                           0, len(ub) - 1))
+        shift = 1 if self.has_nan[feature] else 0
+        return shift + int(np.clip(np.searchsorted(ub, value, side="left"),
+                                   0, len(ub) - 1))
 
     def threshold_value(self, feature: int, bin_idx: int) -> float:
         """Real-valued threshold for splitting feature at bin boundary
         ``bin_idx`` (rows with bin <= bin_idx go left)."""
         ub = self.bin_upper_bounds[feature]
+        if self.has_nan[feature]:
+            if bin_idx <= 0:
+                return float(-np.inf)  # NA-only split: no finite value left
+            bin_idx -= 1
         if bin_idx >= len(ub) - 1:
             return float(np.inf)
         return float(ub[bin_idx])

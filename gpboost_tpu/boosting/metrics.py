@@ -129,6 +129,13 @@ def ndcg_at_k(y, score, group, k=5):
     return float(np.mean(vals))
 
 
+# GP-model-aware metrics: need the attached GPModel / predictive variances
+# and are dispatched specially in ``Booster._eval`` (reference
+# ``random_effects_metric.hpp:25,69``; ``regression_metric.hpp:373,499``).
+# The first two are training-data-only, the last two validation-only.
+GP_METRICS = ("neg_log_likelihood", "approx_neg_marginal_log_likelihood",
+              "test_neg_log_likelihood", "crps_gaussian")
+
 # metric registry: name -> (fn(label, converted_pred, weight), higher_better)
 METRICS = {
     "l2": (l2, False), "mse": (l2, False),

@@ -58,13 +58,18 @@ def _threshold_l1(g, l1):
 def find_best_split(hist_g, hist_h, hist_c, num_bins_per_feat,
                     lambda_l1, lambda_l2, min_data_in_leaf,
                     min_sum_hessian, min_gain_to_split,
-                    monotone=None, penalty=None):
+                    monotone=None, penalty=None, nan_mask=None):
     """Best (feature, bin, gain) over all features.
 
     Vectorized over [F, B]: left stats are prefix sums over bins; split at
     bin b sends bins <= b left. Matches ``FeatureHistogram::FindBestThreshold``
     gain math: gain = S(GL,HL) + S(GR,HR) - S(G,H),
     S(G,H) = ThresholdL1(G,l1)^2 / (H + l2).
+
+    ``nan_mask`` [F] marks features with an exclusive NA bin at index 0: for
+    those, both default directions for missing values are scored (LightGBM
+    ``default_left`` learning, feature_histogram.hpp FindBestThreshold's
+    NA-bin two-pass). Returns (feat, bin, gain, ok, GL, HL, CL, default_left).
     """
     GL = jnp.cumsum(hist_g, axis=1)
     HL = jnp.cumsum(hist_h, axis=1)
@@ -72,29 +77,48 @@ def find_best_split(hist_g, hist_h, hist_c, num_bins_per_feat,
     G = GL[:, -1:]
     H = HL[:, -1:]
     C = CL[:, -1:]
-    GR = G - GL
-    HR = H - HL
-    CR = C - CL
 
     def score(g, h):
         t = _threshold_l1(g, lambda_l1)
         return t * t / (h + lambda_l2 + 1e-15)
 
-    gain = score(GL, HL) + score(GR, HR) - score(G, H)
     F, B = hist_g.shape
     bin_ids = jnp.arange(B)[None, :]
-    valid = (bin_ids < (num_bins_per_feat[:, None] - 1))
-    valid &= (CL >= min_data_in_leaf) & (CR >= min_data_in_leaf)
-    valid &= (HL >= min_sum_hessian) & (HR >= min_sum_hessian)
-    if monotone is not None:
-        # basic monotone-constraint feasibility (monotone_constraints.hpp):
-        # +1 requires left_output <= right_output, -1 the reverse
-        left_out = -_threshold_l1(GL, lambda_l1) / (HL + lambda_l2 + 1e-15)
-        right_out = -_threshold_l1(GR, lambda_l1) / (HR + lambda_l2 + 1e-15)
-        mono = monotone[:, None]
-        valid &= jnp.where(mono > 0, left_out <= right_out, True)
-        valid &= jnp.where(mono < 0, left_out >= right_out, True)
-    gain = jnp.where(valid, gain, -jnp.inf)
+
+    def gain_and_valid(GLv, HLv, CLv):
+        GR = G - GLv
+        HR = H - HLv
+        CR = C - CLv
+        gain = score(GLv, HLv) + score(GR, HR) - score(G, H)
+        valid = (bin_ids < (num_bins_per_feat[:, None] - 1))
+        valid &= (CLv >= min_data_in_leaf) & (CR >= min_data_in_leaf)
+        valid &= (HLv >= min_sum_hessian) & (HR >= min_sum_hessian)
+        if monotone is not None:
+            # basic monotone-constraint feasibility (monotone_constraints.hpp):
+            # +1 requires left_output <= right_output, -1 the reverse
+            left_out = -_threshold_l1(GLv, lambda_l1) / (HLv + lambda_l2 + 1e-15)
+            right_out = -_threshold_l1(GR, lambda_l1) / (HR + lambda_l2 + 1e-15)
+            mono = monotone[:, None]
+            valid &= jnp.where(mono > 0, left_out <= right_out, True)
+            valid &= jnp.where(mono < 0, left_out >= right_out, True)
+        return jnp.where(valid, gain, -jnp.inf)
+
+    gain = gain_and_valid(GL, HL, CL)  # NA bin (bin 0) on the LEFT
+    if nan_mask is None:
+        default_left = jnp.ones((F, B), bool)
+    else:
+        # second pass: NA bin on the RIGHT (subtract it from every prefix)
+        nm = nan_mask[:, None]
+        GL2 = GL - jnp.where(nm, hist_g[:, :1], 0.0)
+        HL2 = HL - jnp.where(nm, hist_h[:, :1], 0.0)
+        CL2 = CL - jnp.where(nm, hist_c[:, :1], 0.0)
+        gain2 = gain_and_valid(GL2, HL2, CL2)
+        gain2 = jnp.where(nm & (CL2 > 0), gain2, -jnp.inf)
+        default_left = gain >= gain2
+        gain = jnp.maximum(gain, gain2)
+        GL = jnp.where(default_left, GL, GL2)
+        HL = jnp.where(default_left, HL, HL2)
+        CL = jnp.where(default_left, CL, CL2)
     if penalty is None:
         sel = gain
     else:
@@ -111,16 +135,19 @@ def find_best_split(hist_g, hist_h, hist_c, num_bins_per_feat,
     if penalty is not None:
         ok &= g_best > 0.0
     return (f_best.astype(jnp.int32), b_best.astype(jnp.int32), g_best, ok,
-            GL[f_best, b_best], HL[f_best, b_best], CL[f_best, b_best])
+            GL[f_best, b_best], HL[f_best, b_best], CL[f_best, b_best],
+            default_left[f_best, b_best])
 
 
 @jax.jit
 def partition_rows(binned, row_leaf, leaf_id, feature, bin_thresh,
-                   left_id, right_id):
+                   left_id, right_id, miss_right=False):
     """Send rows of ``leaf_id`` with bin[:, feature] <= bin_thresh to
-    ``left_id``, the rest to ``right_id``."""
+    ``left_id``, the rest to ``right_id``. ``miss_right`` sends the NA bin
+    (bin 0 of a feature with missing values) right instead."""
     in_leaf = row_leaf == leaf_id
-    go_left = binned[:, feature] <= bin_thresh
+    b = binned[:, feature]
+    go_left = (b <= bin_thresh) & ~(jnp.asarray(miss_right) & (b == 0))
     new_leaf = jnp.where(go_left, left_id, right_id)
     return jnp.where(in_leaf, new_leaf, row_leaf)
 
@@ -212,6 +239,8 @@ class Tree:
     # linear-tree leaf models (reference treelearner/linear_tree_learner.cpp):
     lin_features: np.ndarray = None    # [M, K] int32 feature ids (-1 pad)
     lin_coefs: np.ndarray = None       # [M, K] float64 coefficients
+    split_gain: np.ndarray = None      # [M] float64 gain of each split
+    default_left: np.ndarray = None    # [M] bool NA default direction
     num_leaves: int = 0
     max_depth_used: int = 1
     shrinkage: float = 1.0
@@ -234,6 +263,10 @@ class Tree:
                              else self.lin_features.tolist()),
             "lin_coefs": (None if self.lin_coefs is None
                           else self.lin_coefs.tolist()),
+            "split_gain": (None if self.split_gain is None
+                           else self.split_gain.tolist()),
+            "default_left": (None if self.default_left is None
+                             else self.default_left.tolist()),
             "num_leaves": self.num_leaves,
             "max_depth_used": self.max_depth_used,
             "shrinkage": self.shrinkage,
@@ -259,6 +292,10 @@ class Tree:
                           else np.asarray(d["lin_features"], np.int32)),
             lin_coefs=(None if d.get("lin_coefs") is None
                        else np.asarray(d["lin_coefs"], np.float64)),
+            split_gain=(None if d.get("split_gain") is None
+                        else np.asarray(d["split_gain"], np.float64)),
+            default_left=(None if d.get("default_left") is None
+                          else np.asarray(d["default_left"], bool)),
             num_leaves=int(d["num_leaves"]),
             max_depth_used=int(d["max_depth_used"]),
             shrinkage=float(d.get("shrinkage", 1.0)))
@@ -376,14 +413,19 @@ def grow_tree(binned: jnp.ndarray, num_bins_per_feat: jnp.ndarray,
               max_cat_threshold: int = 32,
               monotone_constraints: Optional[np.ndarray] = None,
               forced_splits: Optional[dict] = None,
-              cegb: Optional["CEGBState"] = None):
+              cegb: Optional["CEGBState"] = None,
+              nan_mask: Optional[np.ndarray] = None):
     """Grow one tree leaf-wise (best-first), LightGBM-style.
 
     ``categorical_mask`` [F] marks categorical features: they get
-    sorted-subset splits instead of threshold splits.
+    sorted-subset splits instead of threshold splits. ``nan_mask`` [F] marks
+    features whose bin 0 is an exclusive NA bin (default-direction learning).
     Returns (Tree, row_leaf_node [n] int32 node-id per row).
     """
     n, F = binned.shape
+    if nan_mask is not None and not bool(np.any(nan_mask)):
+        nan_mask = None
+    nan_mask_j = None if nan_mask is None else jnp.asarray(nan_mask)
     has_cat = categorical_mask is not None and bool(np.any(categorical_mask))
     if has_cat:
         cat_mask_j = jnp.asarray(categorical_mask)
@@ -398,6 +440,8 @@ def grow_tree(binned: jnp.ndarray, num_bins_per_feat: jnp.ndarray,
     left = np.arange(max_nodes, dtype=np.int32)
     right = np.arange(max_nodes, dtype=np.int32)
     leaf_value = np.zeros(max_nodes, np.float64)
+    split_gain_arr = np.zeros(max_nodes, np.float64)
+    default_left_arr = np.ones(max_nodes, bool)
     is_leaf = np.zeros(max_nodes, bool)
     is_leaf[0] = True
     depth = np.zeros(max_nodes, np.int32)
@@ -439,12 +483,13 @@ def grow_tree(binned: jnp.ndarray, num_bins_per_feat: jnp.ndarray,
         if cegb is not None:
             penalty = cegb.penalty_vector(
                 (row_leaf == leaf_id) & row_mask, F)
-        f_b, b_b, gain, ok, gl, hl, cl = find_best_split(
+        f_b, b_b, gain, ok, gl, hl, cl, dl = find_best_split(
             hg, hh, hc, num_bins_numerical, l1, l2,
             float(params.min_data_in_leaf), params.min_sum_hessian_in_leaf,
-            params.min_gain_to_split, monotone=mono_j, penalty=penalty)
+            params.min_gain_to_split, monotone=mono_j, penalty=penalty,
+            nan_mask=nan_mask_j)
         best = ("num", int(f_b), int(b_b), float(gain), bool(ok),
-                float(gl), float(hl), float(cl), None)
+                float(gl), float(hl), float(cl), None, bool(dl))
         if has_cat:
             (fc, kc, gc, okc, order, glc, hlc, clc) = \
                 find_best_split_categorical(
@@ -456,7 +501,7 @@ def grow_tree(binned: jnp.ndarray, num_bins_per_feat: jnp.ndarray,
             if bool(okc) and (not best[4] or float(gc) > best[3]):
                 left_cats = np.asarray(order)[int(fc), :int(kc) + 1]
                 best = ("cat", int(fc), int(kc), float(gc), True,
-                        float(glc), float(hlc), float(clc), left_cats)
+                        float(glc), float(hlc), float(clc), left_cats, True)
         best_cache[leaf_id] = best
 
     compute_leaf(0)
@@ -523,7 +568,7 @@ def grow_tree(binned: jnp.ndarray, num_bins_per_feat: jnp.ndarray,
                 best_leaf, best = leaf_id, b
         if best_leaf is None:
             break
-        kind, f_b, b_b, gain, _, gl, hl, cl, left_cats = best
+        kind, f_b, b_b, gain, _, gl, hl, cl, left_cats, dflt_left = best
         g_sum, h_sum, cnt = stats_cache[best_leaf]
         if cegb is not None:
             # mark usage on ALL parent rows (UpdateLeafBestSplits runs before
@@ -548,12 +593,17 @@ def grow_tree(binned: jnp.ndarray, num_bins_per_feat: jnp.ndarray,
             is_categorical[best_leaf] = True
             cat_masks[best_leaf] = mask_b
         else:
+            miss_right = bool(nan_mask is not None and nan_mask[f_b]
+                              and not dflt_left)
             row_leaf = partition_rows(binned, row_leaf, best_leaf, f_b, b_b,
-                                      left_id, right_id)
+                                      left_id, right_id,
+                                      miss_right=miss_right)
         # bookkeeping
         is_leaf[best_leaf] = False
         feature[best_leaf] = f_b
         threshold_bin[best_leaf] = b_b
+        split_gain_arr[best_leaf] = gain
+        default_left_arr[best_leaf] = bool(dflt_left)
         left[best_leaf] = left_id
         right[best_leaf] = right_id
         is_leaf[left_id] = is_leaf[right_id] = True
@@ -609,6 +659,7 @@ def grow_tree(binned: jnp.ndarray, num_bins_per_feat: jnp.ndarray,
                 threshold_bin=threshold_bin, left=left, right=right,
                 leaf_value=leaf_value, is_leaf=is_leaf, node_count=node_count,
                 is_categorical=is_categorical, cat_mask=cat_masks,
+                split_gain=split_gain_arr, default_left=default_left_arr,
                 num_leaves=num_leaves, max_depth_used=max_depth_used)
     return tree, row_leaf
 
@@ -616,7 +667,8 @@ def grow_tree(binned: jnp.ndarray, num_bins_per_feat: jnp.ndarray,
 @partial(jax.jit, static_argnums=(4, 5, 6))
 def _grow_tree_jit(binned, num_bins_per_feat, grad, hess,
                    max_num_bins: int, num_leaves: int, max_depth: int,
-                   row_mask, l1, l2, min_data, min_hess, min_gain):
+                   row_mask, l1, l2, min_data, min_hess, min_gain,
+                   nan_mask=None):
     """Whole-tree leaf-wise growth in ONE jitted program.
 
     The host-driven grower above dispatches ~15 device calls (with blocking
@@ -635,10 +687,11 @@ def _grow_tree_jit(binned, num_bins_per_feat, grad, hess,
     def eval_leaf(hist):
         hg, hh, hc = hist
         return find_best_split(hg, hh, hc, num_bins_per_feat, l1, l2,
-                               min_data, min_hess, min_gain)
+                               min_data, min_hess, min_gain,
+                               nan_mask=nan_mask)
 
     hist0 = build_histogram(binned, grad, hess, row_mask, max_num_bins)
-    f0, b0, gain0, ok0, gl0, hl0, cl0 = eval_leaf(hist0)
+    f0, b0, gain0, ok0, gl0, hl0, cl0, dl0 = eval_leaf(hist0)
 
     z_f = jnp.zeros(M, dtype)
     z_i = jnp.zeros(M, jnp.int32)
@@ -651,7 +704,9 @@ def _grow_tree_jit(binned, num_bins_per_feat, grad, hess,
         depth=z_i.at[0].set(1),
         hist=jnp.zeros((M, 3, F, max_num_bins), dtype)
         .at[0].set(jnp.stack(hist0)),
+        dleft=jnp.ones(M, bool), sgain=z_f,
         bf=z_i.at[0].set(f0), bb=z_i.at[0].set(b0),
+        bdl=jnp.ones(M, bool).at[0].set(dl0),
         bgain=z_f.at[0].set(gain0), bok=jnp.zeros(M, bool).at[0].set(ok0),
         gsum=z_f.at[0].set(jnp.sum(hist0[0]) / F),
         hsum=z_f.at[0].set(jnp.sum(hist0[1]) / F),
@@ -675,18 +730,25 @@ def _grow_tree_jit(binned, num_bins_per_feat, grad, hess,
         proceed = cg[leaf] > -jnp.inf
         f_b = s["bf"][leaf]
         b_b = s["bb"][leaf]
+        dl_b = s["bdl"][leaf]
         lid = s["next_node"]
         rid = lid + 1
         sel = (s["row_leaf"] == leaf) & row_mask
-        go_left = jnp.take(binned, f_b, axis=1) <= b_b
+        bvals = jnp.take(binned, f_b, axis=1)
+        go_left = bvals <= b_b
+        if nan_mask is not None:
+            miss_right = nan_mask[f_b] & ~dl_b
+            go_left &= ~(miss_right & (bvals == 0))
         new_row_leaf = jnp.where(
             sel, jnp.where(go_left, lid, rid), s["row_leaf"])
         hist_l = jnp.stack(build_histogram(
             binned, grad, hess, (new_row_leaf == lid) & row_mask,
             max_num_bins))
         hist_r = s["hist"][leaf] - hist_l
-        fl, bl, gl_, okl, *_ = eval_leaf((hist_l[0], hist_l[1], hist_l[2]))
-        fr, br, gr_, okr, *_ = eval_leaf((hist_r[0], hist_r[1], hist_r[2]))
+        fl, bl, gl_, okl, _, _, _, dll = eval_leaf(
+            (hist_l[0], hist_l[1], hist_l[2]))
+        fr, br, gr_, okr, _, _, _, dlr = eval_leaf(
+            (hist_r[0], hist_r[1], hist_r[2]))
 
         def upd(arr, vals):
             return arr.at[jnp.stack([lid, rid])].set(jnp.stack(vals))
@@ -702,7 +764,10 @@ def _grow_tree_jit(binned, num_bins_per_feat, grad, hess,
             depth=upd(s["depth"], [s["depth"][leaf] + 1] * 2),
             hist=s["hist"].at[lid].set(hist_l).at[rid].set(hist_r)
             .at[leaf].set(0.0),
+            dleft=s["dleft"].at[leaf].set(dl_b),
+            sgain=s["sgain"].at[leaf].set(s["bgain"][leaf]),
             bf=upd(s["bf"], [fl, fr]), bb=upd(s["bb"], [bl, br]),
+            bdl=upd(s["bdl"], [dll, dlr]),
             bgain=upd(s["bgain"], [gl_, gr_]),
             bok=upd(s["bok"], [okl, okr]),
             gsum=upd(s["gsum"], [jnp.sum(hist_l[0]) / F,
@@ -727,27 +792,30 @@ def _grow_tree_jit(binned, num_bins_per_feat, grad, hess,
         -_threshold_l1(s["gsum"], l1) / (s["hsum"] + l2 + 1e-15), 0.0)
     return (s["feature"], s["thresh"], s["left"], s["right"], leaf_value,
             s["is_leaf"], s["cnt"], s["depth"], s["num_leaves"],
-            s["row_leaf"])
+            s["dleft"], s["sgain"], s["row_leaf"])
 
 
 def grow_tree_fast(binned, num_bins_per_feat, grad, hess, max_num_bins,
-                   params: GrowerParams, row_mask=None):
+                   params: GrowerParams, row_mask=None, nan_mask=None):
     """Host wrapper for the jitted grower: returns (Tree, row_leaf) like
     :func:`grow_tree` (numeric-splits-only fast path)."""
     n, F = binned.shape
     if row_mask is None:
         row_mask = jnp.ones(n, dtype=bool)
+    if nan_mask is not None and not bool(np.any(nan_mask)):
+        nan_mask = None
     out = _grow_tree_jit(
         binned, num_bins_per_feat, grad, hess, int(max_num_bins),
         int(params.num_leaves), int(params.max_depth), row_mask,
         params.lambda_l1, params.lambda_l2,
         float(params.min_data_in_leaf), params.min_sum_hessian_in_leaf,
-        params.min_gain_to_split)
+        params.min_gain_to_split,
+        nan_mask=None if nan_mask is None else jnp.asarray(nan_mask))
     row_leaf = out[-1]
     # ONE device->host transfer for all tree arrays (separate np.asarray
     # fetches each cost a full round trip over the TPU tunnel)
     (feature, thresh, left, right, leaf_value, is_leaf, cnt, depth,
-     num_leaves) = jax.device_get(out[:-1])
+     num_leaves, dleft, sgain) = jax.device_get(out[:-1])
     max_nodes = 2 * params.num_leaves - 1
     tree = Tree(split_feature=np.asarray(feature),
                 threshold=np.zeros(max_nodes),
@@ -758,20 +826,26 @@ def grow_tree_fast(binned, num_bins_per_feat, grad, hess, max_num_bins,
                 node_count=np.asarray(cnt, np.float64),
                 is_categorical=np.zeros(max_nodes, bool),
                 cat_mask=np.zeros((max_nodes, max_num_bins), bool),
+                split_gain=np.asarray(sgain, np.float64),
+                default_left=np.asarray(dleft),
                 num_leaves=int(num_leaves),
                 max_depth_used=int(np.asarray(depth).max(initial=1)))
     # keep the device-resident STRUCTURE arrays for per-tree prediction
     # (avoids re-uploading every iteration; leaf values mutate afterwards
     # via shrinkage / Newton updates, so they are always re-sent)
     tree._dev = dict(feature=out[0], thresh=out[1], left=out[2],
-                     right=out[3])
+                     right=out[3], dleft=out[9])
     return tree, row_leaf
 
 
 @partial(jax.jit, static_argnums=(5,))
 def predict_tree_binned(binned, feature, threshold_bin, left, right,
-                        max_depth: int, leaf_value):
-    """Evaluate one tree on binned data via fixed-point traversal."""
+                        max_depth: int, leaf_value, default_left=None):
+    """Evaluate one tree on binned data via fixed-point traversal.
+
+    ``default_left`` [M]: False sends the NA bin (bin 0 of a feature with
+    missing values — the grower only clears the flag on such nodes) right.
+    """
     n = binned.shape[0]
     node = jnp.zeros(n, dtype=jnp.int32)
 
@@ -779,7 +853,10 @@ def predict_tree_binned(binned, feature, threshold_bin, left, right,
         f = feature[node]
         t = threshold_bin[node]
         vals = binned[jnp.arange(n), f]
-        return jnp.where(vals <= t, left[node], right[node])
+        go_left = vals <= t
+        if default_left is not None:
+            go_left &= default_left[node] | (vals != 0)
+        return jnp.where(go_left, left[node], right[node])
 
     node = jax.lax.fori_loop(0, max_depth, step, node)
     return leaf_value[node], node
@@ -787,8 +864,9 @@ def predict_tree_binned(binned, feature, threshold_bin, left, right,
 
 @partial(jax.jit, static_argnums=(6,))
 def predict_tree_raw(X, feature, threshold, left, right, leaf_value,
-                     max_depth: int):
-    """Evaluate one tree on raw feature values (value <= threshold -> left)."""
+                     max_depth: int, default_left=None):
+    """Evaluate one tree on raw feature values (value <= threshold -> left);
+    NaN routes by the node's learned ``default_left`` direction."""
     n = X.shape[0]
     node = jnp.zeros(n, dtype=jnp.int32)
 
@@ -797,6 +875,8 @@ def predict_tree_raw(X, feature, threshold, left, right, leaf_value,
         t = threshold[node]
         vals = X[jnp.arange(n), f]
         go_left = vals <= t
+        if default_left is not None:
+            go_left = jnp.where(jnp.isnan(vals), default_left[node], go_left)
         return jnp.where(go_left, left[node], right[node])
 
     node = jax.lax.fori_loop(0, max_depth, step, node)
@@ -805,7 +885,8 @@ def predict_tree_raw(X, feature, threshold, left, right, leaf_value,
 
 @partial(jax.jit, static_argnums=(8,))
 def predict_tree_mixed(X_num, cat_bins, feature, threshold, is_cat, cat_mask,
-                       left, right, max_depth: int, leaf_value):
+                       left, right, max_depth: int, leaf_value,
+                       default_left=None):
     """Tree evaluation with mixed numerical/categorical splits on raw values.
 
     ``cat_bins`` [n, F] holds the category-bin index for categorical columns
@@ -817,7 +898,11 @@ def predict_tree_mixed(X_num, cat_bins, feature, threshold, is_cat, cat_mask,
 
     def step(_, node):
         f = feature[node]
-        num_left = X_num[rows, f] <= threshold[node]
+        vals = X_num[rows, f]
+        num_left = vals <= threshold[node]
+        if default_left is not None:
+            num_left = jnp.where(jnp.isnan(vals), default_left[node],
+                                 num_left)
         cat_left = cat_mask[node, cat_bins[rows, f]]
         go_left = jnp.where(is_cat[node], cat_left, num_left)
         return jnp.where(go_left, left[node], right[node])
@@ -829,7 +914,7 @@ def predict_tree_mixed(X_num, cat_bins, feature, threshold, is_cat, cat_mask,
 @partial(jax.jit, static_argnums=(7,))
 def predict_tree_binned_mixed(binned, feature, threshold_bin, is_cat,
                               cat_mask, left, right, max_depth: int,
-                              leaf_value):
+                              leaf_value, default_left=None):
     """Binned-data evaluation with categorical splits."""
     n = binned.shape[0]
     node = jnp.zeros(n, dtype=jnp.int32)
@@ -839,6 +924,8 @@ def predict_tree_binned_mixed(binned, feature, threshold_bin, is_cat,
         f = feature[node]
         b = binned[rows, f]
         num_left = b <= threshold_bin[node]
+        if default_left is not None:
+            num_left &= default_left[node] | (b != 0)
         cat_left = cat_mask[node, b]
         go_left = jnp.where(is_cat[node], cat_left, num_left)
         return jnp.where(go_left, left[node], right[node])
@@ -915,7 +1002,7 @@ def fit_linear_leaves(tree: Tree, X: np.ndarray, row_leaf: np.ndarray,
 @partial(jax.jit, static_argnums=(8,))
 def predict_tree_linear(X_num, cat_bins, feature, threshold, is_cat, cat_mask,
                         left, right, max_depth: int, leaf_value,
-                        lin_features, lin_coefs):
+                        lin_features, lin_coefs, default_left=None):
     """Traverse + evaluate linear leaf models."""
     n = X_num.shape[0]
     node = jnp.zeros(n, dtype=jnp.int32)
@@ -923,7 +1010,11 @@ def predict_tree_linear(X_num, cat_bins, feature, threshold, is_cat, cat_mask,
 
     def step(_, node):
         f = feature[node]
-        num_left = X_num[rows, f] <= threshold[node]
+        vals = X_num[rows, f]
+        num_left = vals <= threshold[node]
+        if default_left is not None:
+            num_left = jnp.where(jnp.isnan(vals), default_left[node],
+                                 num_left)
         cat_left = cat_mask[node, cat_bins[rows, f]]
         go_left = jnp.where(is_cat[node], cat_left, num_left)
         return jnp.where(go_left, left[node], right[node])

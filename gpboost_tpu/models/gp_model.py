@@ -312,16 +312,37 @@ class GPModel:
     # ------------------------------------------------------------------
     def set_prediction_data(self, vecchia_pred_type=None,
                             num_neighbors_pred=None, nsim_var_pred=None,
-                            cg_delta_conv_pred=None, **kwargs):
-        """Prediction-time settings (``GPModel.set_prediction_data``,
-        ``basic.py``). ``vecchia_pred_type`` variants conditioning on all
-        observations are realized by raising ``num_neighbors_pred``;
-        predictive variances are computed exactly (no simulation), so
-        ``nsim_var_pred`` is accepted but unused."""
+                            cg_delta_conv_pred=None, group_data_pred=None,
+                            group_rand_coef_data_pred=None,
+                            gp_coords_pred=None, gp_rand_coef_data_pred=None,
+                            cluster_ids_pred=None, X_pred=None, **kwargs):
+        """Prediction-time settings + validation prediction data
+        (``GPModel.set_prediction_data``, ``basic.py``): the *_pred arrays are
+        stored for boosting validation-set predictions
+        (``use_gp_model_for_validation``) and GP-aware validation metrics.
+        ``vecchia_pred_type`` variants conditioning on all observations are
+        realized by raising ``num_neighbors_pred``."""
         self.vecchia_pred_type = vecchia_pred_type
         if num_neighbors_pred is not None and self._approx is not None:
             self._approx.num_neighbors_pred = min(int(num_neighbors_pred),
                                                   self.num_data)
+        if nsim_var_pred is not None:
+            self.nsim_var_pred = int(nsim_var_pred)
+        pd = {}
+        if group_data_pred is not None:
+            pd["group_data_pred"] = group_data_pred
+        if group_rand_coef_data_pred is not None:
+            pd["group_rand_coef_data_pred"] = group_rand_coef_data_pred
+        if gp_coords_pred is not None:
+            pd["gp_coords_pred"] = gp_coords_pred
+        if gp_rand_coef_data_pred is not None:
+            pd["gp_rand_coef_data_pred"] = gp_rand_coef_data_pred
+        if cluster_ids_pred is not None:
+            pd["cluster_ids_pred"] = cluster_ids_pred
+        if X_pred is not None:
+            pd["X_pred"] = X_pred
+        if pd:
+            self._valid_pred_data = pd
         return self
 
     # ------------------------------------------------------------------

@@ -334,6 +334,40 @@ def gradient_wrt_F(spec: ModelSpec, data: ModelData, cov_pars: jnp.ndarray,
 _GH_DEG = 30
 _GH_NODES, _GH_WEIGHTS = np.polynomial.hermite_e.hermegauss(_GH_DEG)
 _GH_W_NORM = _GH_WEIGHTS / math.sqrt(2.0 * math.pi)
+# physicists' Hermite (weight e^{-x^2}) + adaptive weights w_j * e^{x_j^2}
+_GH_PHYS_NODES, _GH_PHYS_WEIGHTS = np.polynomial.hermite.hermgauss(_GH_DEG)
+_GH_LOG_ADAPT_W = np.log(_GH_PHYS_WEIGHTS) + _GH_PHYS_NODES ** 2
+
+
+@partial(jax.jit, static_argnums=(0,))
+def test_nll_adaptive_gh(lik_name: str, y, pred_mean, pred_var, aux):
+    """Per-point predictive NLL -log p(y_i) with p(y) = ∫ p(y|b) N(b; mu_i,
+    var_i) db by adaptive Gauss-Hermite quadrature
+    (``TestNegLogLikelihoodAdaptiveGHQuadrature``, likelihoods.h:7931):
+    Newton mode-finding of the integrand, then GH recentered at the mode with
+    scale 1/sqrt(information), evaluated in log space for stability."""
+    fam = lk.get_family(lik_name)
+    sigma2_inv = 1.0 / pred_var
+
+    def newton(_, m):
+        d1 = fam.d_loc(y, m, aux)
+        info = -fam.d2_loc(y, m, aux)
+        upd = (d1 - sigma2_inv * (m - pred_mean)) / (-info - sigma2_inv)
+        return m - upd
+
+    mode = jax.lax.fori_loop(0, 100, newton, jnp.zeros_like(pred_mean))
+    info_m = -fam.d2_loc(y, mode, aux)
+    sqrt2_sigma_hat = jnp.sqrt(2.0 / (info_m + sigma2_inv))
+    nodes = jnp.asarray(_GH_PHYS_NODES, pred_mean.dtype)
+    log_w = jnp.asarray(_GH_LOG_ADAPT_W, pred_mean.dtype)
+    x = mode[:, None] + sqrt2_sigma_hat[:, None] * nodes[None, :]  # [n, Q]
+    ll = fam.log_lik(y[:, None], x, aux)
+    z = jnp.sqrt(sigma2_inv)[:, None] * (x - pred_mean[:, None])
+    log_gauss = -0.5 * z * z - 0.5 * math.log(2.0 * math.pi)
+    log_lik = jax.scipy.special.logsumexp(log_w[None, :] + ll + log_gauss,
+                                          axis=1)
+    log_lik += jnp.log(sqrt2_sigma_hat) + 0.5 * jnp.log(sigma2_inv)
+    return -log_lik
 
 
 def _response_moments(lik_name, mu, var, aux):
