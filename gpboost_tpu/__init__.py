@@ -33,6 +33,8 @@ from gpboost_tpu.tuning import grid_search_tune_parameters  # noqa: E402
 from gpboost_tpu import plotting  # noqa: E402
 from gpboost_tpu.plotting import (  # noqa: E402
     plot_importance, plot_metric, partial_dependence_plot)
+from gpboost_tpu.parallel import (  # noqa: E402
+    active_mesh, make_mesh, set_mesh, use_mesh)
 
 __version__ = "0.1.0"
 
@@ -42,5 +44,6 @@ __all__ = [
     "grid_search_tune_parameters", "early_stopping", "record_evaluation",
     "print_evaluation", "log_evaluation", "reset_parameter",
     "plot_importance", "plot_metric", "partial_dependence_plot",
+    "set_mesh", "use_mesh", "active_mesh", "make_mesh",
     "__version__",
 ]

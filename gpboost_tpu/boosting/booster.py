@@ -256,7 +256,8 @@ class Booster:
                     jnp.asarray(tree.threshold_bin), jnp.asarray(tree.left),
                     jnp.asarray(tree.right), depth_bound,
                     jnp.asarray(tree.leaf_value), default_left=dl)
-        return np.asarray(vals)
+        # [:num_data] drops mesh-padding rows (no-op otherwise)
+        return np.asarray(vals)[:self.train_set.num_data]
 
     def _depth_bound(self) -> int:
         """Static traversal depth for jitted per-tree prediction: a single
@@ -435,6 +436,17 @@ class Booster:
                 keep = self._rng.random(n) < self.bagging_fraction
                 self._bag_mask = jnp.asarray(keep)
             row_mask = self._bag_mask
+        # padded mesh-sharded binned layout: rows beyond num_data are
+        # padding — mask them out of every histogram
+        n_rows = int(ds.binned.shape[0])
+        if n_rows != n:
+            if self._cegb is not None:
+                raise NotImplementedError(
+                    "CEGB is not supported with a mesh-sharded dataset")
+            if row_mask is None:
+                row_mask = jnp.ones(n, dtype=bool)
+            row_mask = jnp.concatenate(
+                [row_mask, jnp.zeros(n_rows - n, dtype=bool)])
         # feature subsampling per tree
         num_bins = np.asarray(self.train_set.num_bins)
         if self.feature_fraction < 1.0:
@@ -448,6 +460,9 @@ class Booster:
         for m in range(self.num_models):
             g = grad[m * n:(m + 1) * n]
             h = hess[m * n:(m + 1) * n]
+            if n_rows != n:
+                g = np.concatenate([g, np.zeros(n_rows - n)])
+                h = np.concatenate([h, np.zeros(n_rows - n)])
             cat_mask_arr = None
             if ds.categorical_feature:
                 cat_mask_arr = np.zeros(ds.num_features, dtype=bool)
@@ -487,8 +502,9 @@ class Booster:
                 tree.threshold[node] = ds.threshold_value(
                     int(tree.split_feature[node]), int(tree.threshold_bin[node]))
             if self.linear_tree:
-                fit_linear_leaves(tree, ds.raw_data, np.asarray(row_leaf),
-                                  g, h, self.linear_lambda)
+                fit_linear_leaves(tree, ds.raw_data,
+                                  np.asarray(row_leaf)[:n], g[:n], h[:n],
+                                  self.linear_lambda)
             # GPBoost Newton leaf re-solve (gbdt.cpp:463-473)
             if (self.leaves_newton_update
                     and isinstance(self.objective, GPBoostObjective)
@@ -589,7 +605,8 @@ class Booster:
         resid = self.train_set.label - self._score[:self.train_set.num_data]
         cov_pars = jnp.asarray(gp.cov_pars_, dtype=gp.dtype)
         leaf_nodes = tree.leaf_index_order()
-        H = (np.asarray(row_leaf)[:, None] == leaf_nodes[None, :]).astype(np.float64)
+        rl = np.asarray(row_leaf)[:self.train_set.num_data]
+        H = (rl[:, None] == leaf_nodes[None, :]).astype(np.float64)
         Hj = jnp.asarray(H, dtype=gp.dtype)
         # matrix-free Psi^-1 through the active approximation (no dense Psi)
         PiH = gp._psi_solve(cov_pars, Hj)

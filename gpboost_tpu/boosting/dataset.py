@@ -134,6 +134,22 @@ class Dataset:
                 idx = np.clip(idx, 0, self.num_bins[f] - 1)
                 binned[:, f] = np.where(nan_mask, 0, idx)
         self.binned = jnp.asarray(binned)
+        # under an active device mesh the binned matrix lives row-sharded:
+        # every histogram build / tree-grower program consuming it compiles
+        # as SPMD (the DataParallelTreeLearner's ReduceScatter/Allreduce
+        # pattern, data_parallel_tree_learner.cpp:131-175, becomes XLA
+        # collectives). Rows pad up to a device multiple; the Booster masks
+        # the padding rows out of every histogram (num_data stays logical).
+        from gpboost_tpu import parallel as par
+        mesh = par.active_mesh()
+        if mesh is not None:
+            ndev = int(np.prod(mesh.devices.shape))
+            pad = (-n) % ndev
+            if pad:
+                self.binned = jnp.concatenate(
+                    [self.binned,
+                     jnp.zeros((pad, F), dtype=self.binned.dtype)])
+            self.binned = par.shard_rows(self.binned)
         self.max_num_bins = int(self.num_bins.max()) if F > 0 else 1
 
     # ------------------------------------------------------------------

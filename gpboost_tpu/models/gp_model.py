@@ -346,6 +346,21 @@ class GPModel:
         return self
 
     # ------------------------------------------------------------------
+    def use_mesh(self, mesh):
+        """Shard this model's row-parallel structure over a device mesh so
+        ``fit``/``neg_log_likelihood`` run as SPMD programs (data-parallel
+        rows, replicated parameters). Equivalent to constructing the model
+        inside ``gpboost_tpu.use_mesh(mesh)``. Currently supported for the
+        Vecchia approximation (the reference's distributed path likewise
+        targets large-data settings)."""
+        if self._approx is not None and hasattr(self._approx, "shard_over"):
+            self._approx.shard_over(mesh)
+            return self
+        raise NotImplementedError(
+            "mesh sharding is currently supported for gp_approx='vecchia' "
+            f"models (got gp_approx={self.gp_approx!r})")
+
+    # ------------------------------------------------------------------
     def set_likelihood(self, likelihood: str):
         """Switch the response likelihood (``GPModel.set_likelihood``; the R
         tests switch e.g. gamma -> gaussian before fitting)."""

@@ -79,6 +79,7 @@ def fit(model, data, fixed_effects: Optional[jnp.ndarray] = None):
         def device_loop_eligible(c):
             return (jax.default_backend() == "tpu"
                     and getattr(vec, "_vg_pallas_jit", None) is not None
+                    and getattr(vec, "mesh", None) is None
                     and vec.cov_fn.is_isotropic
                     and c.optimizer_cov in (
                         "gradient_descent", "lbfgs",

@@ -187,6 +187,8 @@ class VecchiaGP:
                                              self.num_neighbors,
                                              codes=self.codes_perm)
         self.dtype = dtype
+        self.mesh = None
+        self._shard_nb = None
         # GP random coefficients (SVC): z[:, 0] = 1 is the base GP, further
         # columns multiply coefficient GPs with their own [var, range] pars
         self.z = None
@@ -234,6 +236,63 @@ class VecchiaGP:
 
             self._vg_pallas_jit = jax.jit(_vg_pallas)
 
+        from gpboost_tpu import parallel as par
+        if par.active_mesh() is not None:
+            self.shard_over(par.active_mesh())
+
+    def shard_over(self, mesh, axis: Optional[str] = None):
+        """Shard the Gaussian-fit row structure over a device mesh.
+
+        A padded copy of (neighbors, row coords, ordering permutation) with
+        the row count rounded up to a device multiple is placed row-sharded;
+        coordinate tables replicate (neighbor gathers need the global table —
+        at the typical m=20 replication beats a ragged halo exchange). Every
+        jitted NLL/gradient program consuming the sharded arrays compiles as
+        SPMD: XLA partitions the batched factor build over rows and inserts
+        the psum for the log-det/quadratic-form reductions (the collectives
+        the reference drives by hand via ``Network::Allreduce``). Padding
+        rows have no neighbors and weight 0, so they contribute nothing.
+        The fused Pallas kernels are single-chip programs and are bypassed
+        under a mesh (the XLA path serves the sharded fit); prediction and
+        the dense Laplace paths keep the unpadded replicated structure.
+        """
+        from gpboost_tpu import parallel as par
+        self.mesh = mesh
+        self._mesh_axis = axis
+        self.coords = par.replicate(self.coords, mesh)
+        self.coords_perm = par.replicate(self.coords_perm, mesh)
+        if self.codes is not None:
+            self.codes = par.replicate(self.codes, mesh)
+            self.codes_perm = par.replicate(self.codes_perm, mesh)
+        if self.z is not None:
+            # SVC builds index the covariate rows jointly with the factor
+            # rows; they run replicated under the mesh for now
+            self.z = par.replicate(self.z, mesh)
+            self.z_orig = par.replicate(self.z_orig, mesh)
+            return self
+        self._build_shard_arrays(mesh, axis)
+        return self
+
+    def _build_shard_arrays(self, mesh, axis: Optional[str] = None):
+        from gpboost_tpu import parallel as par
+        ndev = int(np.prod(mesh.devices.shape))
+        pad = (-self.n) % ndev
+        nb = np.asarray(self.neighbors)
+        cp = np.asarray(self.coords_perm)
+        perm = np.asarray(self.perm)
+        if pad:
+            nb = np.concatenate(
+                [nb, np.full((pad, nb.shape[1]), -1, nb.dtype)])
+            cp = np.concatenate([cp, np.repeat(cp[:1], pad, axis=0)])
+            perm = np.concatenate([perm, np.zeros(pad, perm.dtype)])
+        w = np.concatenate([np.ones(self.n), np.zeros(pad)])
+        self._shard_nb = par.shard_rows(jnp.asarray(nb), mesh, axis)
+        self._shard_row_coords = par.shard_rows(
+            jnp.asarray(cp, self.dtype), mesh, axis)
+        self._shard_w = par.shard_rows(jnp.asarray(w, self.dtype), mesh,
+                                       axis)
+        self._perm_pad = par.replicate(jnp.asarray(perm), mesh)
+
     def _pallas_shape_code(self):
         """(matern-shape code, is_ard) for the fused factor kernel, or None
         if the model/kernel combination is not eligible."""
@@ -255,13 +314,15 @@ class VecchiaGP:
 
     def _vg_gaussian(self, th, y, fp):
         if (self._vg_pallas_jit is not None
-                and jax.default_backend() == "tpu"):
+                and jax.default_backend() == "tpu"
+                and self.mesh is None):
             # fused Pallas NLL+grad: reverse-mode AD traced inside the
             # kernel body (1.39 ms vs 5.3 ms for the XLA joint graph at
             # n=1e5, m=20)
             r = y if fp is None else y - fp
             return self._vg_pallas_jit(th, r, self.neighbors)
-        return self._vg_gaussian_jit(th, y, fp, self.neighbors)
+        nb = self._shard_nb if self._shard_nb is not None else self.neighbors
+        return self._vg_gaussian_jit(th, y, fp, nb)
 
     def nll_gaussian_value(self, cov_pars, y, fixed_part=None):
         """NLL value without gradients, fastest available path.
@@ -278,7 +339,8 @@ class VecchiaGP:
            keeps those entries alive as VJP residuals (1.4 GFLOP / 105M
            transcendentals, 4.9 ms)."""
         if (self._nll_pallas_jit is not None
-                and jax.default_backend() == "tpu"):
+                and jax.default_backend() == "tpu"
+                and self.mesh is None):
             r = y if fixed_part is None else y - fixed_part
             return self._nll_pallas_jit(
                 jnp.asarray(cov_pars, jnp.float32),
@@ -305,6 +367,8 @@ class VecchiaGP:
             self.coords_perm, jnp.asarray(gp_pars, self.dtype))
         self.neighbors = vops.find_neighbors(scaled, self.num_neighbors,
                                              codes=self.codes_perm)
+        if self.mesh is not None and self._shard_nb is not None:
+            self._build_shard_arrays(self.mesh, self._mesh_axis)
         self._ard_neighbors_pars = gp_pars
 
     def _pred_neighbors(self, gp_pars, coords_pred, codes_pred=None):
@@ -343,6 +407,14 @@ class VecchiaGP:
         """cov_pars = [nugget, var, range, ...]; Vecchia on Sigma + nugget I."""
         nb = self.neighbors if neighbors is None else neighbors
         r = y if fixed_part is None else y - fixed_part
+        if nb.shape[0] != self.n:
+            # padded mesh-sharded layout: rows rounded up to a device
+            # multiple, padding rows weighted out of the reduction
+            r = r[self._perm_pad]
+            a, d = vops.build_factors(
+                self.cov_fn, cov_pars[1:], self.coords_perm, nb, cov_pars[0],
+                True, row_coords=self._shard_row_coords)
+            return vops.vecchia_nll(a, d, nb, r, row_weight=self._shard_w)
         r = r[self.perm]
         a, d = self._response_factors(cov_pars, nb)
         return vops.vecchia_nll(a, d, nb, r)
@@ -351,27 +423,50 @@ class VecchiaGP:
         """Psi^-1 r via the response-scale Vecchia precision (matrix-free,
         original row order; r [n] or [n, k]) — the GPBoost pseudo-gradient
         and Newton-leaf solves (``regression_objective.hpp:153-171``)."""
-        a, d = self._response_factors(cov_pars, self.neighbors)
-        rp = r[self.perm]
+        if self._shard_nb is not None:
+            # sharded padded layout: padding rows have no neighbors, so they
+            # never contaminate real rows; inv_perm gathers only real rows
+            nb = self._shard_nb
+            a, d = vops.build_factors(
+                self.cov_fn, cov_pars[1:], self.coords_perm, nb, cov_pars[0],
+                True, row_coords=self._shard_row_coords)
+            rp = r[self._perm_pad]
+        else:
+            nb = self.neighbors
+            a, d = self._response_factors(cov_pars, nb)
+            rp = r[self.perm]
         if r.ndim == 1:
-            out = vops.precision_matvec(a, self.neighbors, d, rp)
+            out = vops.precision_matvec(a, nb, d, rp)
         else:
             out = jax.vmap(
-                lambda col: vops.precision_matvec(a, self.neighbors, d, col),
+                lambda col: vops.precision_matvec(a, nb, d, col),
                 in_axes=1, out_axes=1)(rp)
         return out[self.inv_perm]
 
     def wls_coef(self, cov_pars, y, X, fixed_effects=None):
         """GLS coefficients with the Vecchia precision: solve
         (X'B'D^-1BX) beta = X'B'D^-1B y — all matrix-free O(n m p)."""
-        a, d = self._response_factors(cov_pars, self.neighbors)
         yv = y if fixed_effects is None else y - fixed_effects
-        yp = yv[self.perm]
-        Xp = X[self.perm]
-        BX = jax.vmap(lambda col: vops.apply_B(a, self.neighbors, col),
+        if self._shard_nb is not None:
+            nb = self._shard_nb
+            a, d = vops.build_factors(
+                self.cov_fn, cov_pars[1:], self.coords_perm, nb, cov_pars[0],
+                True, row_coords=self._shard_row_coords)
+            yp = yv[self._perm_pad]
+            Xp = X[self._perm_pad]
+            w = self._shard_w
+        else:
+            nb = self.neighbors
+            a, d = self._response_factors(cov_pars, nb)
+            yp = yv[self.perm]
+            Xp = X[self.perm]
+            w = None
+        BX = jax.vmap(lambda col: vops.apply_B(a, nb, col),
                       in_axes=1, out_axes=1)(Xp)
-        By = vops.apply_B(a, self.neighbors, yp)
+        By = vops.apply_B(a, nb, yp)
         Xw = BX / d[:, None]
+        if w is not None:
+            Xw = Xw * w[:, None]  # padding rows drop out of the normal eqs
         A = BX.T @ Xw
         b = Xw.T @ By
         return jnp.linalg.solve(A, b)

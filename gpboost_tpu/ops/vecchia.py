@@ -722,15 +722,19 @@ def precision_matvec(a, neighbors, d_cond, v):
     return apply_Bt(a, neighbors, bv / d_cond)
 
 
-def vecchia_nll(a, d_cond, neighbors, r):
+def vecchia_nll(a, d_cond, neighbors, r, row_weight=None):
     """Gaussian Vecchia NLL for centered residual r.
 
     nll = 0.5 [ sum log D_i + sum (B r)_i^2 / D_i + n log 2pi ].
+
+    ``row_weight`` (0/1) excludes padding rows — mesh-sharded layouts pad the
+    row count to a device multiple and weight the pads out of the reduction.
     """
     br = apply_B(a, neighbors, r)
-    n = r.shape[0]
-    return 0.5 * (jnp.sum(jnp.log(d_cond)) + jnp.sum(br * br / d_cond)
-                  + n * LOG_2PI)
+    per_row = jnp.log(d_cond) + br * br / d_cond + LOG_2PI
+    if row_weight is not None:
+        per_row = per_row * row_weight
+    return 0.5 * jnp.sum(per_row)
 
 
 def find_neighbors_cross(coords_pred: jnp.ndarray, coords_obs: jnp.ndarray,

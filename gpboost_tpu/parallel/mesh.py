@@ -129,7 +129,7 @@ def sharded_cluster_nll_fn(cov_fn: CovFunction, mesh: Mesh,
     rb [C, m] (sharded on the cluster axis; pad C to a multiple of the mesh
     size with :func:`pad_cluster_blocks`), num_data (static python int).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from gpboost_tpu.models.clustered import LOG_2PI, block_quad_logdet
 
     def _local(cov_pars, coords, valid, rb):
@@ -150,39 +150,9 @@ def sharded_cluster_nll_fn(cov_fn: CovFunction, mesh: Mesh,
     return nll
 
 
-def sharded_training_step_fn(cov_fn: CovFunction, mesh: Mesh,
-                             num_bins: int = 16, axis: str = "data",
-                             lr: float = 0.1):
-    """One FULL GPBoost-style training step, jitted over the mesh:
-
-    1. Vecchia GP: NLL + gradient w.r.t. log cov pars (sharded rows, psum'd
-       inner products) + one gradient-descent update.
-    2. generalized-residual pseudo-gradients for the boosting stage
-    3. data-parallel histogram build + best-split gain scan (psum'd).
-
-    Returns (new_log_cov_pars, nll, best_gain).
-    """
-    nll_fn = sharded_vecchia_nll_fn(cov_fn, mesh, axis)
-    hist_fn = sharded_histogram_fn(mesh, num_bins, axis)
-
-    def step(log_cov_pars, coords, neighbors, y, binned):
-        def f(lp):
-            return nll_fn(jnp.exp(lp), coords, neighbors, y)
-
-        nll, g = jax.value_and_grad(f)(log_cov_pars)
-        new_lp = log_cov_pars - lr * g
-        # boosting pseudo-gradients (here: plain residuals vs current mean 0)
-        grad = y
-        hess = jnp.ones_like(y)
-        mask = jnp.ones_like(y, dtype=bool)
-        hg, hh, hc = hist_fn(binned, grad, hess, mask)
-        # split gain scan over [F, B]
-        GL = jnp.cumsum(hg, axis=1)
-        HL = jnp.cumsum(hh, axis=1)
-        G = GL[:, -1:]
-        H = HL[:, -1:]
-        gain = (GL * GL / (HL + 1e-10)
-                + (G - GL) ** 2 / (H - HL + 1e-10) - G * G / (H + 1e-10))
-        return new_lp, nll, jnp.max(gain)
-
-    return jax.jit(step)
+# NOTE: the round-1 demo `sharded_training_step_fn` (toy GD step + residual
+# histogram) was retired: the PRODUCT paths now run sharded. Constructing a
+# GPModel / Dataset inside `gpboost_tpu.use_mesh(mesh)` places the row
+# structure sharded (parallel/__init__.py) and the regular
+# `GPModel.fit()` / `gpb.train()` programs compile as SPMD — exercised by
+# `__graft_entry__.dryrun_multichip` and tests/test_parallel.py.

@@ -7,7 +7,6 @@ import pytest
 from gpboost_tpu.ops import vecchia as vops
 from gpboost_tpu.ops.cov_fns import CovFunction
 from gpboost_tpu.parallel.mesh import (make_mesh, sharded_histogram_fn,
-                                       sharded_training_step_fn,
                                        sharded_vecchia_nll_fn)
 
 pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
@@ -74,9 +73,91 @@ def test_sharded_histogram_matches(mesh):
     np.testing.assert_allclose(np.asarray(hc), np.asarray(rc), atol=1e-10)
 
 
-def test_full_training_step(mesh):
+def test_dryrun_multichip_product_paths(mesh):
+    """The driver dry run: real GPModel.fit + 3 gpb.train rounds under the
+    mesh, asserted equal to single-device inside."""
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_mesh_vecchia_fit_matches_single_device(mesh):
+    """`GPModel(gp_approx='vecchia').fit()` under `use_mesh` runs the WHOLE
+    optimizer loop on sharded rows and reproduces the single-device fit
+    (VERDICT round-1 item 1)."""
+    import gpboost_tpu as gpb
+    rng = np.random.default_rng(7)
+    n = 131  # not divisible by 8: uneven shards must work
+    coords = rng.uniform(size=(n, 2))
+    D = np.sqrt(((coords[:, None] - coords[None]) ** 2).sum(-1))
+    L = np.linalg.cholesky(1.2 * np.exp(-D / 0.3) + 0.1 * np.eye(n))
+    y = L @ rng.standard_normal(n)
+
+    def run():
+        gp = gpb.GPModel(gp_coords=coords, cov_function="exponential",
+                         gp_approx="vecchia", num_neighbors=8,
+                         vecchia_ordering="none")
+        gp.fit(y=y, params={"maxit": 15, "trace": False})
+        return gp
+
+    gp1 = run()
+    with gpb.use_mesh(mesh):
+        gp2 = run()
+        devs = {s.device for s in gp2._approx._shard_nb.addressable_shards}
+        assert len(devs) == 8
+        assert gp2._approx._shard_nb.shape[0] == 136  # padded to 8-multiple
+    np.testing.assert_allclose(gp2.cov_pars_, gp1.cov_pars_, rtol=1e-10)
+    assert abs(gp2.current_nll_ - gp1.current_nll_) < 1e-8
+    # post-fit prediction from the sharded model matches too
+    cp = rng.uniform(size=(9, 2))
+    p1 = gp1.predict(y=y, gp_coords_pred=cp, predict_var=True)
+    p2 = gp2.predict(y=y, gp_coords_pred=cp, predict_var=True)
+    np.testing.assert_allclose(np.asarray(p2["mu"]), np.asarray(p1["mu"]),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(p2["var"]), np.asarray(p1["var"]),
+                               rtol=1e-9)
+
+
+def test_mesh_gpboost_train_matches_single_device(mesh):
+    """3 rounds of the GPBoost algorithm (trees + per-iteration cov refits)
+    under the mesh match single-device scores to 1e-10."""
+    import gpboost_tpu as gpb
+    rng = np.random.default_rng(8)
+    n = 200
+    coords = rng.uniform(size=(n, 2))
+    X = rng.uniform(size=(n, 3))
+    f = 2.0 * np.sin(5.0 * X[:, 0]) + X[:, 1]
+    D = np.sqrt(((coords[:, None] - coords[None]) ** 2).sum(-1))
+    L = np.linalg.cholesky(0.8 * np.exp(-D / 0.3) + 0.05 * np.eye(n))
+    y = f + L @ rng.standard_normal(n)
+    params = {"objective": "regression", "num_leaves": 8,
+              "learning_rate": 0.2, "min_data_in_leaf": 5, "verbose": -1}
+
+    def run():
+        gp = gpb.GPModel(gp_coords=coords, cov_function="exponential",
+                         gp_approx="vecchia", num_neighbors=8,
+                         vecchia_ordering="none")
+        ds = gpb.Dataset(X, label=y)
+        return gpb.train(params, ds, gp_model=gp, num_boost_round=3), gp
+
+    b1, g1 = run()
+    with gpb.use_mesh(mesh):
+        b2, g2 = run()
+        devs = {s.device for s in b2.train_set.binned.addressable_shards}
+        assert len(devs) == 8
+    np.testing.assert_allclose(np.asarray(b2._score), np.asarray(b1._score),
+                               atol=1e-10)
+    np.testing.assert_allclose(g2.cov_pars_, g1.cov_pars_, rtol=1e-9)
+
+
+def test_mesh_grouped_fallback_raises(mesh):
+    """use_mesh on an unsupported model family raises rather than silently
+    running single-device."""
+    import gpboost_tpu as gpb
+    rng = np.random.default_rng(9)
+    group = np.arange(64) % 8
+    gp = gpb.GPModel(group_data=group, likelihood="gaussian")
+    with pytest.raises(NotImplementedError):
+        gp.use_mesh(mesh)
 
 
 def test_sharded_cluster_nll_matches_batched(mesh):
