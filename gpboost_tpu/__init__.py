@@ -35,6 +35,7 @@ from gpboost_tpu.plotting import (  # noqa: E402
     plot_importance, plot_metric, partial_dependence_plot)
 from gpboost_tpu.parallel import (  # noqa: E402
     active_mesh, make_mesh, set_mesh, use_mesh)
+from gpboost_tpu import distributed  # noqa: E402
 
 __version__ = "0.1.0"
 
@@ -44,6 +45,6 @@ __all__ = [
     "grid_search_tune_parameters", "early_stopping", "record_evaluation",
     "print_evaluation", "log_evaluation", "reset_parameter",
     "plot_importance", "plot_metric", "partial_dependence_plot",
-    "set_mesh", "use_mesh", "active_mesh", "make_mesh",
+    "set_mesh", "use_mesh", "active_mesh", "make_mesh", "distributed",
     "__version__",
 ]
