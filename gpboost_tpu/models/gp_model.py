@@ -681,7 +681,18 @@ class GPModel:
 
         if self._grouped_only:
             from gpboost_tpu.models import grouped
-            vg_impl = grouped.nll_profiled_value_and_grad
+            if self.matrix_inversion_method == "iterative":
+                # matrix-free CG + stochastic logdet in b-space (the
+                # reference's CGRandomEffectsVec route, CG_utils.h:979)
+                def vg_impl(spec_, data_, th, beta_, fe_):
+                    return grouped.nll_profiled_iterative_value_and_grad(
+                        spec_, data_, th, beta_, fe_,
+                        max(cfg.num_rand_vec_trace, 50), 50,
+                        cg_tol=min(cfg.cg_delta_conv, 1e-6),
+                        cg_max_iter=cfg.cg_max_num_it,
+                        seed=cfg.seed_rand_vec_trace)
+            else:
+                vg_impl = grouped.nll_profiled_value_and_grad
         elif self._clustered_batched and self.spec.is_gaussian:
             from gpboost_tpu.models import clustered
             blocks = self._get_cluster_blocks()

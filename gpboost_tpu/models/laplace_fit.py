@@ -68,8 +68,20 @@ def fit(model, data: ModelData, fixed_effects: Optional[jnp.ndarray] = None):
         cov, aux, beta = unpack(jnp.asarray(theta))
         if getattr(model, "_grouped_only", False):
             from gpboost_tpu.models import grouped
-            v, (g_cov, g_aux, g_beta) = grouped.nll_laplace_value_and_grad(
-                spec, data, cov, aux, beta, fixed_effects)
+            if getattr(model, "matrix_inversion_method",
+                       "cholesky") == "iterative":
+                # Newton-CG mode finding + stochastic logdet (CG_utils.h:979)
+                v, (g_cov, g_aux, g_beta) = \
+                    grouped.nll_laplace_iterative_value_and_grad(
+                        spec, data, cov, aux, beta, fixed_effects,
+                        max(cfg.num_rand_vec_trace, 50), 50,
+                        cg_tol=min(cfg.cg_delta_conv, 1e-6),
+                        cg_max_iter=cfg.cg_max_num_it,
+                        seed=cfg.seed_rand_vec_trace)
+            else:
+                v, (g_cov, g_aux, g_beta) = \
+                    grouped.nll_laplace_value_and_grad(
+                        spec, data, cov, aux, beta, fixed_effects)
         else:
             v, (g_cov, g_aux, g_beta) = laplace.nll_value_and_grad(
                 spec, data, cov, aux, beta, fixed_effects)

@@ -147,3 +147,100 @@ class TestOptimalCVarianceReduction:
         assert np.all(np.isfinite(gs))
         rel = np.abs(gs.mean(0) - g_exact) / (np.abs(g_exact) + 1.0)
         assert np.all(rel < 0.25)
+
+
+class TestGroupedIterative:
+    """Matrix-free CG + stochastic-logdet path for grouped random effects
+    (matrix_inversion_method='iterative'; reference ``CGRandomEffectsVec``,
+    CG_utils.h:979 with SSOR/ZIC preconditioning — here Jacobi, the
+    TPU-friendly equivalent). Tolerances per TOLERANCE_ITERATIVE."""
+
+    def _crossed_data(self, seed=0, n=500, q1=40, q2=25):
+        rng = np.random.default_rng(seed)
+        g1 = rng.integers(0, q1, size=n)
+        g2 = rng.integers(0, q2, size=n)
+        b1 = 0.8 * rng.standard_normal(q1)
+        b2 = 0.5 * rng.standard_normal(q2)
+        eps = b1[g1] + b2[g2] + 0.6 * rng.standard_normal(n)
+        group = np.column_stack([g1, g2])
+        return group, eps
+
+    def test_gaussian_nll_and_grad_close_to_cholesky(self):
+        from gpboost_tpu.models import grouped
+        group, y = self._crossed_data()
+        m = GPModel(group_data=group, likelihood="gaussian")
+        data = m._with_y(np.asarray(y))
+        th = jnp.log(jnp.asarray([0.9, 0.4]))  # ratio vars
+        v_ex, g_ex, s2_ex = grouped.nll_profiled_value_and_grad(
+            m.spec, data, th)
+        v_it, g_it, s2_it = grouped.nll_profiled_iterative_value_and_grad(
+            m.spec, data, th, None, None, 400, 60)
+        assert abs(float(s2_it) - float(s2_ex)) < 1e-6  # CG part is exact
+        assert abs(float(v_it) - float(v_ex)) < 0.5     # stochastic logdet
+        np.testing.assert_allclose(np.asarray(g_it), np.asarray(g_ex),
+                                   atol=0.05, rtol=0.1)
+
+    def test_gaussian_fit_iterative_matches_cholesky(self):
+        group, y = self._crossed_data(seed=1)
+        m_ex = GPModel(group_data=group, likelihood="gaussian")
+        m_ex.fit(y=y)
+        m_it = GPModel(group_data=group, likelihood="gaussian",
+                       matrix_inversion_method="iterative")
+        m_it.fit(y=y, params={"num_rand_vec_trace": 500})
+        np.testing.assert_allclose(m_it.get_cov_pars(), m_ex.get_cov_pars(),
+                                   rtol=0.1, atol=0.02)
+
+    def test_gaussian_fit_iterative_with_covariates(self):
+        rng = np.random.default_rng(2)
+        group, eps = self._crossed_data(seed=2)
+        n = len(eps)
+        X = np.column_stack([np.ones(n), rng.uniform(size=n)])
+        y = X @ np.array([2.0, -1.5]) + eps
+        m_ex = GPModel(group_data=group, likelihood="gaussian")
+        m_ex.fit(y=y, X=X)
+        m_it = GPModel(group_data=group, likelihood="gaussian",
+                       matrix_inversion_method="iterative")
+        m_it.fit(y=y, X=X, params={"num_rand_vec_trace": 500})
+        np.testing.assert_allclose(m_it.get_coef(), m_ex.get_coef(),
+                                   atol=0.05)
+        np.testing.assert_allclose(m_it.get_cov_pars(), m_ex.get_cov_pars(),
+                                   rtol=0.1, atol=0.02)
+
+    def test_laplace_nll_close_to_cholesky(self):
+        from gpboost_tpu.models import grouped
+        rng = np.random.default_rng(3)
+        n, q1, q2 = 400, 30, 20
+        g1 = rng.integers(0, q1, size=n)
+        g2 = rng.integers(0, q2, size=n)
+        lam = np.exp(0.5 * rng.standard_normal(q1)[g1]
+                     + 0.3 * rng.standard_normal(q2)[g2])
+        y = rng.poisson(lam).astype(float)
+        m = GPModel(group_data=np.column_stack([g1, g2]),
+                    likelihood="poisson")
+        data = m._with_y(y)
+        cov = jnp.asarray([0.4, 0.2])
+        aux = None
+        v_ex = grouped.nll_laplace(m.spec, data, cov, aux)
+        v_it = grouped.nll_laplace_iterative(m.spec, data, cov, aux,
+                                             None, None, 400, 60)
+        assert abs(float(v_it) - float(v_ex)) < 0.5
+        g_ex = np.asarray(jax.grad(
+            lambda c: grouped.nll_laplace(m.spec, data, c, aux))(cov))
+        g_it = np.asarray(jax.grad(
+            lambda c: grouped.nll_laplace_iterative(
+                m.spec, data, c, aux, None, None, 400, 60))(cov))
+        np.testing.assert_allclose(g_it, g_ex, atol=0.5, rtol=0.15)
+
+    def test_laplace_fit_iterative(self):
+        rng = np.random.default_rng(4)
+        n, q = 400, 40
+        g = rng.integers(0, q, size=n)
+        lam = np.exp(0.6 * rng.standard_normal(q)[g] - 0.2)
+        y = rng.poisson(lam).astype(float)
+        m_ex = GPModel(group_data=g, likelihood="poisson")
+        m_ex.fit(y=y)
+        m_it = GPModel(group_data=g, likelihood="poisson",
+                       matrix_inversion_method="iterative")
+        m_it.fit(y=y, params={"num_rand_vec_trace": 400})
+        np.testing.assert_allclose(m_it.get_cov_pars(), m_ex.get_cov_pars(),
+                                   rtol=0.15, atol=0.03)
