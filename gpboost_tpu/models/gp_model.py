@@ -320,8 +320,8 @@ class GPModel:
         (``GPModel.set_prediction_data``, ``basic.py``): the *_pred arrays are
         stored for boosting validation-set predictions
         (``use_gp_model_for_validation``) and GP-aware validation metrics.
-        ``vecchia_pred_type`` variants conditioning on all observations are
-        realized by raising ``num_neighbors_pred``."""
+        All five ``vecchia_pred_type`` variants are implemented as distinct
+        algorithms (Vecchia_utils.cpp:1634, 2018, 2241)."""
         self.vecchia_pred_type = vecchia_pred_type
         if num_neighbors_pred is not None and self._approx is not None:
             self._approx.num_neighbors_pred = min(int(num_neighbors_pred),
@@ -1064,8 +1064,35 @@ class GPModel:
                     extra["codes_pred"] = self._map_cluster_ids_pred(
                         cluster_ids_pred)
                 pred_type = getattr(self, "vecchia_pred_type", None)
-                if (pred_type in ("order_obs_first_cond_all",
+                if (pred_type == "order_pred_first"
+                        and hasattr(self._approx,
+                                    "predict_gaussian_pred_first")):
+                    mean, covm = self._approx.predict_gaussian_pred_first(
+                        cov_pars_arr, y_arr, cp, fixed_part,
+                        bool(predict_response))
+                    if fep is not None:
+                        mean = mean + fep
+                    return {
+                        "mu": np.asarray(mean),
+                        "var": (np.asarray(jnp.diagonal(covm))
+                                if predict_var else None),
+                        "cov": np.asarray(covm) if predict_cov_mat else None}
+                if (pred_type in ("latent_order_obs_first_cond_obs_only",
                                   "latent_order_obs_first_cond_all")
+                        and hasattr(self._approx,
+                                    "predict_gaussian_latent_vecchia")):
+                    mean, var, covm = \
+                        self._approx.predict_gaussian_latent_vecchia(
+                            cov_pars_arr, y_arr, cp, fixed_part,
+                            pred_type.endswith("cond_obs_only"),
+                            bool(predict_response))
+                    if fep is not None:
+                        mean = mean + fep
+                    return {
+                        "mu": np.asarray(mean),
+                        "var": np.asarray(var) if predict_var else None,
+                        "cov": np.asarray(covm) if predict_cov_mat else None}
+                if (pred_type == "order_obs_first_cond_all"
                         and hasattr(self._approx, "predict_gaussian_cond_all")
                         and not ("z_pred" in extra
                                  and "codes_pred" in extra)):

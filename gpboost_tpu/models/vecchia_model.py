@@ -493,6 +493,46 @@ class VecchiaGP:
             self.num_neighbors_pred, codes_obs=self.codes, codes_pred=cdp,
             predict_response=bool(predict_response))
 
+    def predict_gaussian_pred_first(self, cov_pars, y, coords_pred,
+                                    fixed_part=None, predict_response=True):
+        """``order_pred_first``: joint Vecchia with prediction points ordered
+        first (``CalcPredVecchiaPredictedFirstOrder``). Returns (mean, cov)."""
+        if self.z is not None:
+            raise NotImplementedError(
+                "vecchia_pred_type='order_pred_first' is not implemented "
+                "with GP random coefficients")
+        if self.codes is not None:
+            raise NotImplementedError(
+                "vecchia_pred_type='order_pred_first' is not implemented "
+                "with cluster_ids")
+        r = y if fixed_part is None else y - fixed_part
+        return vops.predict_vecchia_pred_first(
+            self.cov_fn, cov_pars[1:], cov_pars[0], self.coords,
+            jnp.asarray(coords_pred, self.dtype), r, self.num_neighbors_pred,
+            predict_response=bool(predict_response))
+
+    def predict_gaussian_latent_vecchia(self, cov_pars, y, coords_pred,
+                                        fixed_part=None,
+                                        cond_obs_only=True,
+                                        predict_response=True):
+        """``latent_order_obs_first_cond_obs_only`` / ``..._cond_all``:
+        Vecchia on the latent process over unique coordinates
+        (``CalcPredVecchiaLatentObservedFirstOrder``). Returns
+        (mean, var, cov)."""
+        if self.z is not None:
+            raise NotImplementedError(
+                "The Vecchia approximation for latent process(es) is "
+                "currently not implemented when having random coefficients")
+        if self.codes is not None:
+            raise NotImplementedError(
+                "latent Vecchia prediction types are not implemented "
+                "with cluster_ids")
+        r = y if fixed_part is None else y - fixed_part
+        return vops.predict_vecchia_latent(
+            self.cov_fn, cov_pars[1:], cov_pars[0], self.coords,
+            jnp.asarray(coords_pred, self.dtype), r, self.num_neighbors_pred,
+            bool(cond_obs_only), predict_response=bool(predict_response))
+
     def predict_gaussian(self, cov_pars, y, coords_pred,
                          fixed_part=None, predict_response=True,
                          predict_var=False, z_pred=None, codes_pred=None):

@@ -617,6 +617,194 @@ def _cond_all_assemble(a, d, nb, n_o, n_p, r_obs, nugget, predict_response,
     return mean, cov
 
 
+def predict_vecchia_pred_first(cov_fn: CovFunction, cov_pars: jnp.ndarray,
+                               nugget, coords_obs, coords_pred, r_obs,
+                               num_neighbors: int,
+                               predict_response: bool = True):
+    """``order_pred_first`` Vecchia prediction
+    (``CalcPredVecchiaPredictedFirstOrder``, Vecchia_utils.cpp:2018):
+    prediction points are ordered FIRST, a joint sequential Vecchia
+    approximation is built over [pred; obs], and the predictive distribution
+    comes from the conditional precision
+
+      P = Bp' Dp^-1 Bp + Bop' Do^-1 Bop,   mean = -P^-1 Bop' Do^-1 Bo r,
+      cov = P^-1.
+
+    Returns (mean [n_p], cov [n_p, n_p])."""
+    n_o = coords_obs.shape[0]
+    n_p = coords_pred.shape[0]
+    m = min(num_neighbors, n_o + n_p - 1)
+    dtype = coords_obs.dtype
+    combined = jnp.concatenate([coords_pred, coords_obs], axis=0)
+    search = combined
+    if not cov_fn.is_isotropic and cov_fn.has_coord_scaling:
+        search = cov_fn.scale_coords(combined, cov_pars)
+    nb = find_neighbors(search, m, method="exact")
+    a, d = build_factors(cov_fn, cov_pars, combined, nb, nugget, True)
+    a_p, nb_p = a[:n_p], nb[:n_p]          # pred rows: neighbors all < n_p
+    a_o, nb_o = a[n_p:], nb[n_p:]
+    dp_inv = 1.0 / d[:n_p]
+    do_inv = 1.0 / d[n_p:]
+    Bp = jnp.eye(n_p, dtype=dtype)
+    rows_p = jnp.repeat(jnp.arange(n_p), m)
+    cols_p = jnp.where(nb_p >= 0, nb_p, n_p).reshape(-1)
+    Bp = Bp.at[rows_p, cols_p].add(
+        jnp.where(nb_p >= 0, -a_p, 0.0).reshape(-1), mode="drop")
+    is_pred_nb = (nb_o >= 0) & (nb_o < n_p)
+    rows_o = jnp.repeat(jnp.arange(n_o), m)
+    cols_o = jnp.where(is_pred_nb, nb_o, n_p).reshape(-1)
+    Bop = jnp.zeros((n_o, n_p), dtype).at[rows_o, cols_o].add(
+        jnp.where(is_pred_nb, -a_o, 0.0).reshape(-1), mode="drop")
+    is_obs_nb = nb_o >= n_p
+    Bo_r = r_obs - jnp.sum(
+        jnp.where(is_obs_nb, a_o, 0.0)
+        * r_obs[jnp.where(is_obs_nb, nb_o - n_p, 0)], axis=1)
+    cond_prec = ((Bp.T * dp_inv[None, :]) @ Bp
+                 + (Bop.T * do_inv[None, :]) @ Bop)
+    y_aux = Bop.T @ (do_inv * Bo_r)
+    Lc = jnp.linalg.cholesky(cond_prec)
+    mean = -jax.scipy.linalg.cho_solve((Lc, True), y_aux)
+    cov = jax.scipy.linalg.cho_solve((Lc, True), jnp.eye(n_p, dtype=dtype))
+    if not predict_response:
+        cov = cov - nugget * jnp.eye(n_p, dtype=dtype)
+    return mean, cov
+
+
+def _latent_precision_diag(a, neighbors, d):
+    """diag(B' D^-1 B) for the latent factors."""
+    n = d.shape[0]
+    idx = jnp.maximum(neighbors, 0)
+    contrib = jnp.where(neighbors >= 0, a * a / d[:, None], 0.0)
+    return (1.0 / d) + jnp.zeros(n, d.dtype).at[idx.reshape(-1)].add(
+        contrib.reshape(-1))
+
+
+def predict_vecchia_latent(cov_fn: CovFunction, gp_pars: jnp.ndarray,
+                           nugget, coords_obs, coords_pred, y_obs,
+                           num_neighbors: int, cond_obs_only: bool,
+                           predict_response: bool = True,
+                           cg_tol: float = 1e-10, cg_max_iter: int = 10000):
+    """``latent_order_obs_first_cond_obs_only`` / ``..._cond_all``
+    (``CalcPredVecchiaLatentObservedFirstOrder``, Vecchia_utils.cpp:2241):
+    Vecchia on the LATENT process over the unique coordinates (duplicate
+    locations handled via incidence gathers), then exact Gaussian noise:
+
+      mean = Zp S Zo' (Zo S Zo' + s0 I)^-1 y,
+      cov  = Zp S Zp' - Zp S Zo' (Zo S Zo' + s0 I)^-1 Zo S Zp'  (+ s0 I).
+
+    The reference factors a sparse n_u x n_u system with a sparse Cholesky;
+    here every solve is matrix-free Jacobi-PCG on the latent precision
+    Q = B'D^-1 B (and on W = s0 Q + Zo'Zo via Woodbury) — O(n m) per
+    matvec, no sparse triangular solves, tight tolerance so results match
+    the direct factorization. Returns (mean [n_p], var [n_p],
+    cov [n_p, n_p])."""
+    from gpboost_tpu.ops import cg as cgops
+    co = np.asarray(coords_obs, np.float64)
+    cp = np.asarray(coords_pred, np.float64)
+    n_o, n_p = co.shape[0], cp.shape[0]
+    dtype = (coords_obs.dtype if hasattr(coords_obs, "dtype")
+             else jnp.result_type(float))
+    all_np = np.concatenate([co, cp], axis=0)
+    # unique coordinates in first-occurrence order (the reference's
+    # DetermineUniqueDuplicateCoordsFast semantics, exact equality)
+    _, first_idx, inv = np.unique(all_np, axis=0, return_index=True,
+                                  return_inverse=True)
+    order = np.argsort(first_idx)
+    rank = np.empty_like(order)
+    rank[order] = np.arange(len(order))
+    u_idx = rank[np.asarray(inv).ravel()]
+    coords_u = all_np[np.sort(first_idx)]
+    n_u = coords_u.shape[0]
+    zo_idx = u_idx[:n_o]
+    zp_idx = u_idx[n_o:]
+    n_uo = int(zo_idx.max()) + 1 if n_o else 0
+    if np.any(zp_idx < n_uo):
+        raise ValueError(
+            "Duplicates found among training and test coordinates. This is "
+            "not supported for predictions with a Vecchia approximation for "
+            "the latent process ('latent_')")
+    m = min(num_neighbors, n_u - 1)
+    cu = jnp.asarray(coords_u, dtype)
+    search = cu
+    if not cov_fn.is_isotropic and cov_fn.has_coord_scaling:
+        search = cov_fn.scale_coords(cu, gp_pars)
+    nb_obs = find_neighbors(search[:n_uo], min(m, n_uo - 1), method="exact")
+    if cond_obs_only:
+        nb_pred = find_neighbors_cross(search[n_uo:], search[:n_uo],
+                                       min(m, n_uo))
+    else:
+        # neighbors among obs uniques + previously-ordered pred uniques
+        sq = jnp.sum(search * search, axis=1)
+        rows = search[n_uo:]
+        d2 = (jnp.sum(rows * rows, axis=1)[:, None] + sq[None, :]
+              - 2.0 * jnp.matmul(rows, search.T,
+                                 precision=jax.lax.Precision.HIGHEST))
+        col_ids = jnp.arange(n_u)[None, :]
+        row_ids = n_uo + jnp.arange(n_u - n_uo)[:, None]
+        d2 = jnp.where(col_ids < row_ids, d2, jnp.inf)
+        neg_d, nb_pred = jax.lax.top_k(-d2, m)
+        nb_pred = jnp.where(jnp.isfinite(neg_d), nb_pred, -1)
+    # unify neighbor widths to m with -1 padding
+    def pad_to_m(x):
+        k = x.shape[1]
+        return (x if k == m else
+                jnp.concatenate([x, jnp.full((x.shape[0], m - k), -1,
+                                             x.dtype)], axis=1))
+    nb = jnp.concatenate([pad_to_m(nb_obs.astype(jnp.int32)),
+                          pad_to_m(nb_pred.astype(jnp.int32))], axis=0)
+    a, du = build_factors(cov_fn, gp_pars, cu, nb, None, False)
+
+    def q_mv(V):
+        if V.ndim == 1:
+            return precision_matvec(a, nb, du, V)
+        return jax.vmap(lambda col: precision_matvec(a, nb, du, col),
+                        in_axes=1, out_axes=1)(V)
+
+    counts = jnp.zeros(n_u, dtype).at[zo_idx].add(1.0)  # Zo'Zo is diagonal
+    diag_q = _latent_precision_diag(a, nb, du)
+
+    def w_mv(V):  # W = nugget * Q + Zo'Zo
+        return nugget * q_mv(V) + (counts[:, None] * V if V.ndim == 2
+                                   else counts * V)
+
+    pre_q = jnp.maximum(diag_q, 1e-300)
+    pre_w = jnp.maximum(nugget * diag_q + counts, 1e-300)
+
+    def solve_q(B):
+        X, _ = cgops.pcg(q_mv, B,
+                         lambda R: R / (pre_q[:, None] if R.ndim == 2
+                                        else pre_q),
+                         tol=cg_tol, max_iter=cg_max_iter)
+        return X
+
+    def solve_w(B):
+        X, _ = cgops.pcg(w_mv, B,
+                         lambda R: R / (pre_w[:, None] if R.ndim == 2
+                                        else pre_w),
+                         tol=cg_tol, max_iter=cg_max_iter)
+        return X
+
+    y_obs = jnp.asarray(y_obs, dtype)
+    zo_j = jnp.asarray(zo_idx)
+    zp_j = jnp.asarray(zp_idx)
+    # mean = Zp Q^-1 Zo' t with t = (y - Zo W^-1 Zo'y) / nugget
+    zty = jnp.zeros(n_u, dtype).at[zo_j].add(y_obs)
+    t = (y_obs - solve_w(zty)[zo_j]) / nugget
+    u1 = solve_q(jnp.zeros(n_u, dtype).at[zo_j].add(t))
+    mean = u1[zp_j]
+    # C = Q^-1 Zp'  [n_u, n_p]
+    E = jnp.zeros((n_u, n_p), dtype).at[zp_j, jnp.arange(n_p)].set(1.0)
+    C = solve_q(E)
+    Kpp = C[zp_j]                           # Zp Q^-1 Zp'  [n_p, n_p]
+    KopC = C[zo_j]                          # Zo Q^-1 Zp'  [n_o, n_p]
+    S2 = solve_w(jnp.zeros((n_u, n_p), dtype).at[zo_j].add(KopC))
+    A_KopC = (KopC - S2[zo_j]) / nugget     # (K_oo + s0 I)^-1 K_op
+    cov = Kpp - KopC.T @ A_KopC
+    if predict_response:
+        cov = cov + nugget * jnp.eye(n_p, dtype=dtype)
+    return mean, jnp.diagonal(cov), cov
+
+
 def predict_vecchia_cond_all_svc(cov_fn: CovFunction, pars_stack: jnp.ndarray,
                                  nugget, coords_obs, coords_pred,
                                  z_obs, z_pred, r_obs, num_neighbors: int,
