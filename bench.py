@@ -120,6 +120,35 @@ def main():
         model.fit(y=y, params=fit_params)
         fit_warm_s = time.time() - t0
 
+    # numeric sanity gate: the accelerator f32 NLL must agree with a CPU
+    # float64 evaluation of the SAME model (same neighbors) — fail loudly on
+    # drift so a silently wrong fast path can never post a bench number
+    nll_err_vs_f64 = None
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None:
+        nb_cpu = jax.device_put(np.asarray(neighbors), cpu)
+        coords_cpu = jax.device_put(coords, cpu)
+        y_cpu = jax.device_put(y, cpu)
+        cp64 = jax.device_put(np.asarray([0.25, 1.0, 0.1]), cpu)
+
+        @jax.jit
+        def nll_f64(cov_pars, coords64, nb, y64):
+            a, d = vops.build_factors(cov_fn, cov_pars[1:], coords64, nb,
+                                      cov_pars[0], True)
+            return vops.vecchia_nll(a, d, nb, y64)
+
+        with jax.default_device(cpu):
+            v64 = float(nll_f64(cp64, coords_cpu, nb_cpu, y_cpu))
+        nll_err_vs_f64 = abs(float(v) - v64) / max(abs(v64), 1e-30)
+        if nll_err_vs_f64 > 1e-4:
+            raise AssertionError(
+                f"accelerator NLL {float(v)} deviates from CPU float64 "
+                f"reference {v64} by {nll_err_vs_f64:.2e} relative "
+                "(> 1e-4): numeric drift in the fast path")
+
     # baseline: reference GPBoost multicore-CPU Vecchia NLL evals/s at the
     # same n, m. Measured via the reference python package if available, else
     # the recorded value from a prior measurement on this machine class.
@@ -146,6 +175,8 @@ def main():
             "backend": jax.default_backend(),
             "dtype": dtype_name,
             "nll_value": float(v),
+            "nll_err_vs_f64": (None if nll_err_vs_f64 is None
+                               else float(nll_err_vs_f64)),
         },
     }))
 

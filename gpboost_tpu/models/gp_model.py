@@ -1126,10 +1126,25 @@ class GPModel:
                             "from a model trained with cluster_ids")
                     lap_extra["codes_pred"] = self._map_cluster_ids_pred(
                         cluster_ids_pred)
-                mean, var = self._approx.predict_laplace(
-                    cov_pars_arr, y_arr, ap, cp, fe, fep,
-                    bool(predict_response),
-                    bool(predict_var or predict_cov_mat), **lap_extra)
+                nsim = getattr(self, "nsim_var_pred", None)
+                use_sim = (hasattr(self._approx, "predict_laplace_sim")
+                           and not lap_extra
+                           and (nsim is not None or self.num_data > 20000))
+                if use_sim:
+                    # simulation-based predictive variances (nsim_var_pred;
+                    # Sample_Posterior_LaplaceApprox_*, likelihoods.h:6818):
+                    # matrix-free, no [n, n]/[n_p, n] materialization
+                    mean, var = self._approx.predict_laplace_sim(
+                        cov_pars_arr, y_arr, ap, cp, fe, fep,
+                        bool(predict_response),
+                        bool(predict_var or predict_cov_mat),
+                        nsim=int(nsim or 1000),
+                        seed=self.optim_cfg.seed_rand_vec_trace)
+                else:
+                    mean, var = self._approx.predict_laplace(
+                        cov_pars_arr, y_arr, ap, cp, fe, fep,
+                        bool(predict_response),
+                        bool(predict_var or predict_cov_mat), **lap_extra)
             # cond-obs-only Vecchia predictions are conditionally independent
             # given their neighbor sets -> the prediction covariance is
             # diagonal (matches the reference's num_neighbors_pred < n case)

@@ -855,6 +855,93 @@ class VecchiaGP:
             return mean_resp, (var_resp if predict_var else None)
         return mean_lat, (var if predict_var else None)
 
+    def predict_laplace_sim(self, cov_pars, y, aux_pars, coords_pred,
+                            fixed_part=None, fixed_part_pred=None,
+                            predict_response=True, predict_var=False,
+                            nsim: int = 1000, seed: int = 1,
+                            cg_tol: float = 1e-6, cg_max_iter: int = 1000):
+        """Scalable Vecchia-Laplace prediction with SIMULATED predictive
+        variances (``nsim_var_pred``; reference
+        ``Sample_Posterior_LaplaceApprox_Vecchia``, likelihoods.h:6818-7121,
+        used by ``PredictLaplaceApproxVecchia``).
+
+        Everything is matrix-free: Newton-CG mode finding, posterior draws
+        u^k = H^-1 (B' D^-1/2 z1 + W^1/2 z2) ~ N(0, H^-1) with H = Q + W
+        solved by Jacobi-PCG, and the latent predictive variance
+
+          var_p = Dp_p + mean_k (Bpo_p u^k)^2
+
+        where (Bpo, Dp) are the latent conditioning weights of each
+        prediction point on its observed neighbors. No [n, n] or [n_p, n]
+        matrix is ever materialized — O(n (m + nsim)) memory.
+        """
+        from gpboost_tpu import likelihoods as lk
+        from gpboost_tpu.models.laplace import _response_moments
+        from gpboost_tpu.ops import cg as cgops
+        fam = lk.get_family(self.likelihood)
+        aux = (aux_pars if aux_pars is not None
+               else jnp.zeros((0,), self.dtype))
+        yp = y[self.perm]
+        Fp = (jnp.zeros(self.n, self.dtype) if fixed_part is None
+              else fixed_part[self.perm])
+        a, d = self._latent_factors(cov_pars)
+        nb = self.neighbors
+        b = _find_mode_cg(self.likelihood, a, d, nb, yp, Fp, aux)
+        w = jnp.maximum(-fam.d2_loc(yp, Fp + b, aux), 1e-10)
+        b_orig = b[self.inv_perm]
+        cp = jnp.asarray(coords_pred, self.dtype)
+        n_p = cp.shape[0]
+        # latent conditioning of each pred point on its observed neighbors
+        nb_pred = self._pred_neighbors(cov_pars, cp)
+        a_pred, d_pred = vops.build_factors(
+            self.cov_fn, cov_pars, self.coords, nb_pred, None, False,
+            row_coords=cp)
+        idx_p = jnp.maximum(nb_pred, 0)
+        mask_p = (nb_pred >= 0).astype(self.dtype)
+        mean_lat = jnp.sum(a_pred * mask_p * b_orig[idx_p], axis=1)
+        if fixed_part_pred is not None:
+            mean_lat = mean_lat + fixed_part_pred
+        var = None
+        if predict_var or predict_response:
+            diag_q = _precision_diag(a, nb, d)
+            pre_d = jnp.maximum(diag_q + w, 1e-10)
+            sqrt_dinv = 1.0 / jnp.sqrt(d)
+            sqrt_w = jnp.sqrt(w)
+            inv_perm_j = jnp.asarray(self.inv_perm)
+
+            def h_mv(V):
+                qv = jax.vmap(
+                    lambda col: vops.precision_matvec(a, nb, d, col),
+                    in_axes=1, out_axes=1)(V)
+                return qv + w[:, None] * V
+
+            key = jax.random.PRNGKey(seed)
+            chunk = min(nsim, 128)
+            n_chunks = (nsim + chunk - 1) // chunk
+            s2_sum = jnp.zeros(n_p, self.dtype)
+            for c in range(n_chunks):
+                k1, k2, key = jax.random.split(
+                    jax.random.fold_in(key, c), 3)
+                z1 = jax.random.normal(k1, (self.n, chunk), self.dtype)
+                z2 = jax.random.normal(k2, (self.n, chunk), self.dtype)
+                # z ~ N(0, H): B' D^-1/2 z1 + W^1/2 z2
+                z = jax.vmap(
+                    lambda col: vops.apply_Bt(a, nb, col),
+                    in_axes=1, out_axes=1)(sqrt_dinv[:, None] * z1) \
+                    + sqrt_w[:, None] * z2
+                u, _ = cgops.pcg(h_mv, z, lambda R: R / pre_d[:, None],
+                                 tol=cg_tol, max_iter=cg_max_iter)
+                u_orig = u[inv_perm_j]               # [n, chunk]
+                s = jnp.einsum("pm,pmk->pk", a_pred * mask_p,
+                               u_orig[idx_p])        # Bpo u
+                s2_sum = s2_sum + jnp.sum(s * s, axis=1)
+            var = d_pred + s2_sum / (n_chunks * chunk)
+        if predict_response:
+            mean_resp, var_resp = _response_moments(
+                self.likelihood, mean_lat, var, aux)
+            return mean_resp, (var_resp if predict_var else None)
+        return mean_lat, (var if predict_var else None)
+
     def _find_mode_dense(self, cov_pars, y, aux, fixed_part):
         from gpboost_tpu import likelihoods as lk
         fam = lk.get_family(self.likelihood)
