@@ -43,29 +43,11 @@ def nesterov_schedule(it: int, version: int, rate: float, offset: int):
 
 
 def _parse_params(params: dict):
-    p = dict(params or {})
-    aliases = {
-        "num_iteration": "num_iterations", "n_iter": "num_iterations",
-        "num_tree": "num_iterations", "num_trees": "num_iterations",
-        "num_round": "num_iterations", "num_rounds": "num_iterations",
-        "n_estimators": "num_iterations",
-        "shrinkage_rate": "learning_rate", "eta": "learning_rate",
-        "num_leaf": "num_leaves", "max_leaves": "num_leaves",
-        "min_data_per_leaf": "min_data_in_leaf", "min_data": "min_data_in_leaf",
-        "min_child_samples": "min_data_in_leaf",
-        "min_sum_hessian_per_leaf": "min_sum_hessian_in_leaf",
-        "min_child_weight": "min_sum_hessian_in_leaf",
-        "reg_alpha": "lambda_l1", "reg_lambda": "lambda_l2",
-        "sub_row": "bagging_fraction", "subsample": "bagging_fraction",
-        "sub_feature": "feature_fraction", "colsample_bytree": "feature_fraction",
-        "subsample_freq": "bagging_freq",
-        "application": "objective", "loss": "objective",
-        "metrics": "metric", "metric_types": "metric",
-    }
-    for k, v in list(p.items()):
-        if k in aliases:
-            p.setdefault(aliases[k], v)
-    return p
+    """Canonicalize + validate via the central registry
+    (``gpboost_tpu.config``, the reference's ``Config::KeyAliasTransform``
+    + ``parameter_generator.py`` schema)."""
+    from gpboost_tpu import config as cfg_mod
+    return cfg_mod.resolve_params(params)
 
 
 class Booster:

@@ -21,7 +21,8 @@ def train(params: dict, train_set: Dataset, num_boost_round: int = 100,
           train_gp_model_cov_pars: bool = True,
           use_gp_model_for_validation: bool = True) -> Booster:
     """Train a (GP)Boost model (mirrors ``gpboost.train``, ``engine.py:21``)."""
-    params = dict(params or {})
+    from gpboost_tpu import config as cfg_mod
+    params = cfg_mod.resolve_params(dict(params or {}))
     params.setdefault("train_gp_model_cov_pars", train_gp_model_cov_pars)
     params.setdefault("use_gp_model_for_validation", use_gp_model_for_validation)
     num_boost_round = int(params.pop("num_iterations", num_boost_round))

@@ -1,0 +1,347 @@
+"""Central parameter registry: schema, aliases, validation, doc generation.
+
+TPU-framework equivalent of the reference's config system
+(``include/LightGBM/config.h`` + the codegen in
+``helpers/parameter_generator.py:252`` that keeps docs and code in sync):
+every public training parameter is declared ONCE here with its canonical
+name, default, type, aliases, constraint, and description.
+``resolve_params`` canonicalizes user dicts (alias resolution + validation)
+and is the single entry point used by ``Booster`` and ``GPModel``;
+``generate_markdown`` emits ``docs/PARAMETERS.md`` (regenerate with
+``python -m gpboost_tpu.config``), and a test asserts the docs equal the
+schema so they can never drift.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class Param:
+    name: str
+    default: Any
+    ptype: str                      # int | float | bool | str | list | any
+    section: str
+    desc: str
+    aliases: Tuple[str, ...] = ()
+    check: Optional[Callable[[Any], bool]] = None
+    check_desc: str = ""
+
+
+def _pos(v):
+    return v > 0
+
+
+def _nonneg(v):
+    return v >= 0
+
+
+def _frac(v):
+    return 0.0 < v <= 1.0
+
+
+B = "Boosting"
+D = "DART"
+G = "GOSS"
+C = "CEGB"
+O = "Objective"  # noqa: E741
+P = "Prediction"
+GP = "GPBoost coupling"
+F = "GP model fitting (set_optim_params / fit params)"
+
+PARAMS: Tuple[Param, ...] = (
+    # ---- core boosting -------------------------------------------------
+    Param("objective", "regression", "str", B,
+          "regression, regression_l1, huber, fair, poisson, gamma, tweedie, "
+          "quantile, mape, binary, cross_entropy, multiclass, multiclassova, "
+          "tobit, mean_scale_regression, lambdarank, rank_xendcg",
+          ("application", "loss")),
+    Param("boosting", "gbdt", "str", B, "gbdt, dart, goss, rf",
+          ("boosting_type",)),
+    Param("num_iterations", 100, "int", B, "boosting rounds",
+          ("num_iteration", "n_iter", "num_tree", "num_trees", "num_round",
+           "num_rounds", "n_estimators"), _pos, "> 0"),
+    Param("learning_rate", 0.1, "float", B, "shrinkage per tree",
+          ("shrinkage_rate", "eta"), _pos, "> 0"),
+    Param("num_leaves", 31, "int", B, "max leaves per tree",
+          ("num_leaf", "max_leaves"), lambda v: v > 1, "> 1"),
+    Param("max_depth", -1, "int", B, "depth cap (-1 = none)"),
+    Param("min_data_in_leaf", 20, "int", B, "min rows per leaf",
+          ("min_data_per_leaf", "min_data", "min_child_samples"),
+          _nonneg, ">= 0"),
+    Param("min_sum_hessian_in_leaf", 1e-3, "float", B,
+          "min hessian sum per leaf",
+          ("min_sum_hessian_per_leaf", "min_child_weight"), _nonneg, ">= 0"),
+    Param("lambda_l1", 0.0, "float", B, "L1 leaf-value regularization",
+          ("reg_alpha",), _nonneg, ">= 0"),
+    Param("lambda_l2", 0.0, "float", B, "L2 leaf-value regularization",
+          ("reg_lambda",), _nonneg, ">= 0"),
+    Param("min_gain_to_split", 0.0, "float", B, "min split gain",
+          (), _nonneg, ">= 0"),
+    Param("bagging_fraction", 1.0, "float", B, "row subsample fraction",
+          ("sub_row", "subsample"), _frac, "(0, 1]"),
+    Param("bagging_freq", 0, "int", B,
+          "re-bag every k iterations (0 = off); the bag is reused between",
+          ("subsample_freq",), _nonneg, ">= 0"),
+    Param("feature_fraction", 1.0, "float", B,
+          "column subsample fraction per tree",
+          ("sub_feature", "colsample_bytree"), _frac, "(0, 1]"),
+    Param("max_bin", 255, "int", B, "histogram bins per feature", (),
+          _pos, "> 0"),
+    Param("max_cat_threshold", 32, "int", B,
+          "max left-set size for categorical splits", (), _pos, "> 0"),
+    Param("monotone_constraints", None, "list", B,
+          "per-feature -1/0/+1 monotonicity"),
+    Param("metric", None, "any", B,
+          "l2, rmse, l1, mape, quantile, huber, poisson, gamma, "
+          "gamma_deviance, tweedie, binary_logloss, binary_error, auc, "
+          "auc_mu, multi_logloss, multi_error, ndcg, neg_log_likelihood, "
+          "approx_neg_marginal_log_likelihood, test_neg_log_likelihood, "
+          "crps_gaussian", ("metrics", "metric_types")),
+    Param("num_class", 1, "int", B, "number of classes (multiclass)", (),
+          _pos, "> 0"),
+    Param("seed", 0, "int", B, "bagging / feature sampling seed"),
+    Param("boost_from_average", True, "bool", B,
+          "initialize the score at the objective's optimal constant"),
+    Param("forced_splits", None, "any", B,
+          "JSON tree of forced top splits"),
+    Param("forcedsplits_filename", "", "str", B,
+          "file with forced-splits JSON"),
+    Param("linear_tree", False, "bool", B,
+          "ridge linear models in the leaves"),
+    Param("linear_lambda", 0.0, "float", B, "linear-leaf ridge penalty",
+          (), _nonneg, ">= 0"),
+    Param("use_nesterov_acc", False, "bool", B,
+          "Nesterov-accelerated boosting (momentum step before each "
+          "gradient computation)"),
+    Param("nesterov_acc_rate", 0.5, "float", B,
+          "momentum rate (schedule version 0)", (), _frac, "(0, 1]"),
+    Param("momentum_offset", 0, "int", B,
+          "momentum is zero before this iteration", (), _nonneg, ">= 0"),
+    Param("momentum_schedule_version", 1, "int", B,
+          "0 = constant rate, 1 = 1 - 3/(6 + iter)", (),
+          lambda v: v in (0, 1), "in {0, 1}"),
+    Param("eval_at", 5, "any", B, "ndcg truncation level(s)",
+          ("ndcg_eval_at", "ndcg_at")),
+    Param("verbose", 1, "int", B, "verbosity (<0 silences warnings)",
+          ("verbosity",)),
+    # ---- DART ----------------------------------------------------------
+    Param("drop_rate", 0.1, "float", D, "tree drop probability", (),
+          _frac, "(0, 1]"),
+    Param("max_drop", 50, "int", D, "max trees dropped per iteration"),
+    Param("skip_drop", 0.5, "float", D,
+          "probability of skipping the drop", (),
+          lambda v: 0.0 <= v <= 1.0, "[0, 1]"),
+    Param("uniform_drop", False, "bool", D, "uniform instead of weighted"),
+    Param("xgboost_dart_mode", False, "bool", D, "xgboost normalization"),
+    Param("drop_seed", 4, "int", D, "drop RNG seed"),
+    # ---- GOSS ----------------------------------------------------------
+    Param("top_rate", 0.2, "float", G, "large-gradient keep fraction", (),
+          _frac, "(0, 1]"),
+    Param("other_rate", 0.1, "float", G, "small-gradient sample fraction",
+          (), _frac, "(0, 1]"),
+    # ---- CEGB ----------------------------------------------------------
+    Param("cegb_tradeoff", 1.0, "float", C,
+          "multiplier on all CEGB penalties", (), _nonneg, ">= 0"),
+    Param("cegb_penalty_split", 0.0, "float", C,
+          "per-split penalty x data in leaf", (), _nonneg, ">= 0"),
+    Param("cegb_penalty_feature_coupled", None, "list", C,
+          "per-feature cost on first use in the model"),
+    Param("cegb_penalty_feature_lazy", None, "list", C,
+          "per-feature per-data-point on-demand cost"),
+    # ---- objective extras ----------------------------------------------
+    Param("alpha", 0.9, "float", O, "quantile level / huber slope", (),
+          _pos, "> 0"),
+    Param("fair_c", 1.0, "float", O, "fair-loss scale", (), _pos, "> 0"),
+    Param("tweedie_variance_power", 1.5, "float", O,
+          "tweedie power rho in (1, 2)", (),
+          lambda v: 1.0 < v < 2.0, "(1, 2)"),
+    Param("sigma", 1.0, "float", O, "tobit noise std dev", (), _pos, "> 0"),
+    Param("yl", 0.0, "float", O, "tobit lower censoring bound"),
+    Param("yu", 1.0, "float", O, "tobit upper censoring bound"),
+    Param("sigmoid", 1.0, "float", O, "binary/lambdarank sigmoid scale",
+          (), _pos, "> 0"),
+    Param("lambdarank_truncation_level", 30, "int", O,
+          "lambdarank DCG truncation", (), _pos, "> 0"),
+    # ---- prediction ----------------------------------------------------
+    Param("pred_early_stop", False, "bool", P,
+          "row-wise prediction early stopping (binary/multiclass)"),
+    Param("pred_early_stop_freq", 10, "int", P,
+          "check margins every k iterations", (), _pos, "> 0"),
+    Param("pred_early_stop_margin", 10.0, "float", P,
+          "margin threshold (binary 2|raw|, multiclass top1-top2)", (),
+          _pos, "> 0"),
+    # ---- GPBoost coupling ----------------------------------------------
+    Param("train_gp_model_cov_pars", True, "bool", GP,
+          "re-optimize covariance parameters each boosting iteration"),
+    Param("use_gp_model_for_validation", True, "bool", GP,
+          "validation metrics include predicted random effects"),
+    Param("leaves_newton_update", False, "bool", GP,
+          "Newton leaf re-solve (H'Psi^-1 H)^-1 H'Psi^-1 r"),
+    Param("line_search_step_length", False, "bool", GP,
+          "optimal step length per tree"),
+    # ---- GP model fitting ----------------------------------------------
+    Param("optimizer_cov", None, "str", F,
+          "gradient_descent, lbfgs, fisher_scoring, newton, nelder_mead, "
+          "adam"),
+    Param("optimizer_coef", None, "str", F, "wls or gradient_descent"),
+    Param("maxit", 1000, "int", F, "max optimizer iterations", (),
+          _pos, "> 0"),
+    Param("lr_cov", None, "float", F, "covariance-parameter learning rate"),
+    Param("lr_coef", 0.1, "float", F, "coefficient learning rate"),
+    Param("acc_rate_cov", 0.5, "float", F, "Nesterov acceleration rate"),
+    Param("delta_rel_conv", None, "float", F, "relative convergence "
+          "tolerance"),
+    Param("convergence_criterion", "relative_change_in_log_likelihood",
+          "str", F, "relative_change_in_log_likelihood or "
+          "relative_change_in_parameters"),
+    Param("init_cov_pars", None, "list", F,
+          "initial covariance parameters"),
+    Param("init_coef", None, "list", F, "initial regression coefficients"),
+    Param("init_aux_pars", None, "list", F,
+          "initial auxiliary (likelihood) parameters"),
+    Param("estimate_aux_pars", True, "bool", F,
+          "estimate auxiliary likelihood parameters"),
+    Param("estimate_cov_par_index", None, "list", F,
+          "0/1 mask of covariance parameters to estimate"),
+    Param("std_dev", False, "bool", F,
+          "compute standard deviations of the estimates"),
+    Param("trace", False, "bool", F, "print optimizer trajectory"),
+    Param("cg_max_num_it", 1000, "int", F, "max CG iterations", (),
+          _pos, "> 0"),
+    Param("cg_max_num_it_tridiag", 1000, "int", F,
+          "max CG iterations for Lanczos tridiagonalization", (),
+          _pos, "> 0"),
+    Param("cg_delta_conv", 1e-2, "float", F, "CG convergence tolerance",
+          (), _pos, "> 0"),
+    Param("num_rand_vec_trace", 50, "int", F,
+          "stochastic-trace probe vectors", (), _pos, "> 0"),
+    Param("reuse_rand_vec_trace", True, "bool", F,
+          "reuse probe vectors across iterations"),
+    Param("seed_rand_vec_trace", 1, "int", F, "probe-vector seed"),
+    Param("cg_preconditioner_type", None, "str", F,
+          "CG preconditioner variant"),
+)
+
+_BY_NAME = {p.name: p for p in PARAMS}
+ALIAS_TABLE = {}
+for _p in PARAMS:
+    for _a in _p.aliases:
+        if _a in ALIAS_TABLE or _a in _BY_NAME:
+            raise RuntimeError(f"duplicate parameter alias: {_a}")
+        ALIAS_TABLE[_a] = _p.name
+
+
+def get_param(name: str) -> Optional[Param]:
+    return _BY_NAME.get(ALIAS_TABLE.get(name, name))
+
+
+def canonical_name(name: str) -> str:
+    return ALIAS_TABLE.get(name, name)
+
+
+def _type_ok(p: Param, v) -> bool:
+    if v is None:
+        return True
+    if p.ptype == "int":
+        return isinstance(v, (int, float)) and float(v) == int(v)
+    if p.ptype == "float":
+        return isinstance(v, (int, float))
+    if p.ptype == "bool":
+        return isinstance(v, (bool, int))
+    if p.ptype == "str":
+        return isinstance(v, str)
+    return True
+
+
+def resolve_params(params: Optional[dict], validate: bool = True) -> dict:
+    """Canonicalize a user parameter dict: resolve aliases to canonical
+    names (canonical wins when both are present, like the reference's
+    ``Config::KeyAliasTransform``) and validate types/ranges."""
+    out = {}
+    for k, v in (params or {}).items():
+        canon = ALIAS_TABLE.get(k, k)
+        if canon in out and canon != k:
+            continue  # canonical name already present
+        if canon != k and canon in (params or {}):
+            continue  # canonical key exists in the input; it wins
+        out[canon] = v
+    if validate:
+        for k, v in out.items():
+            p = _BY_NAME.get(k)
+            if p is None or v is None:
+                continue
+            if not _type_ok(p, v):
+                raise ValueError(
+                    f"parameter '{k}' expects type {p.ptype}, got "
+                    f"{type(v).__name__} ({v!r})")
+            if p.check is not None and p.ptype in ("int", "float"):
+                if not p.check(v):
+                    raise ValueError(
+                        f"parameter '{k}' = {v!r} violates constraint "
+                        f"{p.check_desc}")
+    return out
+
+
+def generate_markdown() -> str:
+    """Emit docs/PARAMETERS.md from the schema (the reference's
+    ``parameter_generator.py`` docs-from-code pattern)."""
+    lines = [
+        "# Parameters",
+        "",
+        "Parameter surface of gpboost-tpu, mirroring the reference's",
+        "`docs/Parameters.rst` (boosting) and `docs/Main_parameters.rst`",
+        "(GP/RE engine). GENERATED from `gpboost_tpu/config.py` — edit the",
+        "schema and run `python -m gpboost_tpu.config` to regenerate.",
+        "",
+    ]
+    sections = []
+    for p in PARAMS:
+        if p.section not in sections:
+            sections.append(p.section)
+    for sec in sections:
+        lines.append(f"## {sec}")
+        lines.append("")
+        lines.append("| parameter | default | type | aliases | constraint |"
+                     " description |")
+        lines.append("|---|---|---|---|---|---|")
+        for p in PARAMS:
+            if p.section != sec:
+                continue
+            default = "" if p.default is None else repr(p.default)
+            aliases = ", ".join(p.aliases)
+            lines.append(f"| `{p.name}` | {default} | {p.ptype} | {aliases}"
+                         f" | {p.check_desc} | {p.desc} |")
+        lines.append("")
+    lines += [
+        "## GPModel constructor",
+        "",
+        "Model-structure arguments (not dict parameters): `group_data`,",
+        "`group_rand_coef_data` + `ind_effect_group_rand_coef`,",
+        "`drop_intercept_group_rand_effect`, `gp_coords`,",
+        "`gp_rand_coef_data`, `cov_function`, `cov_fct_shape`,",
+        "`cov_fct_taper_range`, `cov_fct_taper_shape`, `gp_approx`,",
+        "`num_neighbors`, `vecchia_ordering`, `num_ind_points`,",
+        "`cover_tree_radius`, `ind_points_selection`,",
+        "`matrix_inversion_method`, `seed`, `cluster_ids`, `likelihood`,",
+        "`likelihood_additional_param`, `weights`, `offset`, `dtype`.",
+        "See the GPModel docstring for details.",
+        "",
+    ]
+    return "\n".join(lines)
+
+
+def write_docs(path: Optional[str] = None) -> str:
+    import os
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "docs", "PARAMETERS.md")
+    md = generate_markdown()
+    with open(path, "w") as f:
+        f.write(md)
+    return path
+
+
+if __name__ == "__main__":
+    print(write_docs())

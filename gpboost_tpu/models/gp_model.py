@@ -381,9 +381,13 @@ class GPModel:
         return self
 
     def set_optim_params(self, params: Optional[dict] = None):
-        """Set optimization parameters (``basic.py:5347``)."""
+        """Set optimization parameters (``basic.py:5347``). Names and
+        constraints are validated against the central registry
+        (``gpboost_tpu.config``)."""
         if not params:
             return self
+        from gpboost_tpu import config as cfg_mod
+        params = cfg_mod.resolve_params(params)
         cfg = self.optim_cfg
         mapping = {
             "optimizer_cov": "optimizer_cov", "optimizer_coef": "optimizer_coef",
