@@ -192,12 +192,22 @@ set_optim_params <- function(gp_model, params = list()) {
   invisible(gp_model)
 }
 
-set_prediction_data <- function(gp_model, group_data_pred = NULL,
+set_prediction_data <- function(gp_model, vecchia_pred_type = NULL,
+                                num_neighbors_pred = NULL,
+                                nsim_var_pred = NULL,
+                                cg_delta_conv_pred = NULL,
+                                group_data_pred = NULL,
                                 group_rand_coef_data_pred = NULL,
                                 gp_coords_pred = NULL,
                                 gp_rand_coef_data_pred = NULL,
                                 cluster_ids_pred = NULL, X_pred = NULL) {
   gp_model$py$set_prediction_data(
+    vecchia_pred_type = vecchia_pred_type,
+    num_neighbors_pred = if (is.null(num_neighbors_pred)) NULL else
+      as.integer(num_neighbors_pred),
+    nsim_var_pred = if (is.null(nsim_var_pred)) NULL else
+      as.integer(nsim_var_pred),
+    cg_delta_conv_pred = cg_delta_conv_pred,
     group_data_pred = .as_np(group_data_pred),
     group_rand_coef_data_pred = .as_np(group_rand_coef_data_pred),
     gp_coords_pred = .as_np(gp_coords_pred),
@@ -266,7 +276,7 @@ gpb.train <- function(params = list(), data, nrounds = 100L,
                       gp_model = NULL, valids = list(), obj = NULL,
                       eval = NULL, verbose = 1L, record = TRUE,
                       eval_freq = 1L, early_stopping_rounds = NULL,
-                      init_model = NULL,
+                      init_model = NULL, verbose_eval = NULL,
                       use_gp_model_for_validation = TRUE,
                       train_gp_model_cov_pars = TRUE, ...) {
   valid_sets <- NULL
@@ -275,6 +285,8 @@ gpb.train <- function(params = list(), data, nrounds = 100L,
     valid_sets <- lapply(valids, function(v) v$py)
     valid_names <- names(valids)
   }
+  if (is.null(verbose_eval)) verbose_eval <- verbose > 0
+  evals <- reticulate::dict()
   py <- .gpb()$train(
     params = .params_py(params), train_set = data$py,
     num_boost_round = as.integer(nrounds),
@@ -282,10 +294,15 @@ gpb.train <- function(params = list(), data, nrounds = 100L,
     valid_sets = valid_sets, valid_names = valid_names,
     early_stopping_rounds = if (is.null(early_stopping_rounds)) NULL else
       as.integer(early_stopping_rounds),
-    verbose_eval = verbose > 0,
+    evals_result = if (record) evals else NULL,
+    verbose_eval = verbose_eval,
     use_gp_model_for_validation = use_gp_model_for_validation,
     train_gp_model_cov_pars = train_gp_model_cov_pars)
-  structure(list(py = py, gp_model = gp_model), class = "gpb.Booster")
+  bst <- list(py = py, gp_model = gp_model,
+              best_iteration = as.integer(py$best_iteration))
+  out <- structure(bst, class = "gpb.Booster")
+  if (record) attr(out, "evals_result") <- reticulate::py_to_r(evals)
+  out
 }
 
 #' Convenience one-call interface (reference gpboost.R)
@@ -332,9 +349,10 @@ gpb.load <- function(filename) {
   structure(list(py = py), class = "gpb.Booster")
 }
 
-gpb.importance <- function(model, ...) {
-  imp <- reticulate::py_to_r(model$py$feature_importance())
-  data.frame(Feature = seq_along(imp) - 1L, Gain = imp)
+gpb.importance <- function(model, importance_type = "split", ...) {
+  imp <- reticulate::py_to_r(
+    model$py$feature_importance(importance_type = importance_type))
+  imp
 }
 
 gpb.get.eval.result <- function(booster, data_name, eval_name, ...) {

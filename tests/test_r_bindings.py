@@ -123,3 +123,43 @@ def test_boosting_calls_as_r_wrappers(data, tmp_path):
         train_set=ds, num_try_random=None, nfold=2, gp_model=None,
         num_boost_round=3)
     assert "best_params" in out
+
+
+def test_r_testthat_flow_replays(data, tmp_path):
+    """Replay the call sequences of R-package/tests/testthat/ (the drift
+    guard for the ported testthat suite): gpb.train with evals_result dict +
+    best_iteration, set_prediction_data full kwargs, GP metrics early
+    stopping, importance_type."""
+    rng = np.random.default_rng(5)
+    n = 240
+    group = np.arange(n) % 24
+    b = 0.8 * rng.standard_normal(24)
+    X = rng.uniform(size=(n, 2))
+    y = 2 * np.sin(4 * X[:, 0]) + b[group] + 0.3 * rng.standard_normal(n)
+    tr = np.arange(n) % 4 != 0
+    gp = gpb.GPModel(group_data=group[tr], likelihood="gaussian")
+    # set_prediction_data with the full R keyword surface
+    gp.set_prediction_data(vecchia_pred_type=None, num_neighbors_pred=None,
+                           nsim_var_pred=None, cg_delta_conv_pred=None,
+                           group_data_pred=group[~tr],
+                           group_rand_coef_data_pred=None,
+                           gp_coords_pred=None,
+                           gp_rand_coef_data_pred=None,
+                           cluster_ids_pred=None, X_pred=None)
+    ds = gpb.Dataset(data=X[tr], label=y[tr])
+    vs = gpb.Dataset(data=X[~tr], label=y[~tr], reference=ds)
+    evals = {}
+    bst = gpb.train(params={"learning_rate": 0.15, "verbose": -1,
+                            "metric": "test_neg_log_likelihood",
+                            "min_data_in_leaf": 10},
+                    train_set=ds, num_boost_round=30, gp_model=gp,
+                    valid_sets=[vs], valid_names=["valid"],
+                    early_stopping_rounds=5, evals_result=evals,
+                    verbose_eval=False, use_gp_model_for_validation=True,
+                    train_gp_model_cov_pars=True)
+    assert bst.best_iteration > 0  # gpb.train exposes best_iteration
+    curve = evals["valid"]["test_neg_log_likelihood"]
+    assert min(curve) < curve[0]
+    # gpb.importance(importance_type=...)
+    assert bst.feature_importance(importance_type="split").sum() > 0
+    assert bst.feature_importance(importance_type="gain").sum() > 0
