@@ -32,7 +32,8 @@ from gpboost_tpu.sklearn import (  # noqa: E402
 from gpboost_tpu.tuning import grid_search_tune_parameters  # noqa: E402
 from gpboost_tpu import plotting  # noqa: E402
 from gpboost_tpu.plotting import (  # noqa: E402
-    plot_importance, plot_metric, partial_dependence_plot)
+    create_tree_digraph, partial_dependence_plot, plot_importance,
+    plot_metric, plot_tree)
 from gpboost_tpu.parallel import (  # noqa: E402
     active_mesh, make_mesh, set_mesh, use_mesh)
 from gpboost_tpu import distributed  # noqa: E402
@@ -45,6 +46,7 @@ __all__ = [
     "grid_search_tune_parameters", "early_stopping", "record_evaluation",
     "print_evaluation", "log_evaluation", "reset_parameter",
     "plot_importance", "plot_metric", "partial_dependence_plot",
+    "plot_tree", "create_tree_digraph",
     "set_mesh", "use_mesh", "active_mesh", "make_mesh", "distributed",
     "__version__",
 ]

@@ -618,6 +618,14 @@ class Booster:
                 val = self._eval_gp_metric(metric, dset, score)
                 res.append((name, metric, val, False))
                 continue
+            if metric == "auc_mu":
+                # uses RAW scores (linear discriminants, not softmax output)
+                val = metrics_mod.auc_mu(
+                    dset.label, score, dset.weight,
+                    num_class=self.num_class,
+                    class_weights=self.params.get("auc_mu_weights"))
+                res.append((name, metric, val, True))
+                continue
             if metric == "ndcg" or metric.startswith("ndcg@"):
                 k = int(metric.split("@")[1]) if "@" in metric else int(
                     self.params.get("eval_at", [5])[0]

@@ -51,9 +51,15 @@ def train(params: dict, train_set: Dataset, num_boost_round: int = 100,
         cbs.append(reset_parameter(learning_rate=learning_rates))
     cbs.sort(key=lambda c: getattr(c, "order", 0))
 
+    # periodic model snapshots (GBDT::Train, reference gbdt.cpp:306-310)
+    snapshot_freq = int(params.get("snapshot_freq", -1))
+    output_model = params.get("output_model", "gpboost_tpu_model.json")
+
     try:
         for it in range(num_boost_round):
             booster.update(fobj=fobj)
+            if snapshot_freq > 0 and (it + 1) % snapshot_freq == 0:
+                booster.save_model(f"{output_model}.snapshot_iter_{it + 1}")
             eval_list = []
             if booster.valid_sets or evals_result is not None:
                 eval_list = booster.eval_valid()

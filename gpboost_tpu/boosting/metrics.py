@@ -99,6 +99,61 @@ def multi_error(y, prob_flat, weight=None, num_class=2):
     return float(np.average(p.argmax(axis=0) != y.astype(int), weights=weight))
 
 
+def auc_mu(y, score_flat, weight=None, num_class=2, class_weights=None):
+    """Multiclass AUC-mu (Kleiman & Page 2019; reference ``AucMuMetric``,
+    multiclass_metric.hpp:183): mean over class pairs (i, j) of the AUC of
+    the weighted-score discriminant t1 * (W_i - W_j)' s(x), ties 0.5."""
+    from scipy.stats import rankdata
+    n = len(y)
+    S = score_flat[:num_class * n].reshape(num_class, n)
+    yi = y.astype(int)
+    if class_weights is None:
+        W = np.ones((num_class, num_class)) - np.eye(num_class)
+    else:
+        W = np.asarray(class_weights, dtype=np.float64).reshape(num_class,
+                                                                num_class)
+    w = np.ones(n) if weight is None else np.asarray(weight)
+    total = 0.0
+    for i in range(num_class):
+        for j in range(i + 1, num_class):
+            v = W[i] - W[j]
+            t1 = v[i] - v[j]
+            sel = (yi == i) | (yi == j)
+            if not np.any(yi == i) or not np.any(yi == j):
+                continue
+            d = t1 * (v @ S[:, sel])
+            pos = yi[sel] == i
+            ws = w[sel]
+            r = rankdata(d)
+            # weighted rank AUC with average-rank tie handling
+            if weight is None:
+                n_pos = pos.sum()
+                n_neg = (~pos).sum()
+                auc_ij = ((r[pos].sum() - n_pos * (n_pos + 1) / 2)
+                          / (n_pos * n_neg))
+            else:
+                order = np.argsort(d, kind="mergesort")
+                dp, wp = d[order], ws[order]
+                pp = pos[order]
+                cum_neg = np.cumsum(np.where(~pp, wp, 0.0))
+                # ties: class-j weight at the same value contributes 0.5
+                auc_num = 0.0
+                k = 0
+                while k < len(dp):
+                    k2 = k
+                    while k2 < len(dp) and abs(dp[k2] - dp[k]) < 1e-15:
+                        k2 += 1
+                    neg_before = cum_neg[k - 1] if k > 0 else 0.0
+                    neg_tied = (cum_neg[k2 - 1] - neg_before)
+                    for t in range(k, k2):
+                        if pp[t]:
+                            auc_num += wp[t] * (neg_before + 0.5 * neg_tied)
+                    k = k2
+                auc_ij = auc_num / (ws[pos].sum() * ws[~pos].sum())
+            total += auc_ij
+    return float(2.0 * total / num_class / (num_class - 1))
+
+
 def crps_gaussian(y, mean, var, weight=None):
     """Continuous ranked probability score for Gaussian predictive
     distributions (``random_effects_metric.hpp`` crps_gaussian)."""
@@ -159,6 +214,7 @@ _DEFAULT_METRIC = {
     "tweedie": "tweedie", "quantile": "quantile", "mape": "mape",
     "binary": "binary_logloss", "cross_entropy": "binary_logloss",
     "multiclass": "multi_logloss", "regression_gp": "l2",
+    "lambdarank": "ndcg", "rank_xendcg": "ndcg",
 }
 
 

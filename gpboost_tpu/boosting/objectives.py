@@ -283,6 +283,57 @@ class LambdaRank(Objective):
         return grad, np.maximum(hess, 1e-10)
 
 
+class RankXENDCG(Objective):
+    """Cross-entropy-NDCG ranking objective (``RankXENDCG``,
+    ``rank_objective.hpp:284``): per query, the score softmax rho is matched
+    against the stochastic ground-truth distribution
+    phi_i = 2^l_i - g_i (g ~ U(0,1)), with the second/third-order
+    lambda corrections of the reference."""
+    name = "rank_xendcg"
+
+    def __init__(self, seed: int = 0):
+        self.seed = seed
+
+    def init(self, label, weight, group=None):
+        super().init(label, weight, group)
+        if group is None:
+            raise ValueError("rank_xendcg requires query 'group' information")
+        self.query_starts = np.concatenate([[0], np.cumsum(group)]).astype(int)
+        self._rngs = [np.random.default_rng(self.seed + q)
+                      for q in range(len(self.query_starts) - 1)]
+
+    def get_gradients(self, score):
+        n = len(self.label)
+        grad = np.zeros(n)
+        hess = np.zeros(n)
+        for q in range(len(self.query_starts) - 1):
+            a, b = self.query_starts[q], self.query_starts[q + 1]
+            cnt = b - a
+            if cnt <= 1:
+                continue
+            sc = score[a:b]
+            rho = np.exp(sc - sc.max())
+            rho /= rho.sum()
+            g = self._rngs[q].random(cnt)
+            phi = 2.0 ** self.label[a:b].astype(int) - g
+            phi_norm = phi / max(phi.sum(), 1e-15)
+            # first-order terms
+            term1 = rho - phi_norm
+            lam = term1.copy()
+            p1 = term1 / (1.0 - rho)
+            s1 = p1.sum()
+            # second-order terms
+            term2 = rho * (s1 - p1)
+            lam += term2
+            p2 = term2 / (1.0 - rho)
+            s2 = p2.sum()
+            # third-order terms
+            lam += rho * (s2 - p2)
+            grad[a:b] = lam
+            hess[a:b] = rho * (1.0 - rho)
+        return grad, hess
+
+
 class Binary(Objective):
     """Binary log-loss with logit link (``binary_objective.hpp``)."""
     name = "binary"
@@ -527,6 +578,8 @@ _ALIASES = {
     "softmax": "multiclass", "ova": "multiclassova",
     "multiclass_ova": "multiclassova",
     "xentropy": "cross_entropy",
+    "xendcg": "rank_xendcg", "xe_ndcg": "rank_xendcg",
+    "xe_ndcg_mart": "rank_xendcg", "xendcg_mart": "rank_xendcg",
 }
 
 
@@ -569,10 +622,13 @@ def create_objective(name: str, params: dict, gp_model=None) -> Objective:
     if name == "tobit":
         return Tobit(sigma=params.get("sigma", 1.0),
                      yl=params.get("yl", 0.0), yu=params.get("yu", 1.0))
-    if name in ("lambdarank", "rank_xendcg"):
+    if name == "lambdarank":
         return LambdaRank(sigmoid=params.get("sigmoid", 1.0),
                           truncation_level=params.get(
                               "lambdarank_truncation_level", 30))
+    if name == "rank_xendcg":
+        return RankXENDCG(seed=params.get("objective_seed",
+                                          params.get("seed", 0)))
     if name == "multiclass":
         return Multiclass(num_class=params.get("num_class", 2))
     if name == "multiclassova":

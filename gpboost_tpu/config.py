@@ -124,6 +124,15 @@ PARAMS: Tuple[Param, ...] = (
           lambda v: v in (0, 1), "in {0, 1}"),
     Param("eval_at", 5, "any", B, "ndcg truncation level(s)",
           ("ndcg_eval_at", "ndcg_at")),
+    Param("auc_mu_weights", None, "list", B,
+          "flat C x C loss-weight matrix for auc_mu"),
+    Param("snapshot_freq", -1, "int", B,
+          "save the model every k iterations during training (<= 0 = off)"),
+    Param("output_model", "gpboost_tpu_model.json", "str", B,
+          "filename stem for snapshots / CLI model output",
+          ("model_output", "model_out")),
+    Param("objective_seed", None, "int", B,
+          "seed for stochastic objectives (rank_xendcg)"),
     Param("verbose", 1, "int", B, "verbosity (<0 silences warnings)",
           ("verbosity",)),
     # ---- DART ----------------------------------------------------------

@@ -26,6 +26,7 @@ class FITCGP:
     def __init__(self, coords: np.ndarray, cov_fn: CovFunction,
                  num_ind_points: int = 500,
                  ind_points_selection: str = "kmeans++", seed: int = 0,
+                 cover_tree_radius: float = 1.0,
                  likelihood: str = "gaussian", gp_approx: str = "fitc",
                  cov_fct_taper_range: float = 1.0,
                  cov_fct_taper_shape: float = 1.0,
@@ -49,7 +50,9 @@ class FITCGP:
         self.coords = jnp.asarray(coords, dtype=dtype)
         self.ind_points = jnp.asarray(
             select_inducing_points(coords, num_ind_points,
-                                   ind_points_selection, seed), dtype=dtype)
+                                   ind_points_selection, seed,
+                                   cover_tree_radius=cover_tree_radius),
+            dtype=dtype)
         self.dtype = dtype
         self.matrix_inversion_method = matrix_inversion_method
         # iterative-path knobs (reference defaults; sync_iter_cfg adopts

@@ -187,6 +187,7 @@ class FSVAGP:
                  num_neighbors: int = 30, num_ind_points: int = 200,
                  ind_points_selection: str = "kmeans++",
                  ordering: str = "none", seed: int = 0,
+                 cover_tree_radius: float = 1.0,
                  likelihood: str = "gaussian",
                  neighbor_selection: str = "nearest",
                  dtype=jnp.float64):
@@ -203,7 +204,9 @@ class FSVAGP:
         self.coords_perm = jnp.asarray(coords[self.perm], dtype=dtype)
         self.ind_points = jnp.asarray(
             select_inducing_points(coords, num_ind_points,
-                                   ind_points_selection, seed), dtype=dtype)
+                                   ind_points_selection, seed,
+                                   cover_tree_radius=cover_tree_radius),
+            dtype=dtype)
         self.dtype = dtype
         self._corr_neighbors_pars = None  # cov pars of last redetermination
         if neighbor_selection == "nearest":

@@ -196,6 +196,7 @@ class GPModel:
                     num_ind_points=num_ind_points,
                     ind_points_selection=ind_points_selection,
                     ordering=vecchia_ordering, seed=seed,
+                    cover_tree_radius=cover_tree_radius,
                     likelihood=_canonical_likelihood(likelihood),
                     neighbor_selection=(
                         "residual_correlation"
@@ -214,6 +215,7 @@ class GPModel:
                         len(np.asarray(gp_coords)), -1),
                     cf, num_ind_points=num_ind_points,
                     ind_points_selection=ind_points_selection, seed=seed,
+                    cover_tree_radius=cover_tree_radius,
                     likelihood=_canonical_likelihood(likelihood),
                     gp_approx=gp_approx,
                     cov_fct_taper_range=cov_fct_taper_range,

@@ -11,19 +11,37 @@ import numpy as np
 
 def select_inducing_points(coords: np.ndarray, num_ind_points: int,
                            method: str = "kmeans++", seed: int = 0,
-                           max_lloyd_iter: int = 20) -> np.ndarray:
+                           max_lloyd_iter: int = 20,
+                           cover_tree_radius: float = 1.0) -> np.ndarray:
     """Return [k, d] inducing-point locations.
 
     'random': subsample of unique coords; 'kmeans++': seeded centers refined
-    by Lloyd iterations (reference: kmeans++ in ``GP_utils.cpp:269``).
+    by Lloyd iterations (reference: kmeans++ in ``GP_utils.cpp:269``);
+    'cover_tree': greedy radius cover — every data point ends up within
+    ``cover_tree_radius`` of a center, so the NUMBER of inducing points is
+    determined by the radius (capped at ``num_ind_points``), matching the
+    semantics of the reference's multilevel ``CoverTree``
+    (``GP_utils.cpp:310-449``; the hierarchical refinement is replaced by a
+    single seeded greedy sweep — same covering guarantee, O(n k) distances).
     """
     uniq = np.unique(coords, axis=0)
     k = min(num_ind_points, uniq.shape[0])
     rng = np.random.default_rng(seed)
+    if method == "cover_tree":
+        order = rng.permutation(uniq.shape[0])
+        centers = [uniq[order[0]]]
+        r2 = float(cover_tree_radius) ** 2
+        for i in order[1:]:
+            d2 = np.sum((np.asarray(centers) - uniq[i]) ** 2, axis=1)
+            if np.min(d2) > r2:
+                centers.append(uniq[i])
+                if len(centers) >= num_ind_points:
+                    break
+        return np.asarray(centers)
     if method == "random" or k == uniq.shape[0]:
         idx = rng.choice(uniq.shape[0], size=k, replace=False)
         return uniq[idx]
-    if method not in ("kmeans++", "cover_tree"):
+    if method != "kmeans++":
         raise ValueError(f"ind_points_selection '{method}' not supported")
     # kmeans++ seeding
     centers = np.empty((k, coords.shape[1]))
