@@ -40,6 +40,24 @@ def _canonical(name: str) -> str:
     return aliases.get(name, name)
 
 
+def parse_likelihood_variants(name: str):
+    """Strip approximation-type suffixes from a likelihood name
+    (``ParseLikelihoodAliasApproximationType``, likelihoods.h:8052):
+    returns (canonical base name, approximation_type or None)."""
+    approx = None
+    for suf, val in (("_fisher_laplace_combined", "laplace"),
+                     ("_fisher-laplace", "fisher_laplace"),
+                     ("_fisher_laplace", "fisher_laplace"),
+                     ("_lls_laplace", "lss_laplace"),
+                     ("_quasi-newton", "laplace"),
+                     ("_quasi_newton", "laplace")):
+        if name.endswith(suf):
+            approx = val
+            name = name[:-len(suf)]
+            break
+    return _canonical(name), approx
+
+
 @dataclass(frozen=True)
 class LikelihoodFamily:
     """One response family: elementwise log-density + metadata.

@@ -35,8 +35,21 @@ SUPPORTED_LIKELIHOODS = (
 
 
 def _canonical_likelihood(lik: str) -> str:
-    from gpboost_tpu.likelihoods import _canonical
-    return _canonical(lik)
+    from gpboost_tpu.likelihoods import parse_likelihood_variants
+    base, approx = parse_likelihood_variants(lik)
+    if approx == "lss_laplace":
+        # the reference accepts the '_lls_laplace' suffix but every compute
+        # path rejects it (likelihoods.h:9765,10492,11368) — fail at
+        # construction instead of silently running plain Laplace
+        raise NotImplementedError(
+            f"approximation_type 'lss_laplace' (likelihood '{lik}') is not "
+            "supported")
+    if approx == "fisher_laplace" and base not in (
+            "gaussian_heteroscedastic", "t", "gaussian"):
+        raise NotImplementedError(
+            f"approximation_type 'fisher_laplace' is not implemented for "
+            f"likelihood '{base}'")
+    return base
 
 
 class GPModel:

@@ -130,3 +130,17 @@ def test_cover_tree_inducing_points():
                     gp_approx="fitc", ind_points_selection="cover_tree",
                     cover_tree_radius=0.2, num_ind_points=400)
     assert np.isfinite(m.neg_log_likelihood(cov_pars=[0.1, 1.0, 0.2], y=y))
+
+
+def test_likelihood_approximation_suffixes():
+    """Approximation-type suffix parsing (likelihoods.h:8052): lss_laplace
+    is rejected loudly (the reference's own compute paths all reject it),
+    fisher_laplace suffixes parse for supported families."""
+    rng = np.random.default_rng(6)
+    group = np.arange(40) % 8
+    with pytest.raises(NotImplementedError, match="lss_laplace"):
+        gpb.GPModel(group_data=group, likelihood="gamma_lls_laplace")
+    with pytest.raises(NotImplementedError, match="fisher_laplace"):
+        gpb.GPModel(group_data=group, likelihood="poisson_fisher_laplace")
+    m = gpb.GPModel(group_data=group, likelihood="t_fisher_laplace")
+    assert m.likelihood == "t"
