@@ -540,11 +540,31 @@ class Booster:
     def _line_search_scale(self, tree: Tree):
         """Optimal step length for the new tree (``LineSearchLearningRate``,
         gbdt.cpp:475-485): scale leaf values by argmin_a loss(F + a * t(x)).
-        Golden-section search on the training objective."""
+
+        Gaussian GP objective: the loss is an exact QUADRATIC in the step
+        length (logdet does not depend on a), so the minimizer has the
+        closed form a* = v'Psi^-1 r / v'Psi^-1 v — two matrix-free products
+        instead of the reference's 20 golden-section NLL evaluations (each
+        a blocking dispatch over the TPU tunnel). Other objectives keep the
+        golden-section search."""
         import math
         vals = self._tree_train_pred(tree)
         n = self.train_set.num_data
         base = self._score[:n]
+
+        if (isinstance(self.objective, GPBoostObjective)
+                and self.gp_model.spec.is_gaussian):
+            gp = self.gp_model
+            cov_pars = jnp.asarray(gp.cov_pars_, dtype=gp.dtype)
+            r0 = jnp.asarray(self.train_set.label - base, dtype=gp.dtype)
+            v = jnp.asarray(vals, dtype=gp.dtype)
+            u = gp._psi_solve(cov_pars, v)
+            denom = float(jnp.dot(u, v))
+            alpha = float(jnp.dot(u, r0)) / max(denom, 1e-300)
+            alpha = min(max(alpha, 0.0), 10.0)  # the reference's [0, 10]
+            tree.leaf_value = tree.leaf_value * alpha
+            tree.shrinkage *= alpha
+            return
 
         def loss(alpha):
             score = base + alpha * vals

@@ -293,3 +293,33 @@ def test_test_nll_gh_quadrature_matches_exact_gaussian():
     exact = 0.5 * ((np.asarray(y) - np.asarray(mu)) ** 2 / tot
                    + np.log(tot) + np.log(2 * np.pi))
     np.testing.assert_allclose(nll, exact, rtol=1e-8)
+
+
+def test_line_search_closed_form_matches_golden_section():
+    """Gaussian GP line search: the closed-form quadratic minimizer equals
+    the golden-section argmin of the same NLL (to search tolerance)."""
+    rng = np.random.default_rng(9)
+    n, n_groups = 200, 20
+    group = np.arange(n) % n_groups
+    b_re = 0.7 * rng.standard_normal(n_groups)
+    X = rng.uniform(size=(n, 2))
+    y = 2.0 * X[:, 0] + b_re[group] + 0.3 * rng.standard_normal(n)
+    gp = gpb.GPModel(group_data=group, likelihood="gaussian")
+    ds = Dataset(X, label=y)
+    bst = gpb.train({"objective": "regression",
+                     "line_search_step_length": True,
+                     "min_data_in_leaf": 10, "verbose": -1},
+                    ds, gp_model=gp, num_boost_round=2)
+    # the applied coefficient is alpha * learning_rate (the reference also
+    # applies shrinkage ON TOP of the line-search step, gbdt.cpp:485-487);
+    # check alpha is the argmin of the exact NLL along the raw-tree ray
+    tree = bst.trees[-1]
+    vals = bst._tree_train_pred(tree)
+    alpha = tree.shrinkage / bst.learning_rate
+    t_raw = vals / tree.shrinkage  # unscaled tree direction
+    base = np.asarray(bst._score[:n]) - vals  # score before this tree
+    losses = [float(gp.neg_log_likelihood(cov_pars=gp.cov_pars_,
+                                          y=y - base - a * t_raw))
+              for a in (alpha - 0.05, alpha, alpha + 0.05)]
+    assert losses[1] <= losses[0] + 1e-9
+    assert losses[1] <= losses[2] + 1e-9
