@@ -984,33 +984,15 @@ def predict_vecchia_response(cov_fn: CovFunction, cov_pars: jnp.ndarray,
 
     Returns (mean, var); var includes the nugget iff predict_response.
     """
-    n_p, m = nb_pred.shape
     mask = nb_pred >= 0
     idx = jnp.maximum(nb_pred, 0)
-    scaled = not cov_fn.is_isotropic and cov_fn.has_coord_scaling
-    if scaled:
-        coords_obs = cov_fn.scale_coords(coords_obs, cov_pars)
-        coords_pred = cov_fn.scale_coords(coords_pred, cov_pars)
-    nb_coords = coords_obs[idx]
-    diffs = nb_coords[:, :, None, :] - nb_coords[:, None, :, :]
-    d_nn = _safe_dist(jnp.sum(diffs * diffs, -1))
-    di = coords_pred[:, None, :] - nb_coords
-    d_in = _safe_dist(jnp.sum(di * di, -1))
-    if scaled:
-        c_nn = cov_pars[0] * cov_fn.corr_from_scaled_dist(d_nn, cov_pars)
-        c_in = cov_pars[0] * cov_fn.corr_from_scaled_dist(d_in, cov_pars)
-    else:
-        c_nn = cov_fn.cov_matrix(cov_pars, dist=d_nn)
-        c_in = cov_fn.cov_matrix(cov_pars, dist=d_in[:, None, :])[:, 0, :]
-    eye = jnp.eye(m, dtype=coords_obs.dtype)
-    c_nn = c_nn + nugget * eye[None]
-    pair_mask = mask[:, :, None] & mask[:, None, :]
-    c_nn = jnp.where(pair_mask, c_nn, eye[None])
-    c_in = jnp.where(mask, c_in, 0.0)
-    a = posdef_solve(c_nn, c_in)
-    a = jnp.where(mask, a, 0.0)
-    mean = jnp.sum(a * r_obs[idx], axis=1)
-    var = cov_pars[0] - jnp.sum(c_in * a, axis=1)
-    if predict_response:
-        var = var + nugget
+    # the training factor build serves prediction too (row_coords = the
+    # prediction points): large prediction sets get the transposed layout
+    # (no [n_p, m, m] tile-padding HBM tax) exactly like training
+    a, d_cond = build_factors(cov_fn, cov_pars, coords_obs, nb_pred, nugget,
+                              True, row_coords=coords_pred)
+    mean = jnp.sum(jnp.where(mask, a, 0.0) * r_obs[idx], axis=1)
+    var = d_cond  # = prior + nugget - c_in' C_nn^-1 c_in (response scale)
+    if not predict_response:
+        var = var - nugget
     return mean, jnp.maximum(var, 0.0)
