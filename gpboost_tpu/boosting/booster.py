@@ -429,13 +429,15 @@ class Booster:
                 row_mask = jnp.ones(n, dtype=bool)
             row_mask = jnp.concatenate(
                 [row_mask, jnp.zeros(n_rows - n, dtype=bool)])
-        # feature subsampling per tree
-        num_bins = np.asarray(self.train_set.num_bins)
+        # feature subsampling per tree (num_bins_grower is feature-padded
+        # under a feature-parallel mesh layout; pads have 0 bins)
+        num_bins = np.asarray(getattr(ds, "num_bins_grower", ds.num_bins))
+        n_feat_grower = int(ds.binned.shape[1])
         if self.feature_fraction < 1.0:
             F = ds.num_features
             k = max(1, int(np.ceil(self.feature_fraction * F)))
             chosen = self._rng.choice(F, size=k, replace=False)
-            mask = np.zeros(F, dtype=bool)
+            mask = np.zeros(len(num_bins), dtype=bool)
             mask[chosen] = True
             num_bins = np.where(mask, num_bins, 0)
 
@@ -447,7 +449,7 @@ class Booster:
                 h = np.concatenate([h, np.zeros(n_rows - n)])
             cat_mask_arr = None
             if ds.categorical_feature:
-                cat_mask_arr = np.zeros(ds.num_features, dtype=bool)
+                cat_mask_arr = np.zeros(n_feat_grower, dtype=bool)
                 cat_mask_arr[list(ds.categorical_feature)] = True
             # single-dispatch jitted grower on accelerators for the common
             # case; the host-driven grower handles categorical / monotone /
@@ -458,6 +460,10 @@ class Booster:
                         and getattr(self, "_forced_splits", None) is None
                         and self._cegb is None)
             nan_mask = ds.has_nan if bool(np.any(ds.has_nan)) else None
+            if nan_mask is not None and len(nan_mask) != n_feat_grower:
+                nan_mask = np.concatenate(
+                    [nan_mask,
+                     np.zeros(n_feat_grower - len(nan_mask), bool)])
             if use_fast:
                 from gpboost_tpu.boosting.tree import grow_tree_fast
                 # f32 histograms on accelerators (LightGBM's default hist

@@ -37,7 +37,13 @@ class Dataset:
                  group=None):
         if params:
             max_bin = int(params.get("max_bin", max_bin))
+        self.tree_learner = (params or {}).get("tree_learner", "data")
         if isinstance(data, str):
+            if data.endswith(".bin") or data.endswith(".npz"):
+                # binary dataset file (reference Dataset::SaveBinaryFile /
+                # ``save_binary``): bins + bin mapping + metadata round-trip
+                self._load_binary(data, label, weight, init_score, group)
+                return
             # file path: native multithreaded CSV/TSV parser
             from gpboost_tpu.native import load_table
             data = load_table(data)
@@ -142,15 +148,150 @@ class Dataset:
         # the padding rows out of every histogram (num_data stays logical).
         from gpboost_tpu import parallel as par
         mesh = par.active_mesh()
+        self.num_bins_grower = self.num_bins
         if mesh is not None:
             ndev = int(np.prod(mesh.devices.shape))
-            pad = (-n) % ndev
-            if pad:
-                self.binned = jnp.concatenate(
-                    [self.binned,
-                     jnp.zeros((pad, F), dtype=self.binned.dtype)])
-            self.binned = par.shard_rows(self.binned)
+            if self.tree_learner == "feature":
+                # feature-parallel layout (the reference's
+                # FeatureParallelTreeLearner, feature_parallel_tree_learner.cpp):
+                # shard the FEATURE axis — each device builds the histograms
+                # and split scans of its feature shard; padding features have
+                # zero bins so they can never be selected
+                import jax
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                padf = (-F) % ndev
+                if padf:
+                    self.binned = jnp.concatenate(
+                        [self.binned,
+                         jnp.zeros((n, padf), dtype=self.binned.dtype)],
+                        axis=1)
+                    self.num_bins_grower = np.concatenate(
+                        [self.num_bins, np.zeros(padf, self.num_bins.dtype)])
+                self.binned = jax.device_put(
+                    self.binned,
+                    NamedSharding(mesh, P(None, par.data_axis())))
+            elif self.tree_learner == "voting":
+                # voting-parallel exists in the reference purely to shrink
+                # the network allreduce of histograms (top-k voting,
+                # voting_parallel_tree_learner.cpp); XLA collectives over
+                # ICI make that compression counterproductive on TPU, so
+                # voting falls back to the data-parallel layout
+                pad = (-n) % ndev
+                if pad:
+                    self.binned = jnp.concatenate(
+                        [self.binned,
+                         jnp.zeros((pad, F), dtype=self.binned.dtype)])
+                self.binned = par.shard_rows(self.binned)
+            else:
+                pad = (-n) % ndev
+                if pad:
+                    self.binned = jnp.concatenate(
+                        [self.binned,
+                         jnp.zeros((pad, F), dtype=self.binned.dtype)])
+                self.binned = par.shard_rows(self.binned)
         self.max_num_bins = int(self.num_bins.max()) if F > 0 else 1
+
+    # ------------------------------------------------------------------
+    def save_binary(self, filename: str):
+        """Serialize the BINNED dataset + bin mapping + metadata
+        (reference ``Dataset::SaveBinaryFile`` / ``Dataset.save_binary``,
+        basic.py). Reload with ``Dataset("file.bin")``."""
+        payload = dict(
+            binned=np.asarray(self.binned)[:self.num_data],
+            raw_data=self.raw_data,
+            num_bins=self.num_bins,
+            has_nan=self.has_nan,
+            max_bin=np.asarray(self.max_bin),
+            feature_name=np.asarray(self.feature_name, dtype=object),
+            categorical_feature=np.asarray(self.categorical_feature,
+                                           dtype=np.int64),
+        )
+        for f, ub in enumerate(self.bin_upper_bounds):
+            payload[f"ub_{f}"] = np.asarray(ub, dtype=np.float64)
+        for f, mp in (self.cat_maps or {}).items():
+            keys = np.asarray(list(mp.keys()), dtype=np.float64)
+            vals = np.asarray(list(mp.values()), dtype=np.int64)
+            payload[f"cat_{f}"] = np.stack([keys, vals.astype(np.float64)])
+        if self.label is not None:
+            payload["label"] = self.label
+        if self.weight is not None:
+            payload["weight"] = self.weight
+        if self.init_score is not None:
+            payload["init_score"] = self.init_score
+        if self.group is not None:
+            payload["group"] = np.asarray(self.group)
+        with open(filename, "wb") as f:
+            np.savez_compressed(f, **payload, allow_pickle=True)
+        return self
+
+    def _load_binary(self, filename, label, weight, init_score, group):
+        z = np.load(filename, allow_pickle=True)
+        binned = z["binned"]
+        self.num_data, self.num_features = binned.shape
+        self.raw_data = z["raw_data"]
+        self.num_bins = z["num_bins"]
+        self.has_nan = z["has_nan"]
+        self.max_bin = int(z["max_bin"])
+        self.feature_name = [str(x) for x in z["feature_name"]]
+        self.categorical_feature = [int(x)
+                                    for x in z["categorical_feature"]]
+        self.bin_upper_bounds = [z[f"ub_{f}"]
+                                 for f in range(self.num_features)]
+        self.cat_maps = {}
+        for f in self.categorical_feature:
+            if f"cat_{f}" in z:
+                keys, vals = z[f"cat_{f}"]
+                self.cat_maps[f] = {k: int(v) for k, v in zip(keys, vals)}
+        self.label = (np.asarray(label, np.float64).ravel()
+                      if label is not None else
+                      (z["label"] if "label" in z else None))
+        self.weight = (np.asarray(weight, np.float64).ravel()
+                       if weight is not None else
+                       (z["weight"] if "weight" in z else None))
+        self.init_score = (np.asarray(init_score, np.float64).ravel()
+                           if init_score is not None else
+                           (z["init_score"] if "init_score" in z else None))
+        self.group = (group if group is not None
+                      else (z["group"] if "group" in z else None))
+        self.binned = jnp.asarray(binned)
+        self.max_num_bins = (int(self.num_bins.max())
+                             if self.num_features > 0 else 1)
+
+    # ------------------------------------------------------------------
+    # generic field access (reference Dataset.get_field/set_field)
+    _FIELDS = ("label", "weight", "init_score", "group")
+
+    def set_field(self, field_name: str, data):
+        if field_name not in self._FIELDS:
+            raise ValueError(f"unknown dataset field '{field_name}'")
+        if data is None:
+            setattr(self, field_name, None)
+        elif field_name == "group":
+            self.group = np.asarray(data)
+        else:
+            setattr(self, field_name,
+                    np.asarray(data, dtype=np.float64).ravel())
+        return self
+
+    def get_field(self, field_name: str):
+        if field_name not in self._FIELDS:
+            raise ValueError(f"unknown dataset field '{field_name}'")
+        return getattr(self, field_name)
+
+    def set_init_score(self, init_score):
+        return self.set_field("init_score", init_score)
+
+    def get_init_score(self):
+        return self.init_score
+
+    def set_group(self, group):
+        return self.set_field("group", group)
+
+    def get_group(self):
+        return self.group
+
+    def num_data_rows(self):
+        return self.num_data
 
     # ------------------------------------------------------------------
     def construct(self):

@@ -133,6 +133,12 @@ PARAMS: Tuple[Param, ...] = (
           ("model_output", "model_out")),
     Param("objective_seed", None, "int", B,
           "seed for stochastic objectives (rank_xendcg)"),
+    Param("tree_learner", "data", "str", B,
+          "mesh partition of the tree learner: serial, data (row-sharded "
+          "histograms), feature (feature-sharded histograms), voting "
+          "(falls back to data: XLA ICI collectives make the reference's "
+          "histogram-compression voting trick unnecessary)",
+          ("tree", "tree_type", "tree_learner_type")),
     Param("verbose", 1, "int", B, "verbosity (<0 silences warnings)",
           ("verbosity",)),
     # ---- DART ----------------------------------------------------------

@@ -194,3 +194,42 @@ def test_sharded_cluster_nll_matches_batched(mesh):
                                       blocks.num_data))(cov_pars)
     np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref),
                                rtol=1e-10)
+
+
+def test_mesh_feature_parallel_matches_single_device(mesh):
+    """tree_learner='feature': binned shards on the FEATURE axis (the
+    FeatureParallelTreeLearner layout) and training matches single-device."""
+    import gpboost_tpu as gpb
+    rng = np.random.default_rng(11)
+    n, F = 300, 6  # F not divisible by 8: feature padding must work
+    X = rng.uniform(size=(n, F))
+    y = 2 * X[:, 0] - X[:, 1] + 0.2 * rng.normal(size=n)
+    params = {"objective": "regression", "num_leaves": 8, "verbose": -1,
+              "min_data_in_leaf": 5, "tree_learner": "feature"}
+
+    def run():
+        ds = gpb.Dataset(X, label=y, params=params)
+        return gpb.train(params, ds, num_boost_round=3)
+
+    b1 = run()
+    with gpb.use_mesh(mesh):
+        b2 = run()
+        assert b2.train_set.binned.shape[1] == 8  # padded to mesh multiple
+        devs = {s.device for s in b2.train_set.binned.addressable_shards}
+        assert len(devs) == 8
+    np.testing.assert_allclose(np.asarray(b2._score), np.asarray(b1._score),
+                               atol=1e-10)
+
+
+def test_mesh_voting_falls_back_to_data_parallel(mesh):
+    import gpboost_tpu as gpb
+    rng = np.random.default_rng(12)
+    X = rng.uniform(size=(160, 3))
+    y = X[:, 0] + 0.1 * rng.normal(size=160)
+    params = {"verbose": -1, "min_data_in_leaf": 5,
+              "tree_learner": "voting"}
+    with gpb.use_mesh(mesh):
+        ds = gpb.Dataset(X, label=y, params=params)
+        assert ds.binned.shape[0] == 160  # row padding (160 % 8 == 0)
+        b = gpb.train(params, ds, num_boost_round=2)
+    assert np.all(np.isfinite(np.asarray(b._score)))

@@ -144,3 +144,41 @@ def test_likelihood_approximation_suffixes():
         gpb.GPModel(group_data=group, likelihood="poisson_fisher_laplace")
     m = gpb.GPModel(group_data=group, likelihood="t_fisher_laplace")
     assert m.likelihood == "t"
+
+
+def test_dataset_binary_roundtrip(tmp_path):
+    rng = np.random.default_rng(7)
+    X = rng.uniform(size=(150, 3))
+    X[rng.random(150) < 0.2, 1] = np.nan
+    y = X[:, 0] + 0.1 * rng.normal(size=150)
+    ds = Dataset(X, label=y, weight=np.ones(150),
+                 feature_name=["a", "b", "c"])
+    fn = str(tmp_path / "train.bin")
+    ds.save_binary(fn)
+    ds2 = Dataset(fn)
+    np.testing.assert_array_equal(np.asarray(ds2.binned),
+                                  np.asarray(ds.binned))
+    np.testing.assert_array_equal(ds2.num_bins, ds.num_bins)
+    np.testing.assert_array_equal(ds2.has_nan, ds.has_nan)
+    np.testing.assert_allclose(ds2.label, y)
+    assert ds2.feature_name == ["a", "b", "c"]
+    # training from the reloaded binary gives the identical model
+    b1 = gpb.train({"verbose": -1, "min_data_in_leaf": 5}, ds,
+                   num_boost_round=5)
+    b2 = gpb.train({"verbose": -1, "min_data_in_leaf": 5}, ds2,
+                   num_boost_round=5)
+    np.testing.assert_allclose(b2.predict(X), b1.predict(X), atol=1e-12)
+
+
+def test_dataset_field_api():
+    rng = np.random.default_rng(8)
+    X = rng.uniform(size=(50, 2))
+    ds = Dataset(X, label=np.zeros(50))
+    ds.set_field("weight", np.ones(50))
+    assert np.all(ds.get_field("weight") == 1.0)
+    ds.set_init_score(np.full(50, 0.3))
+    assert np.all(ds.get_init_score() == 0.3)
+    ds.set_group([25, 25])
+    assert list(ds.get_group()) == [25, 25]
+    with pytest.raises(ValueError):
+        ds.set_field("nonsense", None)
