@@ -1223,29 +1223,51 @@ class GPModel:
             if comp.is_slope:
                 weights = weights.at[:, j].set(
                     data_pred.slope_data[:, comp.slope_data_idx])
+        # iterative path: CG posterior + simulation-based variances — no
+        # [q, q] posterior covariance (CGRandomEffectsVec +
+        # Sample_Posterior_LaplaceApprox_GroupedRE, likelihoods.h:6852)
+        use_iter = (self.matrix_inversion_method == "iterative"
+                    and not predict_cov_mat)
+        nsim = int(getattr(self, "nsim_var_pred", None) or 1000)
         if self.spec.is_gaussian:
             r = data.y
             if beta is not None and data.X is not None:
                 r = r - data.X @ beta
             if fe is not None:
                 r = r - fe
-            b_mean, postcov = grouped.posterior_b_gaussian(
-                self.spec, data, cov_pars_arr, r)
             comp_vars = cov_pars_arr[1:]
             nugget = cov_pars_arr[0]
+            if use_iter:
+                b_mean, draws = grouped.posterior_b_gaussian_iterative(
+                    self.spec, data, cov_pars_arr, nsim,
+                    self.optim_cfg.seed_rand_vec_trace, r)
+            else:
+                b_mean, postcov = grouped.posterior_b_gaussian(
+                    self.spec, data, cov_pars_arr, r)
         else:
             ap = self._aux_pars_array()
             F = fe
             if beta is not None and data.X is not None:
                 xb = data.X @ beta
                 F = xb if F is None else F + xb
-            b_mean, postcov = grouped.posterior_b_laplace(
-                self.spec, data, cov_pars_arr, ap, F)
             comp_vars = cov_pars_arr
             nugget = None
-        mean, var, cov = grouped.predict_from_posterior(
-            self.spec, b_mean, postcov, comp_vars, bool(predict_cov_mat),
-            data_pred.group_codes, weights)
+            if use_iter:
+                b_mean, draws = grouped.posterior_b_laplace_iterative(
+                    self.spec, data, cov_pars_arr, ap, nsim,
+                    self.optim_cfg.seed_rand_vec_trace, F)
+            else:
+                b_mean, postcov = grouped.posterior_b_laplace(
+                    self.spec, data, cov_pars_arr, ap, F)
+        if use_iter:
+            mean, var = grouped.predict_from_posterior_draws(
+                self.spec, b_mean, draws, comp_vars,
+                data_pred.group_codes, weights)
+            cov = None
+        else:
+            mean, var, cov = grouped.predict_from_posterior(
+                self.spec, b_mean, postcov, comp_vars,
+                bool(predict_cov_mat), data_pred.group_codes, weights)
         # add fixed part to the latent mean
         fep = None if fixed_effects_pred is None else jnp.asarray(
             fixed_effects_pred, dtype=self.dtype)

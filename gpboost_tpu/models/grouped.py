@@ -731,6 +731,103 @@ def nll_laplace_iterative_value_and_grad(spec, data, cov_pars, aux_pars,
     return v, tuple(out)
 
 
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def posterior_b_gaussian_iterative(spec: ModelSpec, data: ModelData,
+                                  cov_pars: jnp.ndarray, nsim: int,
+                                  seed: int, r: jnp.ndarray,
+                                  cg_tol: float = 1e-8,
+                                  cg_max_iter: int = 1000):
+    """Iterative Gaussian posterior of b: mean = M^-1 Z'r via CG and draws
+    u_k ~ N(0, sigma2 M^-1) via u = sqrt(s2) M^-1 (Z'z1 + sqrt(s2/db) z2)
+    (the reference's ``Sample_Posterior_LaplaceApprox_GroupedRE`` sqrt-split
+    sampling, likelihoods.h:6852, on the Gaussian Woodbury system).
+    Returns (b_mean [q], draws [q, nsim])."""
+    from gpboost_tpu.ops import cg as cgops
+    sigma2 = cov_pars[0]
+    db = _sigma_b_diag(spec, cov_pars[1:], r.dtype)
+    q = db.shape[0]
+    n = r.shape[0]
+    shift = sigma2 / db
+    matvec = lambda V: _mv_sys(spec, data, None, shift, V)  # noqa: E731
+    diag_M = ztw_z_diag(spec, data) + shift
+    pre = jnp.maximum(diag_M, 1e-10)
+    solve = lambda B: cgops.pcg(  # noqa: E731
+        matvec, B, lambda R: R / (pre[:, None] if R.ndim == 2 else pre),
+        tol=cg_tol, max_iter=cg_max_iter)[0]
+    b_mean = solve(zt_mul(spec, data, r))
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    z1 = jax.random.normal(k1, (n, nsim), r.dtype)
+    z2 = jax.random.normal(k2, (q, nsim), r.dtype)
+    Z = (jax.vmap(lambda col: zt_mul(spec, data, col),
+                  in_axes=1, out_axes=1)(z1)
+         + jnp.sqrt(shift)[:, None] * z2)          # ~ N(0, M)
+    draws = jnp.sqrt(sigma2) * solve(Z)            # ~ N(0, s2 M^-1)
+    return b_mean, draws
+
+
+@partial(jax.jit, static_argnums=(0, 4, 5))
+def posterior_b_laplace_iterative(spec, data, cov_pars, aux_pars, nsim: int,
+                                  seed: int, fixed_effects=None,
+                                  cg_tol: float = 1e-8,
+                                  cg_max_iter: int = 1000):
+    """Iterative Laplace posterior of b: Newton-CG mode + draws
+    u ~ N(0, H^-1), H = Z'WZ + Sigma_b^-1, via H^-1 (Z'sqrt(W) z1 +
+    sqrt(Sigma_b^-1) z2) (likelihoods.h:6852)."""
+    from gpboost_tpu import likelihoods as lk
+    from gpboost_tpu.models.laplace import _weighted_fns
+    from gpboost_tpu.ops import cg as cgops
+    fam = lk.get_family(spec.likelihood)
+    n = data.y.shape[0]
+    F = (jnp.zeros(n, data.y.dtype) if fixed_effects is None
+         else fixed_effects)
+    aux = aux_pars if aux_pars is not None else jnp.zeros((0,), data.y.dtype)
+    _, _, d2_fn = _weighted_fns(fam, data.weights)
+    db = _sigma_b_diag(spec, cov_pars, data.y.dtype)
+    q = db.shape[0]
+    b = find_mode_grouped_cg(spec.likelihood, spec, data, db, F, aux)
+    w = jnp.maximum(-d2_fn(data.y, F + z_mul(spec, data, b), aux), 1e-10)
+    matvec = lambda V: _mv_sys(spec, data, w, 1.0 / db, V)  # noqa: E731
+    pre = jnp.maximum(ztw_z_diag(spec, data, w) + 1.0 / db, 1e-10)
+    solve = lambda B: cgops.pcg(  # noqa: E731
+        matvec, B, lambda R: R / (pre[:, None] if R.ndim == 2 else pre),
+        tol=cg_tol, max_iter=cg_max_iter)[0]
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    z1 = jax.random.normal(k1, (n, nsim), data.y.dtype)
+    z2 = jax.random.normal(k2, (q, nsim), data.y.dtype)
+    Z = (jax.vmap(lambda col: zt_mul(spec, data, col),
+                  in_axes=1, out_axes=1)(jnp.sqrt(w)[:, None] * z1)
+         + z2 / jnp.sqrt(db)[:, None])             # ~ N(0, H)
+    draws = solve(Z)                               # ~ N(0, H^-1)
+    return b, draws
+
+
+@partial(jax.jit, static_argnums=(0,))
+def predict_from_posterior_draws(spec: ModelSpec, b_mean: jnp.ndarray,
+                                 draws: jnp.ndarray, comp_vars: jnp.ndarray,
+                                 pred_codes: jnp.ndarray,
+                                 pred_weights: jnp.ndarray):
+    """Latent prediction mean/var from posterior DRAWS (simulation-based
+    variances: no [q, q] posterior covariance is ever formed). Unseen levels
+    contribute their prior variance. Returns (mean [np], var [np])."""
+    offsets, sizes, q = grouped_layout(spec)
+    np_rows = pred_codes.shape[0]
+    ncomp = len(spec.components)
+    mean = jnp.zeros(np_rows, b_mean.dtype)
+    sims = jnp.zeros((np_rows, draws.shape[1]), b_mean.dtype)
+    var_unseen = jnp.zeros(np_rows, b_mean.dtype)
+    for j, comp in enumerate(spec.components):
+        codes = pred_codes[:, comp.code_col]
+        seen = codes < sizes[j]
+        idx = offsets[j] + jnp.minimum(codes, sizes[j] - 1)
+        wj = pred_weights[:, j]
+        mean = mean + jnp.where(seen, wj * b_mean[idx], 0.0)
+        sims = sims + jnp.where(seen, wj, 0.0)[:, None] * draws[idx]
+        var_unseen = var_unseen + jnp.where(seen, 0.0,
+                                            wj * wj * comp_vars[j])
+    var = jnp.mean(sims * sims, axis=1) + var_unseen
+    return mean, var
+
+
 @partial(jax.jit, static_argnums=(0,))
 def nll_laplace_value_and_grad(spec, data, cov_pars, aux_pars, beta,
                                fixed_effects):

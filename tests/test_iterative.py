@@ -244,3 +244,53 @@ class TestGroupedIterative:
         m_it.fit(y=y, params={"num_rand_vec_trace": 400})
         np.testing.assert_allclose(m_it.get_cov_pars(), m_ex.get_cov_pars(),
                                    rtol=0.15, atol=0.03)
+
+
+class TestGroupedIterativePrediction:
+    """Iterative grouped predictions: CG posterior mean + simulation-based
+    variances (Sample_Posterior_LaplaceApprox_GroupedRE, likelihoods.h:6852)
+    converge to the dense Woodbury path."""
+
+    def test_gaussian_prediction_matches_dense(self):
+        rng = np.random.default_rng(10)
+        n, q1, q2 = 600, 30, 20
+        g1 = rng.integers(0, q1, size=n)
+        g2 = rng.integers(0, q2, size=n)
+        y = (0.8 * rng.standard_normal(q1)[g1]
+             + 0.5 * rng.standard_normal(q2)[g2]
+             + 0.6 * rng.standard_normal(n))
+        gp_pred = np.column_stack([
+            np.array([0, 1, 2, q1 + 5]),      # last level unseen
+            np.array([0, 1, 2, 3])])
+        m_d = GPModel(group_data=np.column_stack([g1, g2]))
+        m_d.fit(y=y)
+        p_d = m_d.predict(y=y, group_data_pred=gp_pred, predict_var=True)
+        m_i = GPModel(group_data=np.column_stack([g1, g2]),
+                      matrix_inversion_method="iterative")
+        m_i.fit(y=y, params={"num_rand_vec_trace": 400})
+        m_i.set_prediction_data(nsim_var_pred=4000)
+        p_i = m_i.predict(y=y, group_data_pred=gp_pred, predict_var=True,
+                          cov_pars=m_d.get_cov_pars())
+        np.testing.assert_allclose(p_i["mu"], p_d["mu"], atol=1e-5)
+        np.testing.assert_allclose(p_i["var"], p_d["var"], rtol=0.12,
+                                   atol=0.01)
+
+    def test_laplace_prediction_matches_dense(self):
+        rng = np.random.default_rng(11)
+        n, q = 500, 40
+        g = rng.integers(0, q, size=n)
+        lam = np.exp(0.7 * rng.standard_normal(q)[g] - 0.2)
+        y = rng.poisson(lam).astype(float)
+        gp_pred = np.array([0, 1, 2, q + 3])
+        m_d = GPModel(group_data=g, likelihood="poisson")
+        m_d.fit(y=y)
+        p_d = m_d.predict(y=y, group_data_pred=gp_pred, predict_var=True,
+                          predict_response=True)
+        m_i = GPModel(group_data=g, likelihood="poisson",
+                      matrix_inversion_method="iterative")
+        m_i.set_prediction_data(nsim_var_pred=4000)
+        p_i = m_i.predict(y=y, group_data_pred=gp_pred, predict_var=True,
+                          predict_response=True, cov_pars=m_d.get_cov_pars())
+        np.testing.assert_allclose(p_i["mu"], p_d["mu"], rtol=0.02)
+        np.testing.assert_allclose(p_i["var"], p_d["var"], rtol=0.15,
+                                   atol=0.02)
