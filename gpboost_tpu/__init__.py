@@ -37,6 +37,8 @@ from gpboost_tpu.plotting import (  # noqa: E402
 from gpboost_tpu.parallel import (  # noqa: E402
     active_mesh, make_mesh, set_mesh, use_mesh)
 from gpboost_tpu import distributed  # noqa: E402
+from gpboost_tpu.utils import get_nested_categories  # noqa: E402
+from gpboost_tpu.utils.log import register_logger  # noqa: E402
 
 __version__ = "0.1.0"
 
@@ -48,5 +50,6 @@ __all__ = [
     "plot_importance", "plot_metric", "partial_dependence_plot",
     "plot_tree", "create_tree_digraph",
     "set_mesh", "use_mesh", "active_mesh", "make_mesh", "distributed",
+    "register_logger", "get_nested_categories",
     "__version__",
 ]

@@ -49,7 +49,8 @@ def early_stopping(stopping_rounds: int, first_metric_only: bool = False,
                 best_score_list[i] = env.evaluation_result_list
             elif env.iteration - best_iter[i] >= stopping_rounds:
                 if verbose:
-                    print(f"Early stopping, best iteration is: "
+                    from gpboost_tpu.utils.log import log_info
+                    log_info(f"Early stopping, best iteration is: "
                           f"[{best_iter[i] + 1}]")
                 raise EarlyStopException(best_iter[i], best_score_list[i])
             if first_metric_only:
@@ -78,7 +79,8 @@ def print_evaluation(period: int = 1) -> Callable:
                 (env.iteration + 1) % period == 0:
             msgs = [f"{name}'s {metric}: {value:g}"
                     for name, metric, value, _ in env.evaluation_result_list]
-            print(f"[{env.iteration + 1}]\t" + "\t".join(msgs))
+            from gpboost_tpu.utils.log import log_info
+            log_info(f"[{env.iteration + 1}]\t" + "\t".join(msgs))
 
     _callback.order = 10
     return _callback

@@ -143,7 +143,8 @@ def gradient_descent(value_fn: Callable, grad_fn: Callable,
         theta = cand
         history.append(nll_new)
         if cfg.trace:
-            print(f"GPModel trace: iter {it + 1}, nll = {nll_new:.6f}, "
+            from gpboost_tpu.utils.log import log_info
+            log_info(f"GPModel trace: iter {it + 1}, nll = {nll_new:.6f}, "
                   f"pars = {np.round(np.exp(theta), 6)}")
         if callback is not None:
             callback(it, theta, nll_new)
@@ -201,7 +202,8 @@ def fisher_scoring(value_fn: Callable, grad_fn: Callable, fisher_fn: Callable,
         theta = cand
         history.append(nll_new)
         if cfg.trace:
-            print(f"GPModel trace (fisher_scoring): iter {it + 1}, "
+            from gpboost_tpu.utils.log import log_info
+            log_info(f"GPModel trace (fisher_scoring): iter {it + 1}, "
                   f"nll = {nll_new:.6f}, pars = {np.round(np.exp(theta), 6)}")
         if callback is not None:
             callback(it, theta, nll_new)

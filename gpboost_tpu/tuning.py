@@ -53,7 +53,8 @@ def grid_search_tune_parameters(
                      (score > best["best_score"] if higher_better
                       else score < best["best_score"]))
         if verbose_eval and verbose_eval > 0:
-            print(f"params {dict(zip(keys, combo))}: {mean_keys[0]}="
+            from gpboost_tpu.utils.log import log_info
+            log_info(f"params {dict(zip(keys, combo))}: {mean_keys[0]}="
                   f"{score:g} @ iter {best_iter + 1}")
         if is_better:
             best = {"best_params": dict(zip(keys, combo)),

@@ -182,3 +182,42 @@ def test_dataset_field_api():
     assert list(ds.get_group()) == [25, 25]
     with pytest.raises(ValueError):
         ds.set_field("nonsense", None)
+
+
+def test_register_logger_redirects_library_output():
+    import logging
+    records = []
+
+    class H(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    lg = logging.getLogger("gpb_test_logger")
+    lg.setLevel(logging.DEBUG)
+    lg.addHandler(H())
+    gpb.register_logger(lg)
+    try:
+        rng = np.random.default_rng(13)
+        X = rng.uniform(size=(80, 2))
+        y = X[:, 0] + 0.1 * rng.normal(size=80)
+        ds = Dataset(X, label=y)
+        vs = Dataset(X, label=y, reference=ds)
+        gpb.train({"verbose": 1, "min_data_in_leaf": 5}, ds,
+                  num_boost_round=2, valid_sets=[vs], verbose_eval=True)
+    finally:
+        from gpboost_tpu.utils import log as _log
+        _log._LOGGER = _log._DummyLogger()
+    assert any("[1]" in r for r in records)  # eval lines went to the logger
+    with pytest.raises(TypeError):
+        gpb.register_logger("not a logger")
+
+
+def test_get_nested_categories():
+    outer = np.array([1, 1, 1, 2, 2, 2])
+    inner = np.array([1, 1, 2, 1, 1, 2])
+    nested = gpb.get_nested_categories(outer, inner)
+    # same (outer, inner) pair -> same level; pairs across outers differ
+    assert nested[0] == nested[1] != nested[2]
+    assert nested[3] == nested[4] != nested[5]
+    assert nested[0] != nested[3]
+    assert len(np.unique(nested)) == 4
