@@ -161,6 +161,13 @@ class GPModel:
                             "supports the gaussian likelihood")
                     from gpboost_tpu.models.vecchia_combined import (
                         VecchiaGroupedGP)
+                    if matrix_inversion_method == "iterative":
+                        from gpboost_tpu.utils.log import log_warning
+                        log_warning(
+                            "matrix_inversion_method='iterative' is not "
+                            "implemented for combined Vecchia + grouped "
+                            "models; using the Cholesky path in the q-dim "
+                            "random-effects space")
                     # one code column per grouped component (slopes share
                     # their base intercept's column via code_col)
                     gcodes = np.stack(
