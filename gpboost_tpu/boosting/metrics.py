@@ -69,21 +69,43 @@ def binary_error(y, prob, weight=None):
     return float(np.average((prob > 0.5) != (y > 0.5), weights=weight))
 
 
-def auc(y, score, weight=None):
-    order = np.argsort(score)
-    y_s = y[order]
-    w = np.ones_like(y_s) if weight is None else weight[order]
-    pos = np.sum(w * (y_s > 0))
-    neg = np.sum(w * (y_s <= 0))
-    if pos == 0 or neg == 0:
+def _weighted_auc(d, w, pos):
+    """Weighted AUC of discriminant ``d`` (positives should score high) with
+    0.5 credit for cross-class ties."""
+    order = np.argsort(d, kind="mergesort")
+    dp, wp, pp = d[order], w[order], pos[order]
+    cum_neg = np.cumsum(np.where(~pp, wp, 0.0))
+    auc_num = 0.0
+    k = 0
+    while k < len(dp):
+        k2 = k
+        while k2 < len(dp) and dp[k2] == dp[k]:
+            k2 += 1
+        neg_before = cum_neg[k - 1] if k > 0 else 0.0
+        neg_tied = cum_neg[k2 - 1] - neg_before
+        w_pos_tied = np.sum(np.where(pp[k:k2], wp[k:k2], 0.0))
+        auc_num += w_pos_tied * (neg_before + 0.5 * neg_tied)
+        k = k2
+    w_pos = np.sum(np.where(pp, wp, 0.0))
+    w_neg = np.sum(np.where(~pp, wp, 0.0))
+    if w_pos == 0 or w_neg == 0:
         return 0.5
-    cum_neg = np.cumsum(w * (y_s <= 0))
-    area = np.sum(w * (y_s > 0) * (cum_neg - 0.5 * w * (y_s <= 0) * 0))
-    # rank-based AUC with tie handling via average ranks
-    from scipy.stats import rankdata
-    r = rankdata(score)
-    auc_val = (np.sum(r[y > 0]) - pos * (pos + 1) / 2) / (pos * neg)
-    return float(auc_val)
+    return float(auc_num / (w_pos * w_neg))
+
+
+def auc(y, score, weight=None):
+    pos = y > 0
+    if weight is None:
+        # rank-based with average-rank tie handling
+        from scipy.stats import rankdata
+        n_pos = pos.sum()
+        n_neg = (~pos).sum()
+        if n_pos == 0 or n_neg == 0:
+            return 0.5
+        r = rankdata(score)
+        return float((np.sum(r[pos]) - n_pos * (n_pos + 1) / 2)
+                     / (n_pos * n_neg))
+    return _weighted_auc(np.asarray(score), np.asarray(weight), pos)
 
 
 def multi_logloss(y, prob_flat, weight=None, num_class=2):
@@ -103,7 +125,6 @@ def auc_mu(y, score_flat, weight=None, num_class=2, class_weights=None):
     """Multiclass AUC-mu (Kleiman & Page 2019; reference ``AucMuMetric``,
     multiclass_metric.hpp:183): mean over class pairs (i, j) of the AUC of
     the weighted-score discriminant t1 * (W_i - W_j)' s(x), ties 0.5."""
-    from scipy.stats import rankdata
     n = len(y)
     S = score_flat[:num_class * n].reshape(num_class, n)
     yi = y.astype(int)
@@ -122,35 +143,7 @@ def auc_mu(y, score_flat, weight=None, num_class=2, class_weights=None):
             if not np.any(yi == i) or not np.any(yi == j):
                 continue
             d = t1 * (v @ S[:, sel])
-            pos = yi[sel] == i
-            ws = w[sel]
-            r = rankdata(d)
-            # weighted rank AUC with average-rank tie handling
-            if weight is None:
-                n_pos = pos.sum()
-                n_neg = (~pos).sum()
-                auc_ij = ((r[pos].sum() - n_pos * (n_pos + 1) / 2)
-                          / (n_pos * n_neg))
-            else:
-                order = np.argsort(d, kind="mergesort")
-                dp, wp = d[order], ws[order]
-                pp = pos[order]
-                cum_neg = np.cumsum(np.where(~pp, wp, 0.0))
-                # ties: class-j weight at the same value contributes 0.5
-                auc_num = 0.0
-                k = 0
-                while k < len(dp):
-                    k2 = k
-                    while k2 < len(dp) and abs(dp[k2] - dp[k]) < 1e-15:
-                        k2 += 1
-                    neg_before = cum_neg[k - 1] if k > 0 else 0.0
-                    neg_tied = (cum_neg[k2 - 1] - neg_before)
-                    for t in range(k, k2):
-                        if pp[t]:
-                            auc_num += wp[t] * (neg_before + 0.5 * neg_tied)
-                    k = k2
-                auc_ij = auc_num / (ws[pos].sum() * ws[~pos].sum())
-            total += auc_ij
+            total += _weighted_auc(d, w[sel], yi[sel] == i)
     return float(2.0 * total / num_class / (num_class - 1))
 
 
