@@ -928,15 +928,22 @@ def vecchia_nll(a, d_cond, neighbors, r, row_weight=None):
 def find_neighbors_cross(coords_pred: jnp.ndarray, coords_obs: jnp.ndarray,
                          num_neighbors: int, chunk: int = 256,
                          codes_pred: Optional[jnp.ndarray] = None,
-                         codes_obs: Optional[jnp.ndarray] = None
-                         ) -> jnp.ndarray:
+                         codes_obs: Optional[jnp.ndarray] = None,
+                         method: str = "auto") -> jnp.ndarray:
     """Nearest observed points for each prediction point. [n_p, m] int32.
 
     With ``codes_pred``/``codes_obs``, only same-code observed points are
-    eligible (per-``cluster_ids`` independence); missing slots are -1."""
+    eligible (per-``cluster_ids`` independence); missing slots are -1.
+
+    ``method`` as in :func:`find_neighbors`: 'approx' = TPU-optimized
+    ``lax.approx_max_k`` (recall 0.99 — wide-row ``top_k`` is ~1000x slower
+    on TPU); 'auto' = approx on TPU when the observed table is large."""
     n_p = coords_pred.shape[0]
     n_o = coords_obs.shape[0]
     m = min(num_neighbors, n_o)
+    if method == "auto":
+        method = ("approx" if jax.default_backend() == "tpu" and n_o > 4096
+                  else "exact")
     n_pad = ((n_p + chunk - 1) // chunk) * chunk
     cp = jnp.pad(coords_pred, ((0, n_pad - n_p), (0, 0)))
     cpc = (None if codes_pred is None
@@ -944,13 +951,13 @@ def find_neighbors_cross(coords_pred: jnp.ndarray, coords_obs: jnp.ndarray,
                         constant_values=-7))
     co = (None if codes_obs is None
           else jnp.asarray(codes_obs, jnp.int32))
-    out = _nn_cross_scan(cp, coords_obs, cpc, co, chunk, m)
+    out = _nn_cross_scan(cp, coords_obs, cpc, co, chunk, m, method)
     return out.reshape(n_pad, -1)[:n_p]
 
 
-@partial(jax.jit, static_argnums=(4, 5))
+@partial(jax.jit, static_argnums=(4, 5, 6))
 def _nn_cross_scan(cp, coords_obs, codes_pred_pad, codes_obs,
-                   chunk: int, m: int):
+                   chunk: int, m: int, method: str = "exact"):
     """All cross-neighbor chunks in one dispatch (module-level cached jit)."""
     n_pad = cp.shape[0]
     sq_o = jnp.sum(coords_obs * coords_obs, axis=1)
@@ -966,7 +973,10 @@ def _nn_cross_scan(cp, coords_obs, codes_pred_pad, codes_obs,
                                               (chunk,))
             d2 = jnp.where(codes_obs[None, :] == row_codes[:, None],
                            d2, jnp.inf)
-        neg_d, idx = jax.lax.top_k(-d2, m)
+        if method == "approx":
+            neg_d, idx = jax.lax.approx_max_k(-d2, m)
+        else:
+            neg_d, idx = jax.lax.top_k(-d2, m)
         idx = jnp.where(jnp.isfinite(neg_d), idx, -1)
         return idx.astype(jnp.int32)
 
