@@ -257,14 +257,16 @@ def canonical_name(name: str) -> str:
 
 
 def _type_ok(p: Param, v) -> bool:
+    import numbers
     if v is None:
         return True
     if p.ptype == "int":
-        return isinstance(v, (int, float)) and float(v) == int(v)
+        return (isinstance(v, numbers.Number)
+                and not isinstance(v, complex) and float(v) == int(v))
     if p.ptype == "float":
-        return isinstance(v, (int, float))
+        return isinstance(v, numbers.Number) and not isinstance(v, complex)
     if p.ptype == "bool":
-        return isinstance(v, (bool, int))
+        return isinstance(v, (bool, numbers.Integral))
     if p.ptype == "str":
         return isinstance(v, str)
     return True
