@@ -266,7 +266,8 @@ def _type_ok(p: Param, v) -> bool:
     if p.ptype == "float":
         return isinstance(v, numbers.Number) and not isinstance(v, complex)
     if p.ptype == "bool":
-        return isinstance(v, (bool, numbers.Integral))
+        import numpy as _np
+        return isinstance(v, (bool, _np.bool_, numbers.Integral))
     if p.ptype == "str":
         return isinstance(v, str)
     return True
