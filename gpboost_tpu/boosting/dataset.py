@@ -221,7 +221,7 @@ class Dataset:
         if self.group is not None:
             payload["group"] = np.asarray(self.group)
         with open(filename, "wb") as f:
-            np.savez_compressed(f, **payload, allow_pickle=True)
+            np.savez_compressed(f, **payload)
         return self
 
     def _load_binary(self, filename, label, weight, init_score, group):
