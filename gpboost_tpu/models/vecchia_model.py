@@ -556,6 +556,24 @@ class VecchiaGP:
                 self.coords, jnp.asarray(coords_pred, self.dtype), nb_pred,
                 self.z_orig, zp, r, bool(predict_response))
             return mean, (var if predict_var else None)
+        if (self._pallas_shape is not None
+                and jax.default_backend() == "tpu" and self.mesh is None):
+            # fused Pallas factor kernel serves the PREDICTION build too
+            # (row_coords = the prediction points)
+            shape_code, is_ard = self._pallas_shape
+            from gpboost_tpu.ops.kernels.vecchia_factors import (
+                vecchia_factors_pallas)
+            cp32 = jnp.asarray(cov_pars, jnp.float32)
+            a, d = vecchia_factors_pallas(
+                cp32[1:], self.coords, nb_pred, cp32[0], True, shape_code,
+                ard=is_ard,
+                row_coords=jnp.asarray(coords_pred, jnp.float32))
+            mask = nb_pred >= 0
+            idx = jnp.maximum(nb_pred, 0)
+            mean = jnp.sum(jnp.where(mask, a, 0.0)
+                           * jnp.asarray(r, jnp.float32)[idx], axis=1)
+            var = d if predict_response else d - cp32[0]
+            return mean, (jnp.maximum(var, 0.0) if predict_var else None)
         mean, var = vops.predict_vecchia_response(
             self.cov_fn, cov_pars[1:], cov_pars[0], self.coords,
             jnp.asarray(coords_pred, self.dtype), nb_pred, r,

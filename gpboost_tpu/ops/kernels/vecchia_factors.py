@@ -241,13 +241,19 @@ def vecchia_nll_grad_pallas(log_cov_pars, coords, neighbors, r,
 
 def vecchia_factors_pallas(cov_pars, coords, neighbors, nugget,
                            include_nugget: bool, shape: float,
-                           ard: bool = False):
+                           ard: bool = False, row_coords=None):
     """Fused (A [n, m], D [n]) Vecchia factor build; cov_pars = [var, range]
     (isotropic) or [var, rho_1..rho_d] (``ard=True``).
+
+    ``row_coords`` (default = ``coords``): coordinates of the rows the
+    ``neighbors`` matrix refers to — pass the PREDICTION points with the
+    observed-coordinate gather table for prediction factor builds.
 
     f32 in/out. Forward only — wrap with a custom VJP at the call site for
     gradients (the jnp transposed path supplies the backward).
     """
+    if row_coords is None:
+        row_coords = coords
     n, m = neighbors.shape
     dim = coords.shape[1]
     if shape not in _SUPPORTED_SHAPES:
@@ -260,7 +266,7 @@ def vecchia_factors_pallas(cov_pars, coords, neighbors, nugget,
     # [m, d, G, 8, 128]: every (pair, block) is one full (8, 128) tile
     nbT = jnp.pad(jnp.transpose(nb_coords, (1, 2, 0)),
                   ((0, 0), (0, 0), (0, n_pad - n))).reshape(m, dim, g, 8, 128)
-    rowT = jnp.pad(coords.T.astype(jnp.float32),
+    rowT = jnp.pad(row_coords.T.astype(jnp.float32),
                    ((0, 0), (0, n_pad - n))).reshape(dim, g, 8, 128)
     maskT = jnp.pad(mask.T, ((0, 0), (0, n_pad - n)),
                     constant_values=1.0).reshape(m, g, 8, 128)

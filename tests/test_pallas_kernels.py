@@ -99,3 +99,24 @@ def test_vecchia_nll_grad_pallas_ard_interpret():
                                rtol=2e-3, atol=2e-2)
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=2e-5)
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=2e-5)
+
+
+def test_vecchia_factors_pallas_row_coords_interpret():
+    """Prediction factor build: row_coords = prediction points with the
+    observed gather table matches the jnp build."""
+    from gpboost_tpu.ops import vecchia as vops
+    from gpboost_tpu.ops.cov_fns import CovFunction
+    from gpboost_tpu.ops.kernels.vecchia_factors import vecchia_factors_pallas
+    rng = np.random.default_rng(1)
+    n_o, n_p, m = 600, 1100, 8
+    coords = jnp.asarray(rng.uniform(size=(n_o, 2)), dtype=jnp.float32)
+    coords_pred = jnp.asarray(rng.uniform(size=(n_p, 2)), dtype=jnp.float32)
+    nb = vops.find_neighbors_cross(coords_pred, coords, m, method="exact")
+    cov_fn = CovFunction.create("exponential")
+    cp = jnp.asarray([1.0, 0.15], jnp.float32)
+    a1, d1 = vops.build_factors(cov_fn, cp, coords, nb, jnp.float32(0.2),
+                                True, row_coords=coords_pred)
+    a2, d2 = vecchia_factors_pallas(cp, coords, nb, jnp.float32(0.2), True,
+                                    0.5, row_coords=coords_pred)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=2e-5)
