@@ -368,6 +368,67 @@ class GPModel:
         return self
 
     # ------------------------------------------------------------------
+    def get_num_cg_steps(self) -> int:
+        """PCG iteration count for one solve of the current system at the
+        fitted parameters — the conditioning diagnostic the reference
+        exposes as ``GPB_GetNumCGSteps`` (c_api). Requires
+        ``matrix_inversion_method='iterative'`` and a fitted model."""
+        if self.matrix_inversion_method != "iterative":
+            raise ValueError(
+                "get_num_cg_steps requires matrix_inversion_method="
+                "'iterative'")
+        if self.cov_pars_ is None or self.data.y is None:
+            raise ValueError("fit() must be called first")
+        from gpboost_tpu.ops import cg as cgops
+        cov_pars = jnp.asarray(self.cov_pars_, dtype=self.dtype)
+        if self._grouped_only:
+            from gpboost_tpu.models import grouped
+            data = self.data
+            db = grouped._sigma_b_diag(self.spec, cov_pars[1:]
+                                       if self.spec.is_gaussian
+                                       else cov_pars, data.y.dtype)
+            if self.spec.is_gaussian:
+                shift = cov_pars[0] / db
+                w = None
+            else:
+                b, w_obs, db = grouped.laplace_mode_and_w(
+                    self.spec, data, cov_pars, self._aux_pars_array(),
+                    getattr(self, "_train_fixed_effects", None))
+                shift = 1.0 / db
+                w = w_obs
+            diag = grouped.ztw_z_diag(self.spec, data, w) + shift
+            rhs = grouped.zt_mul(self.spec, data, data.y)
+            _, it = cgops.pcg(
+                lambda V: grouped._mv_sys(self.spec, data, w, shift, V),
+                rhs,
+                lambda R: R / (diag[:, None] if R.ndim == 2 else diag),
+                tol=self.optim_cfg.cg_delta_conv,
+                max_iter=self.optim_cfg.cg_max_num_it)
+            return int(it)
+        vec = self._approx
+        if vec is not None and hasattr(vec, "_latent_factors"):
+            from gpboost_tpu.models.vecchia_model import _precision_diag
+            from gpboost_tpu.ops import vecchia as vops
+            a, d = vec._latent_factors(
+                cov_pars if not self.spec.is_gaussian else cov_pars[1:])
+            diag = jnp.maximum(_precision_diag(a, vec.neighbors, d), 1e-10)
+            rhs = jnp.asarray(np.asarray(self.data.y,
+                                         np.float64)[vec.perm], self.dtype)
+            _, it = cgops.pcg(
+                lambda v: (vops.precision_matvec(a, vec.neighbors, d, v)
+                           if v.ndim == 1 else
+                           jax.vmap(lambda c: vops.precision_matvec(
+                               a, vec.neighbors, d, c),
+                               in_axes=1, out_axes=1)(v)),
+                rhs,
+                lambda r: r / (diag[:, None] if r.ndim == 2 else diag),
+                tol=self.optim_cfg.cg_delta_conv,
+                max_iter=self.optim_cfg.cg_max_num_it)
+            return int(it)
+        raise NotImplementedError(
+            "get_num_cg_steps is not implemented for this model structure")
+
+    # ------------------------------------------------------------------
     def use_mesh(self, mesh):
         """Shard this model's row-parallel structure over a device mesh so
         ``fit``/``neg_log_likelihood`` run as SPMD programs (data-parallel

@@ -294,3 +294,29 @@ class TestGroupedIterativePrediction:
         np.testing.assert_allclose(p_i["mu"], p_d["mu"], rtol=0.02)
         np.testing.assert_allclose(p_i["var"], p_d["var"], rtol=0.15,
                                    atol=0.02)
+
+
+def test_get_num_cg_steps():
+    """Conditioning diagnostic (GPB_GetNumCGSteps equivalent)."""
+    rng = np.random.default_rng(12)
+    n, q = 400, 30
+    g = rng.integers(0, q, size=n)
+    y = 0.8 * rng.standard_normal(q)[g] + 0.5 * rng.standard_normal(n)
+    m = GPModel(group_data=g, matrix_inversion_method="iterative")
+    with pytest.raises(ValueError):
+        m.get_num_cg_steps()  # not fitted yet
+    m.fit(y=y)
+    steps = m.get_num_cg_steps()
+    assert 1 <= steps <= 1000
+    m2 = GPModel(group_data=g)
+    m2.fit(y=y)
+    with pytest.raises(ValueError):
+        m2.get_num_cg_steps()  # cholesky model
+    # vecchia-laplace variant
+    coords = rng.uniform(size=(200, 2))
+    yv = rng.poisson(1.0, 200).astype(float)
+    mv = GPModel(gp_coords=coords, cov_function="exponential",
+                 gp_approx="vecchia", num_neighbors=10,
+                 likelihood="poisson", matrix_inversion_method="iterative")
+    mv.fit(y=yv, params={"maxit": 5})
+    assert 1 <= mv.get_num_cg_steps() <= 1000
