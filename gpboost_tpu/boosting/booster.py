@@ -626,6 +626,188 @@ class Booster:
         tree.leaf_value[leaf_nodes] = a
 
     # ------------------------------------------------------------------
+    # convenience surface (reference ``Booster``, basic.py:2323)
+    def num_trees(self):
+        return len(self.trees)
+
+    def num_model_per_iteration(self):
+        return self.num_models
+
+    def feature_name(self):
+        if self.train_set is not None:
+            return list(self.train_set.feature_name)
+        return [f"Column_{i}" for i in range(self.num_feature())]
+
+    def attr(self, key):
+        """Get a model attribute string (``Booster.attr``)."""
+        return getattr(self, "_attrs", {}).get(key)
+
+    def set_attr(self, **kwargs):
+        """Set model attribute strings (``Booster.set_attr``)."""
+        attrs = getattr(self, "_attrs", {})
+        for k, v in kwargs.items():
+            if v is None:
+                attrs.pop(k, None)
+            else:
+                attrs[k] = str(v)
+        self._attrs = attrs
+        return self
+
+    def set_train_data_name(self, name):
+        self._train_data_name = name
+        return self
+
+    def dump_model(self, num_iteration=None, start_iteration=0):
+        """Model as a python dict (``Booster.dump_model``)."""
+        return self._to_dict()
+
+    @classmethod
+    def model_from_string(cls, model_str):
+        return cls(model_str=model_str)
+
+    def free_dataset(self):
+        """Drop the reference to the training Dataset (frees the binned
+        matrix; the booster can still predict on raw data)."""
+        self.train_set = None
+        return self
+
+    def free_network(self):
+        """No-op: the mesh replaces the reference's network (the SPMD
+        programs tear down with the process)."""
+        return self
+
+    def set_network(self, *args, **kwargs):
+        raise NotImplementedError(
+            "set_network is replaced by mesh sharding: construct the "
+            "Dataset/Booster inside gpboost_tpu.use_mesh(mesh) (multi-host "
+            "via gpboost_tpu.distributed.initialize)")
+
+    def reset_parameter(self, params):
+        """Update training parameters between iterations
+        (``Booster.reset_parameter``)."""
+        from gpboost_tpu import config as cfg_mod
+        params = cfg_mod.resolve_params(params)
+        for k, v in params.items():
+            if k == "learning_rate":
+                self.learning_rate = float(v)
+            else:
+                self.params[k] = v
+        return self
+
+    def rollback_one_iter(self):
+        """Undo the last boosting iteration (``Booster.rollback_one_iter``)."""
+        if not self.trees:
+            return self
+        n = self.train_set.num_data if self.train_set is not None else None
+        for _ in range(self.num_models):
+            if not self.trees:
+                break
+            tree = self.trees.pop()
+            m = len(self.trees) % self.num_models
+            if n is not None:
+                vals = self._tree_train_pred(tree)
+                self._score[m * n:(m + 1) * n] -= vals
+            for vi, vset in enumerate(self.valid_sets):
+                vvals, _ = self._tree_raw_pred(
+                    tree, jnp.asarray(vset.raw_data),
+                    jnp.asarray(self._cat_bins_matrix(vset.raw_data)))
+                nv = vset.num_data
+                self._valid_scores[vi][m * nv:(m + 1) * nv] -= \
+                    np.asarray(vvals)
+        return self
+
+    def shuffle_models(self, start_iteration=0, end_iteration=-1):
+        """Randomly permute the tree order in [start, end)
+        (``Booster.shuffle_models``)."""
+        lo = start_iteration * self.num_models
+        hi = (len(self.trees) if end_iteration < 0
+              else end_iteration * self.num_models)
+        rng = np.random.default_rng(int(self.params.get("seed", 0)))
+        idx = np.arange(lo, hi)
+        rng.shuffle(idx)
+        block = [self.trees[i] for i in idx]
+        self.trees[lo:hi] = block
+        return self
+
+    def get_leaf_output(self, tree_id, leaf_id):
+        tree = self.trees[tree_id]
+        return float(tree.leaf_value[tree.leaf_index_order()[leaf_id]])
+
+    def get_split_value_histogram(self, feature, bins=None):
+        """Histogram of the split thresholds used for ``feature``
+        (``Booster.get_split_value_histogram``)."""
+        if isinstance(feature, str):
+            feature = self.feature_name().index(feature)
+        thresholds = []
+        for tree in self.trees:
+            for node in np.flatnonzero(~tree.is_leaf):
+                if (int(tree.split_feature[node]) == feature
+                        and (tree.is_categorical is None
+                             or not tree.is_categorical[node])):
+                    thresholds.append(float(tree.threshold[node]))
+        thresholds = np.asarray(thresholds)
+        if bins is None:
+            bins = max(1, min(32, len(thresholds)))
+        return np.histogram(thresholds[np.isfinite(thresholds)], bins=bins)
+
+    def _pred_bound(self, reduce_fn):
+        total = 0.0
+        for k, tree in enumerate(self.trees):
+            leaves = tree.leaf_value[tree.is_leaf]
+            total += float(reduce_fn(leaves)) if len(leaves) else 0.0
+        return total + float(reduce_fn(np.atleast_1d(self.init_score)))
+
+    def lower_bound(self):
+        """Lower bound of raw predictions (sum of per-tree minima)."""
+        return self._pred_bound(np.min)
+
+    def upper_bound(self):
+        """Upper bound of raw predictions (sum of per-tree maxima)."""
+        return self._pred_bound(np.max)
+
+    def eval(self, data, name, feval=None):
+        """Evaluate on an added validation Dataset (or the train set)."""
+        if data is self.train_set:
+            return self.eval_train()
+        for vset, vname, score in zip(self.valid_sets, self.valid_names,
+                                      self._valid_scores):
+            if data is vset or name == vname:
+                return self._eval(vset, name, score)
+        raise ValueError("data must be the train set or an added valid set")
+
+    def trees_to_dataframe(self):
+        """Tree structure as a pandas DataFrame
+        (``Booster.trees_to_dataframe``)."""
+        import pandas as pd
+        rows = []
+        names = self.feature_name()
+        for k, tree in enumerate(self.trees):
+            for node in range(len(tree.is_leaf)):
+                reachable = (node == 0 or node in set(tree.left[~tree.is_leaf])
+                             or node in set(tree.right[~tree.is_leaf]))
+                if not reachable:
+                    continue
+                if tree.is_leaf[node]:
+                    rows.append(dict(
+                        tree_index=k, node_index=node, split_feature=None,
+                        threshold=None, decision_type=None,
+                        left_child=None, right_child=None,
+                        value=float(tree.leaf_value[node]),
+                        count=(None if tree.node_count is None
+                               else float(tree.node_count[node]))))
+                else:
+                    f = int(tree.split_feature[node])
+                    rows.append(dict(
+                        tree_index=k, node_index=node,
+                        split_feature=names[f] if f < len(names) else f,
+                        threshold=float(tree.threshold[node]),
+                        decision_type="<=", left_child=int(tree.left[node]),
+                        right_child=int(tree.right[node]), value=0.0,
+                        count=(None if tree.node_count is None
+                               else float(tree.node_count[node]))))
+        return pd.DataFrame(rows)
+
+    # ------------------------------------------------------------------
     def eval_train(self):
         return self._eval(self.train_set, "training", self._score)
 
@@ -1067,6 +1249,7 @@ class Booster:
                          or not self.train_set.cat_maps else
                          {str(f): {str(k): int(v) for k, v in mp.items()}
                           for f, mp in self.train_set.cat_maps.items()}),
+            "attrs": getattr(self, "_attrs", {}),
         }
         if self.gp_model is not None:
             d["gp_model"] = self.gp_model.model_to_dict()
@@ -1092,6 +1275,7 @@ class Booster:
                            for f, mp in cm.items()})
         self.num_class = d.get("num_class", 1)
         self.num_models = d.get("num_models", 1)
+        self._attrs = d.get("attrs", {})
         self.init_score = np.asarray(d["init_score"], dtype=np.float64)
         self.trees = [Tree.from_dict(td) for td in d["trees"]]
         self.best_iteration = d.get("best_iteration", -1)

@@ -320,6 +320,87 @@ class Dataset:
     def num_feature(self):
         return self.num_features
 
+    # ------------------------------------------------------------------
+    # convenience surface (reference ``Dataset``, basic.py:1180)
+    def get_data(self):
+        return self.raw_data
+
+    def get_feature_name(self):
+        return list(self.feature_name)
+
+    def get_params(self):
+        return {"max_bin": self.max_bin,
+                "categorical_feature": list(self.categorical_feature),
+                "tree_learner": self.tree_learner}
+
+    def get_ref_chain(self, ref_limit=100):
+        chain = [self]
+        ref = getattr(self, "_reference", None)
+        while ref is not None and len(chain) < ref_limit:
+            chain.append(ref)
+            ref = getattr(ref, "_reference", None)
+        return set(chain)
+
+    def set_feature_name(self, feature_name):
+        if len(feature_name) != self.num_features:
+            raise ValueError("feature_name length must equal num_features")
+        self.feature_name = list(feature_name)
+        return self
+
+    def set_categorical_feature(self, categorical_feature):
+        """Re-bin with a new categorical-feature set
+        (``Dataset.set_categorical_feature``)."""
+        new = sorted(set(categorical_feature or []))
+        if new == self.categorical_feature:
+            return self
+        self.categorical_feature = new
+        self._find_bins()
+        self._bin_data()
+        return self
+
+    def set_reference(self, reference):
+        """Adopt another Dataset's bin mapping (``Dataset.set_reference``)."""
+        self.bin_upper_bounds = reference.bin_upper_bounds
+        self.num_bins = reference.num_bins
+        self.categorical_feature = reference.categorical_feature
+        self.cat_maps = reference.cat_maps
+        self.has_nan = reference.has_nan
+        self._reference = reference
+        self._bin_data()
+        return self
+
+    def subset(self, used_indices, params=None):
+        """Row-subset Dataset sharing this Dataset's bin mapping
+        (``Dataset.subset``)."""
+        idx = np.asarray(used_indices, dtype=np.int64)
+        sub = Dataset(self.raw_data[idx],
+                      label=None if self.label is None else self.label[idx],
+                      reference=self,
+                      weight=None if self.weight is None
+                      else self.weight[idx],
+                      init_score=None if self.init_score is None
+                      else self.init_score[idx],
+                      feature_name=self.feature_name, params=params)
+        sub._reference = self
+        return sub
+
+    def add_features_from(self, other: "Dataset"):
+        """Horizontally stack another Dataset's features onto this one and
+        re-bin (``Dataset.add_features_from``)."""
+        if other.num_data != self.num_data:
+            raise ValueError("Datasets must have the same number of rows")
+        self.raw_data = np.concatenate([self.raw_data, other.raw_data],
+                                       axis=1)
+        self.categorical_feature = sorted(
+            set(self.categorical_feature)
+            | {f + self.num_features for f in other.categorical_feature})
+        self.feature_name = (list(self.feature_name)
+                             + list(other.feature_name))
+        self.num_features = self.raw_data.shape[1]
+        self._find_bins()
+        self._bin_data()
+        return self
+
     def bin_for_threshold(self, feature: int, value: float) -> int:
         """Largest bin whose upper bound is <= value (forced splits resolve
         raw thresholds to the binned split the grower uses)."""
