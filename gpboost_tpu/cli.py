@@ -103,6 +103,18 @@ def main(argv=None):
         pred = bst.predict(X)
         np.savetxt(out_result, np.asarray(pred))
         print(f"Finished prediction. Results saved to {out_result}")
+    elif task == "refit":
+        # refit leaf values on new data keeping tree structures
+        # (reference task=refit, config.h:108)
+        data_path = params.pop("data")
+        model_path = params.pop("input_model", "GPBoost_model.json")
+        out_model = params.pop("output_model", "GPBoost_model_refit.json")
+        decay = float(params.pop("refit_decay_rate", 0.9))
+        X, y = load_data(data_path, has_header, label_column)
+        bst = gpb.Booster(model_file=model_path)
+        bst.refit(X, y, decay_rate=decay)
+        bst.save_model(out_model)
+        print(f"Finished refit. Model saved to {out_model}")
     elif task == "convert_model":
         # reference task converting a model file to if-else source
         # (config.h:240-244,802-813)

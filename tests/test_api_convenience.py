@@ -120,3 +120,23 @@ def test_set_categorical_feature():
     ds.set_categorical_feature([0])
     assert ds.categorical_feature == [0]
     assert 0 in ds.cat_maps
+
+
+def test_cli_refit_task(tmp_path):
+    from gpboost_tpu.cli import main
+    rng = np.random.default_rng(5)
+    X = rng.uniform(size=(150, 2))
+    y = X[:, 0] + 0.1 * rng.normal(size=150)
+    data = np.column_stack([y, X])
+    train_f = str(tmp_path / "train.csv")
+    np.savetxt(train_f, data, delimiter=",")
+    model_f = str(tmp_path / "model.json")
+    assert main(["task=train", f"data={train_f}", "num_iterations=5",
+                 f"output_model={model_f}", "verbose=-1",
+                 "min_data_in_leaf=5"]) == 0
+    refit_f = str(tmp_path / "model_refit.json")
+    assert main(["task=refit", f"data={train_f}",
+                 f"input_model={model_f}",
+                 f"output_model={refit_f}"]) == 0
+    b = gpb.Booster(model_file=refit_f)
+    assert b.num_trees() == 5
