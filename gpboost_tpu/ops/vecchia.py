@@ -89,6 +89,10 @@ def find_neighbors(coords: jnp.ndarray, num_neighbors: int,
     if method == "auto":
         method = ("approx" if jax.default_backend() == "tpu" and n > 4096
                   else "exact")
+    if method == "approx" and coords.dtype == jnp.float64:
+        # approx_max_k has no f64 lowering on TPU (X64-rewrite unsupported
+        # for PartialReduce); f32 distances are ample for neighbor SELECTION
+        coords = coords.astype(jnp.float32)
     n_pad = ((n + chunk - 1) // chunk) * chunk
     coords_pad = jnp.pad(coords, ((0, n_pad - n), (0, 0)))
     codes_pad = (None if codes is None
@@ -944,6 +948,10 @@ def find_neighbors_cross(coords_pred: jnp.ndarray, coords_obs: jnp.ndarray,
     if method == "auto":
         method = ("approx" if jax.default_backend() == "tpu" and n_o > 4096
                   else "exact")
+    if method == "approx" and coords_obs.dtype == jnp.float64:
+        # see find_neighbors: no f64 approx_max_k lowering on TPU
+        coords_obs = coords_obs.astype(jnp.float32)
+        coords_pred = coords_pred.astype(jnp.float32)
     n_pad = ((n_p + chunk - 1) // chunk) * chunk
     cp = jnp.pad(coords_pred, ((0, n_pad - n_p), (0, 0)))
     cpc = (None if codes_pred is None
