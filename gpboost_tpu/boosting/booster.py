@@ -93,6 +93,9 @@ class Booster:
         self.xgboost_dart_mode = bool(p.get("xgboost_dart_mode", False))
         self._dart_rng = np.random.default_rng(int(p.get("drop_seed", 4)))
         self._tree_weights: List[float] = []
+        # voting-parallel learner (PV-Tree): local top-k feature vote
+        # (voting_parallel_tree_learner.cpp, config.h ``top_k``)
+        self.top_k = int(p.get("top_k", p.get("topk", 20)))
         # GOSS settings (goss.hpp)
         self.top_rate = float(p.get("top_rate", 0.2))
         self.other_rate = float(p.get("other_rate", 0.1))
@@ -451,14 +454,37 @@ class Booster:
             if ds.categorical_feature:
                 cat_mask_arr = np.zeros(n_feat_grower, dtype=bool)
                 cat_mask_arr[list(ds.categorical_feature)] = True
+            # voting-parallel learner (PV-Tree, tree_learner='voting'): only
+            # meaningful under an active mesh — the vote decides which
+            # features' histograms cross ICI (parallel/mesh.py
+            # make_voting_context); single-device it degenerates to serial
+            voting_ctx = None
+            mesh_v = getattr(ds, "_shard_mesh", None)
+            if ds.tree_learner == "voting" and mesh_v is not None:
+                if cat_mask_arr is not None:
+                    raise NotImplementedError(
+                        "tree_learner='voting' does not support categorical "
+                        "features")
+                key = num_bins.tobytes()
+                if getattr(self, "_voting_key", None) != key:
+                    from gpboost_tpu.parallel.mesh import make_voting_context
+                    self._voting_ctx = make_voting_context(
+                        mesh_v, ds.max_num_bins, self.top_k, num_bins,
+                        self.grower.lambda_l1, self.grower.lambda_l2,
+                        float(self.grower.min_data_in_leaf),
+                        self.grower.min_sum_hessian_in_leaf,
+                        axis=ds._shard_axis)
+                    self._voting_key = key
+                voting_ctx = self._voting_ctx
             # single-dispatch jitted grower on accelerators for the common
             # case; the host-driven grower handles categorical / monotone /
-            # CEGB / forced splits (and stays the CPU default)
+            # CEGB / forced splits / voting (and stays the CPU default)
             use_fast = (jax.default_backend() != "cpu"
                         and cat_mask_arr is None
                         and self._monotone is None
                         and getattr(self, "_forced_splits", None) is None
-                        and self._cegb is None)
+                        and self._cegb is None
+                        and voting_ctx is None)
             nan_mask = ds.has_nan if bool(np.any(ds.has_nan)) else None
             if nan_mask is not None and len(nan_mask) != n_feat_grower:
                 nan_mask = np.concatenate(
@@ -482,9 +508,10 @@ class Booster:
                         self.params.get("max_cat_threshold", 32)),
                     monotone_constraints=self._monotone,
                     forced_splits=getattr(self, "_forced_splits", None),
-                    cegb=self._cegb, nan_mask=nan_mask)
+                    cegb=self._cegb, nan_mask=nan_mask,
+                    voting_ctx=voting_ctx)
             # real-valued thresholds for raw prediction
-            for node in np.flatnonzero(~tree.is_leaf):
+            for node in tree.internal_nodes():
                 if tree.is_categorical is not None and tree.is_categorical[node]:
                     continue
                 tree.threshold[node] = ds.threshold_value(
@@ -740,7 +767,7 @@ class Booster:
             feature = self.feature_name().index(feature)
         thresholds = []
         for tree in self.trees:
-            for node in np.flatnonzero(~tree.is_leaf):
+            for node in tree.internal_nodes():
                 if (int(tree.split_feature[node]) == feature
                         and (tree.is_categorical is None
                              or not tree.is_categorical[node])):
@@ -783,8 +810,9 @@ class Booster:
         names = self.feature_name()
         for k, tree in enumerate(self.trees):
             for node in range(len(tree.is_leaf)):
-                reachable = (node == 0 or node in set(tree.left[~tree.is_leaf])
-                             or node in set(tree.right[~tree.is_leaf]))
+                internal = tree.internal_nodes()
+                reachable = (node == 0 or node in set(tree.left[internal])
+                             or node in set(tree.right[internal]))
                 if not reachable:
                     continue
                 if tree.is_leaf[node]:
@@ -1201,7 +1229,7 @@ class Booster:
         limit = (len(self.trees) if iteration in (None, -1, 0)
                  else min(iteration * self.num_models, len(self.trees)))
         for tree in self.trees[:limit]:
-            for node in np.flatnonzero(~tree.is_leaf):
+            for node in tree.internal_nodes():
                 if importance_type == "gain":
                     if tree.split_gain is None:
                         raise ValueError(
@@ -1215,8 +1243,8 @@ class Booster:
     def num_feature(self):
         if self.train_set is not None:
             return self.train_set.num_features
-        return int(max(int(np.max(t.split_feature[~t.is_leaf], initial=0))
-                       for t in self.trees)) + 1
+        return int(max(int(np.max(t.split_feature[t.internal_nodes()],
+                               initial=0)) for t in self.trees)) + 1
 
     # ------------------------------------------------------------------
     def model_to_string(self):

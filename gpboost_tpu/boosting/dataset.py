@@ -149,6 +149,8 @@ class Dataset:
         from gpboost_tpu import parallel as par
         mesh = par.active_mesh()
         self.num_bins_grower = self.num_bins
+        self._shard_mesh = mesh
+        self._shard_axis = par.data_axis() if mesh is not None else None
         if mesh is not None:
             ndev = int(np.prod(mesh.devices.shape))
             if self.tree_learner == "feature":
@@ -171,11 +173,12 @@ class Dataset:
                     self.binned,
                     NamedSharding(mesh, P(None, par.data_axis())))
             elif self.tree_learner == "voting":
-                # voting-parallel exists in the reference purely to shrink
-                # the network allreduce of histograms (top-k voting,
-                # voting_parallel_tree_learner.cpp); XLA collectives over
-                # ICI make that compression counterproductive on TPU, so
-                # voting falls back to the data-parallel layout
+                # voting-parallel (PV-Tree): rows shard like data-parallel,
+                # but the grower routes histogram aggregation through the
+                # per-leaf top-k feature vote (parallel/mesh.py
+                # make_voting_context) so only the globally selected
+                # 2*top_k features' histograms cross ICI
+                # (voting_parallel_tree_learner.cpp:151,322)
                 pad = (-n) % ndev
                 if pad:
                     self.binned = jnp.concatenate(

@@ -245,6 +245,14 @@ class Tree:
     max_depth_used: int = 1
     shrinkage: float = 1.0
 
+    def internal_nodes(self) -> np.ndarray:
+        """Indices of REAL internal (split) nodes. The flat arrays are
+        fixed-size [2*num_leaves-1]; nodes never allocated (growth stopped
+        early) have ``is_leaf=False`` but ``left`` pointing to themselves —
+        ``~is_leaf`` alone would count them as feature-0 splits."""
+        idx = np.arange(len(self.is_leaf))
+        return np.flatnonzero(~self.is_leaf & (self.left != idx))
+
     def to_dict(self):
         return {
             "split_feature": self.split_feature.tolist(),
@@ -414,7 +422,8 @@ def grow_tree(binned: jnp.ndarray, num_bins_per_feat: jnp.ndarray,
               monotone_constraints: Optional[np.ndarray] = None,
               forced_splits: Optional[dict] = None,
               cegb: Optional["CEGBState"] = None,
-              nan_mask: Optional[np.ndarray] = None):
+              nan_mask: Optional[np.ndarray] = None,
+              voting_ctx=None):
     """Grow one tree leaf-wise (best-first), LightGBM-style.
 
     ``categorical_mask`` [F] marks categorical features: they get
@@ -465,18 +474,33 @@ def grow_tree(binned: jnp.ndarray, num_bins_per_feat: jnp.ndarray,
     stats_cache: dict = {}
 
     def compute_leaf(leaf_id, hist=None):
-        if hist is None:
+        num_bins_leaf = num_bins_numerical
+        if voting_ctx is not None:
+            # voting-parallel (PV-Tree): shard-local vote selects the
+            # features whose histograms are globally aggregated; split
+            # search is restricted to them (unselected features get 0 bins)
             mask = (row_leaf == leaf_id) & row_mask
-            hist = build_histogram(binned, grad, hess, mask, max_num_bins)
-        hist_cache[leaf_id] = hist
-        hg, hh, hc = hist
-        # histograms are [F, B]; every row lands in one bin per feature, so
-        # the all-feature sum is F * (per-leaf total) — normalize to the true
-        # leaf totals (keeps them on the same scale as per-feature GL/HL/CL)
-        g_sum = float(jnp.sum(hg)) / F
-        h_sum = float(jnp.sum(hh)) / F
-        cnt = float(jnp.sum(hc)) / F
-        stats_cache[leaf_id] = (g_sum, h_sum, cnt)
+            hist, sel_mask, (g_sum, h_sum, cnt) = voting_ctx(
+                binned, grad, hess, mask)
+            hist_cache[leaf_id] = hist
+            num_bins_leaf = jnp.where(jnp.asarray(sel_mask),
+                                      num_bins_numerical, 0)
+            stats_cache[leaf_id] = (g_sum, h_sum, cnt)
+            hg, hh, hc = hist
+        else:
+            if hist is None:
+                mask = (row_leaf == leaf_id) & row_mask
+                hist = build_histogram(binned, grad, hess, mask, max_num_bins)
+            hist_cache[leaf_id] = hist
+            hg, hh, hc = hist
+            # histograms are [F, B]; every row lands in one bin per feature,
+            # so the all-feature sum is F * (per-leaf total) — normalize to
+            # the true leaf totals (keeps them on the same scale as
+            # per-feature GL/HL/CL)
+            g_sum = float(jnp.sum(hg)) / F
+            h_sum = float(jnp.sum(hh)) / F
+            cnt = float(jnp.sum(hc)) / F
+            stats_cache[leaf_id] = (g_sum, h_sum, cnt)
         mono_j = (None if monotone_constraints is None
                   else jnp.asarray(monotone_constraints, jnp.int32))
         penalty = None
@@ -484,7 +508,7 @@ def grow_tree(binned: jnp.ndarray, num_bins_per_feat: jnp.ndarray,
             penalty = cegb.penalty_vector(
                 (row_leaf == leaf_id) & row_mask, F)
         f_b, b_b, gain, ok, gl, hl, cl, dl = find_best_split(
-            hg, hh, hc, num_bins_numerical, l1, l2,
+            hg, hh, hc, num_bins_leaf, l1, l2,
             float(params.min_data_in_leaf), params.min_sum_hessian_in_leaf,
             params.min_gain_to_split, monotone=mono_j, penalty=penalty,
             nan_mask=nan_mask_j)
@@ -534,6 +558,10 @@ def grow_tree(binned: jnp.ndarray, num_bins_per_feat: jnp.ndarray,
         num_leaves += 1
         hist_cache.pop(leaf_id, None)
         best_cache.pop(leaf_id, None)
+        if voting_ctx is not None:
+            compute_leaf(left_id)
+            compute_leaf(right_id)
+            return left_id, right_id
         mask = (row_leaf == left_id) & row_mask
         hist_left = build_histogram(binned, grad, hess, mask, max_num_bins)
         mask = (row_leaf == right_id) & row_mask
@@ -631,6 +659,12 @@ def grow_tree(binned: jnp.ndarray, num_bins_per_feat: jnp.ndarray,
         # child histograms: smaller side direct, sibling by subtraction
         parent_hist = hist_cache.pop(best_leaf)
         best_cache.pop(best_leaf)
+        if voting_ctx is not None:
+            # voting mode: parent/child feature selections differ, so the
+            # subtraction trick is undefined — vote + aggregate each child
+            compute_leaf(left_id)
+            compute_leaf(right_id)
+            continue
         left_cnt = cl
         if left_cnt <= cnt / 2:
             mask = (row_leaf == left_id) & row_mask

@@ -136,9 +136,13 @@ PARAMS: Tuple[Param, ...] = (
     Param("tree_learner", "data", "str", B,
           "mesh partition of the tree learner: serial, data (row-sharded "
           "histograms), feature (feature-sharded histograms), voting "
-          "(falls back to data: XLA ICI collectives make the reference's "
-          "histogram-compression voting trick unnecessary)",
+          "(PV-Tree: per-device top_k feature vote, only the globally "
+          "selected 2*top_k features' histograms cross ICI)",
           ("tree", "tree_type", "tree_learner_type")),
+    Param("top_k", 20, "int", B,
+          "voting-parallel learner: number of features each device "
+          "nominates per leaf (voting_parallel_tree_learner.cpp)",
+          ("topk",)),
     Param("verbose", 1, "int", B, "verbosity (<0 silences warnings)",
           ("verbosity",)),
     # ---- DART ----------------------------------------------------------

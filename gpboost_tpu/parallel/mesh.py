@@ -156,3 +156,117 @@ def sharded_cluster_nll_fn(cov_fn: CovFunction, mesh: Mesh,
 # structure sharded (parallel/__init__.py) and the regular
 # `GPModel.fit()` / `gpb.train()` programs compile as SPMD — exercised by
 # `__graft_entry__.dryrun_multichip` and tests/test_parallel.py.
+
+
+def make_voting_context(mesh: Mesh, max_num_bins: int, top_k: int,
+                        num_bins_per_feat, lambda_l1: float, lambda_l2: float,
+                        min_data_in_leaf: float, min_sum_hessian: float,
+                        axis: str = "data"):
+    """Voting-parallel (PV-Tree) per-leaf histogram aggregation.
+
+    TPU redesign of ``VotingParallelTreeLearner``
+    (``src/LightGBM/treelearner/voting_parallel_tree_learner.cpp:151,322``):
+
+    1. each device builds shard-local histograms and scores its per-feature
+       best local split gain,
+    2. keeps its local top-``top_k`` features,
+    3. weights the gain by ``local_leaf_count / mean_leaf_count``
+       (``GlobalVoting``'s weighted gain) and takes the element-wise max
+       over devices — the vote (the reference Allgathers top-k LightSplitInfo
+       per machine; the pmax of masked weighted gains selects the same
+       winners without the gather),
+    4. selects the global top-``2*top_k`` features and psums ONLY those
+       features' histograms over ICI (the comm saving that defines PV-Tree),
+    5. returns full-width [F, B] histograms — exact for selected features,
+       zero elsewhere — plus the selected-feature mask and exact global leaf
+       totals.
+
+    The host grower restricts split search to the selected features via a
+    per-leaf ``num_bins`` override; histogram subtraction is disabled in
+    voting mode (parent/child feature selections differ, so parent-minus-
+    child is undefined — the reference handles this with global/local split
+    copies; recomputing the child leaf is the simpler SPMD equivalent).
+    """
+    from jax import shard_map
+
+    ndev = int(np.prod(mesh.devices.shape))
+    nb = jnp.asarray(np.asarray(num_bins_per_feat))
+    F = int(len(np.asarray(num_bins_per_feat)))
+    k_loc = min(int(top_k), F)
+    k_glob = min(2 * int(top_k), F)
+
+    def _local(binned, grad, hess, mask):
+        gm = jnp.where(mask, grad, 0.0)
+        hm = jnp.where(mask, hess, 0.0)
+        cm = mask.astype(grad.dtype)
+
+        def one_feature(bins_f):
+            hg = jnp.zeros(max_num_bins, grad.dtype).at[bins_f].add(gm)
+            hh = jnp.zeros(max_num_bins, grad.dtype).at[bins_f].add(hm)
+            hc = jnp.zeros(max_num_bins, grad.dtype).at[bins_f].add(cm)
+            return hg, hh, hc
+
+        hg, hh, hc = jax.vmap(one_feature)(binned.T)
+
+        # shard-local per-feature best gain (FeatureHistogram gain math on
+        # the LOCAL histograms, as each reference worker does)
+        GL = jnp.cumsum(hg, axis=1)
+        HL = jnp.cumsum(hh, axis=1)
+        CL = jnp.cumsum(hc, axis=1)
+        G, H, C = GL[:, -1:], HL[:, -1:], CL[:, -1:]
+
+        def score(g, h):
+            t = jnp.sign(g) * jnp.maximum(jnp.abs(g) - lambda_l1, 0.0)
+            return t * t / (h + lambda_l2 + 1e-15)
+
+        bin_ids = jnp.arange(max_num_bins)[None, :]
+        GR, HR, CR = G - GL, H - HL, C - CL
+        gain = score(GL, HL) + score(GR, HR) - score(G, H)
+        valid = bin_ids < (nb[:, None] - 1)
+        valid &= (CL >= min_data_in_leaf) & (CR >= min_data_in_leaf)
+        valid &= (HL >= min_sum_hessian) & (HR >= min_sum_hessian)
+        local_best = jnp.max(jnp.where(valid, gain, -jnp.inf), axis=1)  # [F]
+
+        # local top-k vote
+        top_idx = jax.lax.top_k(local_best, k_loc)[1]
+        in_top = jnp.zeros(F, bool).at[top_idx].set(True)
+
+        # GlobalVoting weighted gain: local leaf count / mean leaf count
+        cnt_local = jnp.sum(hc) / F
+        cnt_total = jax.lax.psum(cnt_local, axis)
+        w = cnt_local / jnp.maximum(cnt_total / ndev, 1e-10)
+        voted = jnp.where(in_top & jnp.isfinite(local_best),
+                          local_best * w, -jnp.inf)
+        global_gain = jax.lax.pmax(voted, axis)        # identical on all devs
+        sel = jax.lax.top_k(global_gain, k_glob)[1]    # global top-2k feats
+
+        # aggregate ONLY the selected features' histograms (2k rows, not F)
+        hg_sel = jax.lax.psum(hg[sel], axis)
+        hh_sel = jax.lax.psum(hh[sel], axis)
+        hc_sel = jax.lax.psum(hc[sel], axis)
+        full_hg = jnp.zeros_like(hg).at[sel].set(hg_sel)
+        full_hh = jnp.zeros_like(hh).at[sel].set(hh_sel)
+        full_hc = jnp.zeros_like(hc).at[sel].set(hc_sel)
+        sel_mask = jnp.zeros(F, bool).at[sel].set(
+            jnp.isfinite(global_gain[sel]))
+
+        # exact global leaf totals (independent of the feature selection)
+        g_tot = jax.lax.psum(jnp.sum(hg) / F, axis)
+        h_tot = jax.lax.psum(jnp.sum(hh) / F, axis)
+        return (full_hg, full_hh, full_hc, sel_mask,
+                g_tot, h_tot, cnt_total)
+
+    sharded = jax.jit(shard_map(
+        _local, mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(axis), P(axis)),
+        out_specs=(P(None, None), P(None, None), P(None, None), P(None),
+                   P(), P(), P()),
+        check_vma=False))
+
+    def leaf_hist(binned, grad, hess, mask):
+        out = sharded(binned, grad, hess, mask)
+        hg, hh, hc, sel_mask, g_tot, h_tot, c_tot = out
+        return ((hg, hh, hc), np.asarray(sel_mask),
+                (float(g_tot), float(h_tot), float(c_tot)))
+
+    return leaf_hist

@@ -323,3 +323,27 @@ def test_line_search_closed_form_matches_golden_section():
               for a in (alpha - 0.05, alpha, alpha + 0.05)]
     assert losses[1] <= losses[0] + 1e-9
     assert losses[1] <= losses[2] + 1e-9
+
+
+def test_early_stopped_tree_importance_counts_real_splits_only():
+    """A tree that stops below num_leaves must not report its UNALLOCATED
+    flat-array nodes (is_leaf=False, left==self) as feature-0 splits
+    (Tree.internal_nodes); feature_importance / split-value histograms were
+    inflated before."""
+    rng = np.random.default_rng(0)
+    X = rng.uniform(size=(50, 3))
+    y = X[:, 2] * 3 + 0.1 * rng.normal(size=50)
+    ds = Dataset(X, label=y)
+    # min_data_in_leaf=20 on n=50 stops growth after 1 split of 8 requested
+    bst = gpb.train({"objective": "regression", "num_leaves": 8,
+                     "min_data_in_leaf": 20, "verbose": -1},
+                    ds, num_boost_round=1)
+    tree = bst.trees[0]
+    assert tree.num_leaves == 2
+    assert list(tree.internal_nodes()) == [0]
+    imp = bst.feature_importance("split")
+    assert imp.sum() == 1 and imp[2] == 1
+    # split-value histogram sees only the real split's feature
+    assert len(bst.get_split_value_histogram(2)[0]) > 0
+    counts, _ = bst.get_split_value_histogram(0)
+    assert np.sum(counts) == 0

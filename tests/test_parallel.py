@@ -221,15 +221,74 @@ def test_mesh_feature_parallel_matches_single_device(mesh):
                                atol=1e-10)
 
 
-def test_mesh_voting_falls_back_to_data_parallel(mesh):
+def test_voting_context_aggregates_selected_features(mesh):
+    """make_voting_context with top_k covering all features psums exact
+    histograms and exact leaf totals."""
+    from gpboost_tpu.boosting.tree import build_histogram
+    from gpboost_tpu.parallel.mesh import make_voting_context
+    rng = np.random.default_rng(5)
+    n, F, B = 160, 4, 16
+    binned = jnp.asarray(rng.integers(0, B, size=(n, F)), dtype=jnp.int32)
+    grad = jnp.asarray(rng.standard_normal(n))
+    hess = jnp.ones(n)
+    mask = jnp.asarray(rng.random(n) < 0.8)
+    nb = np.full(F, B, np.int32)
+    ctx = make_voting_context(mesh, B, top_k=F, num_bins_per_feat=nb,
+                              lambda_l1=0.0, lambda_l2=0.0,
+                              min_data_in_leaf=1.0, min_sum_hessian=1e-3)
+    (hg, hh, hc), sel_mask, (g_tot, h_tot, c_tot) = ctx(
+        binned, grad, hess, mask)
+    rg, rh, rc = build_histogram(binned, grad, hess, mask, B)
+    # every feature selected -> exact aggregation everywhere
+    assert sel_mask.all()
+    np.testing.assert_allclose(np.asarray(hg), np.asarray(rg), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(hh), np.asarray(rh), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(hc), np.asarray(rc), atol=1e-10)
+    assert abs(g_tot - float(jnp.sum(rg)) / F) < 1e-10
+    assert abs(c_tot - float(jnp.sum(mask))) < 1e-10
+
+
+def test_mesh_voting_matches_serial_when_topk_covers_all(mesh):
+    """PV-Tree with top_k >= num_features selects every feature, so the
+    aggregated histograms — and the trees — match serial training exactly."""
     import gpboost_tpu as gpb
     rng = np.random.default_rng(12)
-    X = rng.uniform(size=(160, 3))
-    y = X[:, 0] + 0.1 * rng.normal(size=160)
-    params = {"verbose": -1, "min_data_in_leaf": 5,
-              "tree_learner": "voting"}
+    n, F = 400, 4
+    X = rng.uniform(size=(n, F))
+    y = 2 * X[:, 0] - X[:, 1] + 0.2 * rng.normal(size=n)
+    params = {"objective": "regression", "num_leaves": 4, "verbose": -1,
+              "min_data_in_leaf": 2, "tree_learner": "voting", "top_k": F}
+
+    def run():
+        ds = gpb.Dataset(X, label=y, params=params)
+        return gpb.train(params, ds, num_boost_round=3)
+
+    b1 = run()
+    with gpb.use_mesh(mesh):
+        b2 = run()
+    np.testing.assert_allclose(np.asarray(b2._score)[:n],
+                               np.asarray(b1._score), atol=1e-10)
+
+
+def test_mesh_voting_small_topk_restricts_and_trains(mesh):
+    """With top_k << F the vote restricts split search to 2*top_k features
+    per leaf; training still reduces the loss."""
+    import gpboost_tpu as gpb
+    rng = np.random.default_rng(13)
+    n, F = 320, 24
+    X = rng.uniform(size=(n, F))
+    y = 3 * X[:, 5] - 2 * X[:, 17] + 0.1 * rng.normal(size=n)
+    params = {"objective": "regression", "num_leaves": 8, "verbose": -1,
+              "min_data_in_leaf": 2, "tree_learner": "voting", "top_k": 3}
     with gpb.use_mesh(mesh):
         ds = gpb.Dataset(X, label=y, params=params)
-        assert ds.binned.shape[0] == 160  # row padding (160 % 8 == 0)
-        b = gpb.train(params, ds, num_boost_round=2)
-    assert np.all(np.isfinite(np.asarray(b._score)))
+        b = gpb.train(params, ds, num_boost_round=5)
+    pred = b.predict(X)
+    assert np.all(np.isfinite(pred))
+    mse0 = float(np.mean((y - y.mean()) ** 2))
+    mse = float(np.mean((y - pred) ** 2))
+    assert mse < 0.5 * mse0
+    # the informative features must win the vote
+    used = {int(f) for t in b.trees
+            for f in t.split_feature[t.internal_nodes()]}
+    assert 5 in used and 17 in used
