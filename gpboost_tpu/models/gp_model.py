@@ -161,13 +161,6 @@ class GPModel:
                             "supports the gaussian likelihood")
                     from gpboost_tpu.models.vecchia_combined import (
                         VecchiaGroupedGP)
-                    if matrix_inversion_method == "iterative":
-                        from gpboost_tpu.utils.log import log_warning
-                        log_warning(
-                            "matrix_inversion_method='iterative' is not "
-                            "implemented for combined Vecchia + grouped "
-                            "models; using the Cholesky path in the q-dim "
-                            "random-effects space")
                     # one code column per grouped component (slopes share
                     # their base intercept's column via code_col)
                     gcodes = np.stack(
@@ -185,7 +178,8 @@ class GPModel:
                             len(np.asarray(gp_coords)), -1),
                         cf, gcodes, slope_cols,
                         num_neighbors=(num_neighbors or 20),
-                        ordering=vecchia_ordering, seed=seed, dtype=dtype)
+                        ordering=vecchia_ordering, seed=seed, dtype=dtype,
+                        matrix_inversion_method=matrix_inversion_method)
                 else:
                     self._approx = VecchiaGP(
                         np.asarray(gp_coords, dtype=np.float64).reshape(
