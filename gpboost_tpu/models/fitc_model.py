@@ -196,8 +196,12 @@ class FITCGP:
         yw = self._psi_inv_mul(cov_pars, yv)
         return jnp.linalg.solve(X.T @ Xw, X.T @ yw)
 
+    # gp_model passes nsim_var_pred through (set_prediction_data)
+    supports_sim_pred_var = True
+
     def predict_gaussian(self, cov_pars, y, coords_pred, fixed_part=None,
-                         predict_response=True, predict_var=False):
+                         predict_response=True, predict_var=False,
+                         nsim_var_pred=None):
         r = y if fixed_part is None else y - fixed_part
         cp = jnp.asarray(coords_pred, self.dtype)
         if self.gp_approx == "fitc":
@@ -207,6 +211,26 @@ class FITCGP:
             return mean, var
         # FSA: cross-cov = Q_pn + T o (Sigma_pn - Q_pn)
         psi_inv_r = self._psi_inv_mul(cov_pars, r)
+        n_p = cp.shape[0]
+        # simulation-based variances (the reference's DEFAULT for FSA
+        # prediction variances, "stochastic_stable" re_model.cpp:67 /
+        # re_model_template.h:10839): engage when requested or when the
+        # exact path would materialize/solve an [n_p, n] system too large
+        use_sim = predict_var and (
+            nsim_var_pred is not None
+            or n_p * self.n > 50_000_000)
+        if use_sim:
+            from gpboost_tpu.models.predvar import sim_pred_mean_var
+            gp_pars = cov_pars[1:]
+            mean, quad = sim_pred_mean_var(
+                lambda cpc: self._fsa_cross(gp_pars, cpc), cp,
+                lambda W: self._psi_inv_mul(cov_pars, W), psi_inv_r,
+                int(nsim_var_pred or 1000),
+                seed=self.seed_rand_vec_trace)
+            var = cov_pars[1] - quad
+            if predict_response:
+                var = var + cov_pars[0]
+            return mean, jnp.maximum(var, 0.0)
         cross = self._fsa_cross(cov_pars[1:], cp)
         mean = cross @ psi_inv_r
         var = None

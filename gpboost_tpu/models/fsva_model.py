@@ -521,9 +521,11 @@ class FSVAGP:
             return self.nll_laplace(cov_pars, y, aux_pars, fe)
         return jax.grad(f)(fixed_part)
 
+    supports_sim_pred_var = True
+
     def predict_gaussian(self, cov_pars, y, coords_pred,
                          fixed_part=None, predict_response=True,
-                         predict_var=False):
+                         predict_var=False, nsim_var_pred=None):
         """Predictions with exact cross-covariance K_po and the approximate
         Psi^-1 (the ``order_obs_first_cond_all``-type variant: the residual
         cross-covariance is kept exact, so K_po = U_p S^-1 U' + resid_po)."""
@@ -532,6 +534,26 @@ class FSVAGP:
         pi_r = self.psi_inv_mul(cov_pars, rp)
         gp_pars = cov_pars[1:]
         cp = jnp.asarray(coords_pred, self.dtype)
+        n_p = cp.shape[0]
+        # stochastic predictive variances (re_model_template.h:10839 role):
+        # Bekas diag estimator through psi_inv_mul, chunked cross rows
+        use_sim = predict_var and (
+            nsim_var_pred is not None or n_p * self.n > 50_000_000)
+        if use_sim:
+            from gpboost_tpu.models.predvar import sim_pred_mean_var
+
+            def cross_of(cpc):
+                d_c = euclidean_distance(cpc, self.coords_perm)
+                return self.cov_fn.cov_matrix(gp_pars, dist=d_c)
+
+            mean, quad = sim_pred_mean_var(
+                cross_of, cp, lambda W: self.psi_inv_mul(cov_pars, W), pi_r,
+                int(nsim_var_pred or 1000),
+                seed=getattr(self, "seed_rand_vec_trace", 1))
+            var = gp_pars[0] - quad
+            if predict_response:
+                var = var + cov_pars[0]
+            return mean, jnp.maximum(var, 0.0)
         d_po = euclidean_distance(cp, self.coords_perm)
         k_po = self.cov_fn.cov_matrix(gp_pars, dist=d_po)
         mean = k_po @ pi_r

@@ -1189,6 +1189,12 @@ class GPModel:
                         "var": (np.asarray(jnp.diagonal(covm))
                                 if predict_var else None),
                         "cov": np.asarray(covm) if predict_cov_mat else None}
+                if getattr(self._approx, "supports_sim_pred_var", False):
+                    # simulation-based Gaussian predictive variances
+                    # (set_prediction_data nsim_var_pred; the reference's
+                    # stochastic FSA variant, re_model_template.h:10839)
+                    extra["nsim_var_pred"] = getattr(
+                        self, "nsim_var_pred", None)
                 mean, var = self._approx.predict_gaussian(
                     cov_pars_arr, y_arr, cp, fixed_part,
                     bool(predict_response),
