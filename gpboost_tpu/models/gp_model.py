@@ -77,6 +77,17 @@ class GPModel:
                  dtype=jnp.float64):
         self.params = {}
         self.likelihood = _canonical_likelihood(likelihood)
+        self.gp_approx_user = gp_approx
+        if (self.likelihood == "gaussian_heteroscedastic"
+                and gp_approx == "none" and gp_coords is not None):
+            # dense heteroscedastic: a Vecchia model conditioning on ALL
+            # previous points is EXACT (B lower-triangular, no truncation) —
+            # the TPU route to the reference's dense
+            # FindModePostRandEffCalcMLLStable path for num_sets_re=2
+            # (likelihoods.h:258-268); user-facing gp_approx stays 'none'
+            gp_approx = "vecchia"
+            num_neighbors = len(np.asarray(gp_coords)) - 1
+            vecchia_ordering = "none"
         self.gp_approx = gp_approx
         self.matrix_inversion_method = matrix_inversion_method
         self.num_neighbors = num_neighbors

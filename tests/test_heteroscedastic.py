@@ -121,3 +121,17 @@ class TestHeteroscedasticVecchia:
         nll = m.get_current_neg_log_likelihood()
         assert abs(nll - 191.2393688) < 5e-2
         assert nll < 191.2393688 + TOL_LOOSE
+
+
+class TestHeteroscedasticDense:
+    def test_gp_approx_none_matches_dense_golden(self, het_data):
+        """gp_approx='none' heteroscedastic (reference dense path,
+        expected_nll at R:3845) — internally routed through the EXACT
+        all-neighbors Vecchia factorization; user-facing gp_approx stays
+        'none'."""
+        f = het_data
+        m = GPModel(gp_coords=f["coords"], cov_function="exponential",
+                    likelihood="gaussian_heteroscedastic", gp_approx="none")
+        assert m.gp_approx_user == "none"
+        nll = m.neg_log_likelihood(cov_pars=COV_PARS_EVAL, y=f["y"])
+        assert abs(nll - 199.6831947) < 1e-4
