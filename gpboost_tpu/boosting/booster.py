@@ -498,7 +498,8 @@ class Booster:
                     ds.binned, jnp.asarray(num_bins),
                     jnp.asarray(g, dtype=jnp.float32),
                     jnp.asarray(h, dtype=jnp.float32), ds.max_num_bins,
-                    self.grower, row_mask=row_mask, nan_mask=nan_mask)
+                    self.grower, row_mask=row_mask, nan_mask=nan_mask,
+                    efb=getattr(ds, "efb", None))
             else:
                 tree, row_leaf = grow_tree(
                     ds.binned, jnp.asarray(num_bins), jnp.asarray(g),
@@ -509,7 +510,7 @@ class Booster:
                     monotone_constraints=self._monotone,
                     forced_splits=getattr(self, "_forced_splits", None),
                     cegb=self._cegb, nan_mask=nan_mask,
-                    voting_ctx=voting_ctx)
+                    voting_ctx=voting_ctx, efb=getattr(ds, "efb", None))
             # real-valued thresholds for raw prediction
             for node in tree.internal_nodes():
                 if tree.is_categorical is not None and tree.is_categorical[node]:

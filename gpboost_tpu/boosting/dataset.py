@@ -5,9 +5,17 @@ TPU-native equivalent of the reference's ``Dataset``/``BinMapper`` stack
 quantile-binned once on the host into a dense ``[n, F]`` uint8/int32 matrix
 that lives on device; all subsequent histogram work is device-side. Dense
 uint8 bins replace the reference's dense/sparse/4-bit bin polymorphism — on
-TPU a single dense layout feeds the histogram kernels best; EFB bundling
-(``dataset.cpp:53-297``) is unnecessary here because dense layouts don't pay
-per-feature sparsity costs.
+TPU a single dense layout feeds the histogram kernels best.
+
+Exclusive Feature Bundling (EFB, ``dataset.cpp:53-297``
+``GetConflictCount``/``FindGroups``): mutually exclusive sparse features
+(never simultaneously non-default) merge into one histogram column with
+per-member bin offsets, shrinking the histogram build — the hot loop — from
+F columns to G bundles. The TPU variant is LOSSLESS-only
+(``max_conflict_rate=0``): per-feature [F, B] histograms are reconstructed
+EXACTLY from bundle histograms (gather + default-bin slot = leaf_total minus
+the non-default mass), so split finding is unchanged. The original ``[n, F]``
+bins are kept for row partitioning and train-data prediction.
 """
 from __future__ import annotations
 
@@ -17,6 +25,109 @@ import jax.numpy as jnp
 import numpy as np
 
 MAX_BIN_DEFAULT = 255
+
+
+class EFBInfo:
+    """Exclusive-feature-bundle layout (lossless; ``dataset.cpp:53-297``).
+
+    ``binned_hist`` [n, G] feeds histogram builds; per-feature [F, B]
+    histograms are reconstructed exactly with ``src_col``/``src_bin``
+    gathers plus the default-bin correction (``fix_mask`` features get
+    leaf_total - non-default mass in their ``default_bin`` slot). The
+    original [n, F] bins stay authoritative for partitioning/prediction.
+    """
+
+    def __init__(self, binned_hist, num_bins_hist, src_col, src_bin,
+                 default_bin, fix_mask, n_multi_bundles):
+        self.binned_hist = binned_hist          # jnp [n, G] int32
+        self.num_bins_hist = num_bins_hist      # np  [G]
+        self.max_bins_hist = int(num_bins_hist.max())
+        self.src_col = jnp.asarray(src_col)     # [F]
+        self.src_bin = jnp.asarray(src_bin)     # [F, B]
+        self.default_bin = jnp.asarray(default_bin)  # [F]
+        self.fix_mask = jnp.asarray(fix_mask)   # [F] bool
+        self.n_multi_bundles = n_multi_bundles
+
+
+def build_efb(binned, num_bins, categorical, max_bin,
+              max_bundle_bins=256, min_saving=0.2):
+    """Greedy lossless bundling (``FindGroups``/``GetConflictCount`` with
+    ``max_conflict_rate=0``): two features bundle iff no row has both away
+    from their most-frequent ('default') bin. Conflict tests run on packed
+    bitsets. Returns None when bundling would save < ``min_saving`` of the
+    histogram columns (dense data keeps the classic exact path untouched)."""
+    n, F = binned.shape
+    default_bin = np.zeros(F, np.int32)
+    for f in range(F):
+        bc = np.bincount(binned[:, f], minlength=int(num_bins[f]))
+        default_bin[f] = int(np.argmax(bc))
+    act = binned != default_bin[None, :]
+    act_cnt = act.sum(axis=0)
+    bits = np.packbits(act, axis=0)             # [ceil(n/8), F]
+    eligible = np.ones(F, bool)
+    for f in categorical:
+        eligible[f] = False
+    # sparse features only are worth bundling (dense ones conflict anyway)
+    eligible &= act_cnt <= 0.5 * n
+    order = np.argsort(-act_cnt)
+    bundles = []                                # (members, bits, bins_used)
+    for f in order:
+        if not eligible[f]:
+            continue
+        extra = int(num_bins[f]) - 1
+        placed = False
+        for b in bundles:
+            if (b[2] + extra <= max_bundle_bins
+                    and not np.any(b[1] & bits[:, f])):
+                b[0].append(int(f))
+                b[1] |= bits[:, f]
+                b[2] += extra
+                placed = True
+                break
+        if not placed:
+            bundles.append([[int(f)], bits[:, f].copy(), 1 + extra])
+    multi = [b for b in bundles if len(b[0]) > 1]
+    n_saved = sum(len(b[0]) - 1 for b in multi)
+    if n_saved < min_saving * F:
+        return None
+    # layout: multi-member bundles first, then singletons (identity columns)
+    in_multi = np.zeros(F, bool)
+    for b in multi:
+        in_multi[b[0]] = True
+    B = int(num_bins.max())
+    G = len(multi) + int((~in_multi).sum())
+    src_col = np.zeros(F, np.int32)
+    src_bin = np.full((F, B), -1, np.int32)
+    fix_mask = np.zeros(F, bool)
+    num_bins_hist = np.zeros(G, np.int64)
+    binned_hist = np.zeros((n, G), np.int32)
+    g = 0
+    for members, _, bins_used in multi:
+        off = 1
+        col = np.zeros(n, np.int32)
+        for f in members:
+            nb = int(num_bins[f])
+            df = int(default_bin[f])
+            ranks = np.arange(nb) - (np.arange(nb) > df)
+            pos = off + ranks                   # per-original-bin position
+            src_col[f] = g
+            src_bin[f, :nb] = pos
+            src_bin[f, df] = -1                 # default slot reconstructed
+            fix_mask[f] = True
+            col = np.where(act[:, f], pos[binned[:, f]], col)
+            off += nb - 1
+        num_bins_hist[g] = bins_used
+        binned_hist[:, g] = col
+        g += 1
+    for f in np.flatnonzero(~in_multi):
+        nb = int(num_bins[f])
+        src_col[f] = g
+        src_bin[f, :nb] = np.arange(nb)
+        num_bins_hist[g] = nb
+        binned_hist[:, g] = binned[:, f]
+        g += 1
+    return EFBInfo(jnp.asarray(binned_hist), num_bins_hist, src_col,
+                   src_bin, default_bin, fix_mask, len(multi))
 
 
 class Dataset:
@@ -38,6 +149,9 @@ class Dataset:
         if params:
             max_bin = int(params.get("max_bin", max_bin))
         self.tree_learner = (params or {}).get("tree_learner", "data")
+        p = params or {}
+        self._enable_bundle = bool(p.get(
+            "enable_bundle", p.get("is_enable_bundle", True)))
         if isinstance(data, str):
             if data.endswith(".bin") or data.endswith(".npz"):
                 # binary dataset file (reference Dataset::SaveBinaryFile /
@@ -140,6 +254,13 @@ class Dataset:
                 idx = np.clip(idx, 0, self.num_bins[f] - 1)
                 binned[:, f] = np.where(nan_mask, 0, idx)
         self.binned = jnp.asarray(binned)
+        # Exclusive Feature Bundling (lossless; see module docstring)
+        self.efb = None
+        if (self._enable_bundle and F >= 2
+                and self.tree_learner != "feature"):
+            self.efb = build_efb(binned, np.asarray(self.num_bins),
+                                 sorted(self.categorical_feature),
+                                 self.max_bin)
         # under an active device mesh the binned matrix lives row-sharded:
         # every histogram build / tree-grower program consuming it compiles
         # as SPMD (the DataParallelTreeLearner's ReduceScatter/Allreduce
@@ -192,6 +313,13 @@ class Dataset:
                         [self.binned,
                          jnp.zeros((pad, F), dtype=self.binned.dtype)])
                 self.binned = par.shard_rows(self.binned)
+            if self.efb is not None and self.tree_learner != "feature":
+                bh = self.efb.binned_hist
+                pad = (-n) % ndev
+                if pad:
+                    bh = jnp.concatenate(
+                        [bh, jnp.zeros((pad, bh.shape[1]), dtype=bh.dtype)])
+                self.efb.binned_hist = par.shard_rows(bh)
         self.max_num_bins = int(self.num_bins.max()) if F > 0 else 1
 
     # ------------------------------------------------------------------
@@ -259,6 +387,14 @@ class Dataset:
         self.binned = jnp.asarray(binned)
         self.max_num_bins = (int(self.num_bins.max())
                              if self.num_features > 0 else 1)
+        self._shard_mesh = None
+        self._shard_axis = None
+        self.num_bins_grower = self.num_bins
+        # EFB layout is derived state: rebuild from the loaded bins
+        self.efb = (build_efb(np.asarray(binned), np.asarray(self.num_bins),
+                              sorted(self.categorical_feature), self.max_bin)
+                    if self._enable_bundle and self.num_features >= 2
+                    else None)
 
     # ------------------------------------------------------------------
     # generic field access (reference Dataset.get_field/set_field)

@@ -54,6 +54,27 @@ def _threshold_l1(g, l1):
     return jnp.sign(g) * jnp.maximum(jnp.abs(g) - l1, 0.0)
 
 
+@jax.jit
+def expand_bundle_hist(hg, hh, hc, src_col, src_bin, default_bin, fix_mask):
+    """Reconstruct per-feature [F, B] histograms from EFB bundle histograms
+    [G, Bh] (lossless; see ``dataset.py`` EFBInfo): gather each feature's
+    non-default bins from its bundle column, then fill the default-bin slot
+    with leaf_total - (non-default mass). Exact because every row lands in
+    exactly one bin of every bundle column."""
+    F = src_col.shape[0]
+    valid = src_bin >= 0
+    idx = jnp.maximum(src_bin, 0)
+    rows = jnp.arange(F)
+
+    def one(h):
+        g = jnp.where(valid, h[src_col[:, None], idx], 0.0)
+        tot = jnp.sum(h) / h.shape[0]
+        corr = jnp.where(fix_mask, tot - jnp.sum(g, axis=1), 0.0)
+        return g.at[rows, default_bin].add(corr)
+
+    return one(hg), one(hh), one(hc)
+
+
 @partial(jax.jit, static_argnums=())
 def find_best_split(hist_g, hist_h, hist_c, num_bins_per_feat,
                     lambda_l1, lambda_l2, min_data_in_leaf,
@@ -423,7 +444,7 @@ def grow_tree(binned: jnp.ndarray, num_bins_per_feat: jnp.ndarray,
               forced_splits: Optional[dict] = None,
               cegb: Optional["CEGBState"] = None,
               nan_mask: Optional[np.ndarray] = None,
-              voting_ctx=None):
+              voting_ctx=None, efb=None):
     """Grow one tree leaf-wise (best-first), LightGBM-style.
 
     ``categorical_mask`` [F] marks categorical features: they get
@@ -432,6 +453,13 @@ def grow_tree(binned: jnp.ndarray, num_bins_per_feat: jnp.ndarray,
     Returns (Tree, row_leaf_node [n] int32 node-id per row).
     """
     n, F = binned.shape
+    # EFB: histograms build over the bundle columns; per-feature histograms
+    # are reconstructed in compute_leaf. Partitioning keeps the original bins.
+    if efb is not None and voting_ctx is not None:
+        efb = None      # the vote operates per original feature column
+    hist_binned = efb.binned_hist if efb is not None else binned
+    hist_B = efb.max_bins_hist if efb is not None else max_num_bins
+    n_hist_cols = hist_binned.shape[1]
     if nan_mask is not None and not bool(np.any(nan_mask)):
         nan_mask = None
     nan_mask_j = None if nan_mask is None else jnp.asarray(nan_mask)
@@ -490,17 +518,22 @@ def grow_tree(binned: jnp.ndarray, num_bins_per_feat: jnp.ndarray,
         else:
             if hist is None:
                 mask = (row_leaf == leaf_id) & row_mask
-                hist = build_histogram(binned, grad, hess, mask, max_num_bins)
+                hist = build_histogram(hist_binned, grad, hess, mask, hist_B)
             hist_cache[leaf_id] = hist
             hg, hh, hc = hist
-            # histograms are [F, B]; every row lands in one bin per feature,
-            # so the all-feature sum is F * (per-leaf total) — normalize to
-            # the true leaf totals (keeps them on the same scale as
-            # per-feature GL/HL/CL)
-            g_sum = float(jnp.sum(hg)) / F
-            h_sum = float(jnp.sum(hh)) / F
-            cnt = float(jnp.sum(hc)) / F
+            # histograms are [cols, B]; every row lands in one bin per
+            # column, so the all-column sum is cols * (per-leaf total) —
+            # normalize to the true leaf totals (keeps them on the same
+            # scale as per-feature GL/HL/CL)
+            g_sum = float(jnp.sum(hg)) / n_hist_cols
+            h_sum = float(jnp.sum(hh)) / n_hist_cols
+            cnt = float(jnp.sum(hc)) / n_hist_cols
             stats_cache[leaf_id] = (g_sum, h_sum, cnt)
+            if efb is not None:
+                # bundle space -> exact per-feature [F, B] histograms
+                hg, hh, hc = expand_bundle_hist(
+                    hg, hh, hc, efb.src_col, efb.src_bin,
+                    efb.default_bin, efb.fix_mask)
         mono_j = (None if monotone_constraints is None
                   else jnp.asarray(monotone_constraints, jnp.int32))
         penalty = None
@@ -563,9 +596,9 @@ def grow_tree(binned: jnp.ndarray, num_bins_per_feat: jnp.ndarray,
             compute_leaf(right_id)
             return left_id, right_id
         mask = (row_leaf == left_id) & row_mask
-        hist_left = build_histogram(binned, grad, hess, mask, max_num_bins)
+        hist_left = build_histogram(hist_binned, grad, hess, mask, hist_B)
         mask = (row_leaf == right_id) & row_mask
-        hist_right = build_histogram(binned, grad, hess, mask, max_num_bins)
+        hist_right = build_histogram(hist_binned, grad, hess, mask, hist_B)
         compute_leaf(left_id, hist_left)
         compute_leaf(right_id, hist_right)
         return left_id, right_id
@@ -668,11 +701,11 @@ def grow_tree(binned: jnp.ndarray, num_bins_per_feat: jnp.ndarray,
         left_cnt = cl
         if left_cnt <= cnt / 2:
             mask = (row_leaf == left_id) & row_mask
-            hist_left = build_histogram(binned, grad, hess, mask, max_num_bins)
+            hist_left = build_histogram(hist_binned, grad, hess, mask, hist_B)
             hist_right = tuple(p - c for p, c in zip(parent_hist, hist_left))
         else:
             mask = (row_leaf == right_id) & row_mask
-            hist_right = build_histogram(binned, grad, hess, mask, max_num_bins)
+            hist_right = build_histogram(hist_binned, grad, hess, mask, hist_B)
             hist_left = tuple(p - c for p, c in zip(parent_hist, hist_right))
         compute_leaf(left_id, hist_left)
         compute_leaf(right_id, hist_right)
@@ -698,11 +731,12 @@ def grow_tree(binned: jnp.ndarray, num_bins_per_feat: jnp.ndarray,
     return tree, row_leaf
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6))
+@partial(jax.jit, static_argnums=(4, 5, 6, 15))
 def _grow_tree_jit(binned, num_bins_per_feat, grad, hess,
                    max_num_bins: int, num_leaves: int, max_depth: int,
                    row_mask, l1, l2, min_data, min_hess, min_gain,
-                   nan_mask=None):
+                   nan_mask=None, efb_maps=None, hist_B: int = 0,
+                   hist_binned=None):
     """Whole-tree leaf-wise growth in ONE jitted program.
 
     The host-driven grower above dispatches ~15 device calls (with blocking
@@ -717,14 +751,22 @@ def _grow_tree_jit(binned, num_bins_per_feat, grad, hess,
     n, F = binned.shape
     M = 2 * num_leaves - 1
     dtype = grad.dtype
+    # EFB (see dataset.py EFBInfo): histograms build over bundle columns,
+    # expanded to per-feature [F, B] only inside eval_leaf
+    if hist_binned is None:
+        hist_binned = binned
+        hist_B = max_num_bins
+    HC = hist_binned.shape[1]
 
     def eval_leaf(hist):
         hg, hh, hc = hist
+        if efb_maps is not None:
+            hg, hh, hc = expand_bundle_hist(hg, hh, hc, *efb_maps)
         return find_best_split(hg, hh, hc, num_bins_per_feat, l1, l2,
                                min_data, min_hess, min_gain,
                                nan_mask=nan_mask)
 
-    hist0 = build_histogram(binned, grad, hess, row_mask, max_num_bins)
+    hist0 = build_histogram(hist_binned, grad, hess, row_mask, hist_B)
     f0, b0, gain0, ok0, gl0, hl0, cl0, dl0 = eval_leaf(hist0)
 
     z_f = jnp.zeros(M, dtype)
@@ -736,15 +778,15 @@ def _grow_tree_jit(binned, num_bins_per_feat, grad, hess,
         right=jnp.arange(M, dtype=jnp.int32),
         is_leaf=jnp.zeros(M, bool).at[0].set(True),
         depth=z_i.at[0].set(1),
-        hist=jnp.zeros((M, 3, F, max_num_bins), dtype)
+        hist=jnp.zeros((M, 3, HC, hist_B), dtype)
         .at[0].set(jnp.stack(hist0)),
         dleft=jnp.ones(M, bool), sgain=z_f,
         bf=z_i.at[0].set(f0), bb=z_i.at[0].set(b0),
         bdl=jnp.ones(M, bool).at[0].set(dl0),
         bgain=z_f.at[0].set(gain0), bok=jnp.zeros(M, bool).at[0].set(ok0),
-        gsum=z_f.at[0].set(jnp.sum(hist0[0]) / F),
-        hsum=z_f.at[0].set(jnp.sum(hist0[1]) / F),
-        cnt=z_f.at[0].set(jnp.sum(hist0[2]) / F),
+        gsum=z_f.at[0].set(jnp.sum(hist0[0]) / HC),
+        hsum=z_f.at[0].set(jnp.sum(hist0[1]) / HC),
+        cnt=z_f.at[0].set(jnp.sum(hist0[2]) / HC),
         num_leaves=jnp.asarray(1, jnp.int32),
         next_node=jnp.asarray(1, jnp.int32),
         go=jnp.asarray(True))
@@ -776,8 +818,8 @@ def _grow_tree_jit(binned, num_bins_per_feat, grad, hess,
         new_row_leaf = jnp.where(
             sel, jnp.where(go_left, lid, rid), s["row_leaf"])
         hist_l = jnp.stack(build_histogram(
-            binned, grad, hess, (new_row_leaf == lid) & row_mask,
-            max_num_bins))
+            hist_binned, grad, hess, (new_row_leaf == lid) & row_mask,
+            hist_B))
         hist_r = s["hist"][leaf] - hist_l
         fl, bl, gl_, okl, _, _, _, dll = eval_leaf(
             (hist_l[0], hist_l[1], hist_l[2]))
@@ -804,12 +846,12 @@ def _grow_tree_jit(binned, num_bins_per_feat, grad, hess,
             bdl=upd(s["bdl"], [dll, dlr]),
             bgain=upd(s["bgain"], [gl_, gr_]),
             bok=upd(s["bok"], [okl, okr]),
-            gsum=upd(s["gsum"], [jnp.sum(hist_l[0]) / F,
-                                 jnp.sum(hist_r[0]) / F]),
-            hsum=upd(s["hsum"], [jnp.sum(hist_l[1]) / F,
-                                 jnp.sum(hist_r[1]) / F]),
-            cnt=upd(s["cnt"], [jnp.sum(hist_l[2]) / F,
-                               jnp.sum(hist_r[2]) / F]),
+            gsum=upd(s["gsum"], [jnp.sum(hist_l[0]) / HC,
+                                 jnp.sum(hist_r[0]) / HC]),
+            hsum=upd(s["hsum"], [jnp.sum(hist_l[1]) / HC,
+                                 jnp.sum(hist_r[1]) / HC]),
+            cnt=upd(s["cnt"], [jnp.sum(hist_l[2]) / HC,
+                               jnp.sum(hist_r[2]) / HC]),
             num_leaves=s["num_leaves"] + 1,
             next_node=s["next_node"] + 2,
             go=proceed)
@@ -830,7 +872,8 @@ def _grow_tree_jit(binned, num_bins_per_feat, grad, hess,
 
 
 def grow_tree_fast(binned, num_bins_per_feat, grad, hess, max_num_bins,
-                   params: GrowerParams, row_mask=None, nan_mask=None):
+                   params: GrowerParams, row_mask=None, nan_mask=None,
+                   efb=None):
     """Host wrapper for the jitted grower: returns (Tree, row_leaf) like
     :func:`grow_tree` (numeric-splits-only fast path)."""
     n, F = binned.shape
@@ -838,13 +881,18 @@ def grow_tree_fast(binned, num_bins_per_feat, grad, hess, max_num_bins,
         row_mask = jnp.ones(n, dtype=bool)
     if nan_mask is not None and not bool(np.any(nan_mask)):
         nan_mask = None
+    efb_maps = (None if efb is None else
+                (efb.src_col, efb.src_bin, efb.default_bin, efb.fix_mask))
     out = _grow_tree_jit(
         binned, num_bins_per_feat, grad, hess, int(max_num_bins),
         int(params.num_leaves), int(params.max_depth), row_mask,
         params.lambda_l1, params.lambda_l2,
         float(params.min_data_in_leaf), params.min_sum_hessian_in_leaf,
         params.min_gain_to_split,
-        nan_mask=None if nan_mask is None else jnp.asarray(nan_mask))
+        nan_mask=None if nan_mask is None else jnp.asarray(nan_mask),
+        efb_maps=efb_maps,
+        hist_B=0 if efb is None else int(efb.max_bins_hist),
+        hist_binned=None if efb is None else efb.binned_hist)
     row_leaf = out[-1]
     # ONE device->host transfer for all tree arrays (separate np.asarray
     # fetches each cost a full round trip over the TPU tunnel)

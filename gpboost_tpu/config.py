@@ -143,6 +143,10 @@ PARAMS: Tuple[Param, ...] = (
           "voting-parallel learner: number of features each device "
           "nominates per leaf (voting_parallel_tree_learner.cpp)",
           ("topk",)),
+    Param("enable_bundle", True, "bool", B,
+          "Exclusive Feature Bundling (lossless: bundles only mutually "
+          "exclusive sparse features; dataset.cpp FindGroups)",
+          ("is_enable_bundle", "bundle")),
     Param("verbose", 1, "int", B, "verbosity (<0 silences warnings)",
           ("verbosity",)),
     # ---- DART ----------------------------------------------------------
