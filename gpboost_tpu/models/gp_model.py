@@ -74,8 +74,21 @@ class GPModel:
                  seed=0, cluster_ids=None, likelihood="gaussian",
                  likelihood_additional_param=None, weights=None,
                  free_raw_data=False, vecchia_approx=None, num_parallel_threads=None,
-                 dtype=jnp.float64):
+                 num_data=None, dtype=jnp.float64):
         self.params = {}
+        # iid model (no random effects — plain (G)LM): the reference maps
+        # this to a single-group dummy RE whose variance collapses to the
+        # lower bound during fitting (R GPModel.R:553-560 group_data <-
+        # rep(0, num_data); tested in the R suite's "iid model" block)
+        self._iid_model = False
+        if group_data is None and gp_coords is None:
+            if num_data is None:
+                raise ValueError(
+                    "GPModel: Both 'group_data' and 'gp_coords' are None. "
+                    "Provide at least one of them or provide 'num_data' if "
+                    "you want an iid model")
+            group_data = np.zeros(int(num_data))
+            self._iid_model = True
         self.likelihood = _canonical_likelihood(likelihood)
         self.gp_approx_user = gp_approx
         if (self.likelihood == "gaussian_heteroscedastic"
@@ -700,7 +713,9 @@ class GPModel:
 
         if not self.spec.is_gaussian:
             from gpboost_tpu.models import laplace_fit
-            return laplace_fit.fit(self, data, fe_arr)
+            laplace_fit.fit(self, data, fe_arr)
+            self._pin_iid_dummy(y_np, X, fe)
+            return self
 
         init = (cfg.init_cov_pars if cfg.init_cov_pars is not None
                 else self._default_init_cov_pars(y_np))
@@ -736,7 +751,31 @@ class GPModel:
                     inv = np.linalg.pinv(XtPiX)
                 self.std_dev_coefs_ = np.sqrt(
                     np.maximum(np.diagonal(inv), 0.0))
+        self._pin_iid_dummy(y_np, X, fe)
         return self
+
+    def _pin_iid_dummy(self, y_np, X, fe):
+        """iid models: the dummy single-group variance collapses during
+        fitting; pin it at the reference's 1e-20 lower bound and refresh the
+        reported NLL there (the R goldens are quoted at the bound)."""
+        if not self._iid_model or self.cov_pars_ is None:
+            return
+        cp = np.asarray(self.cov_pars_, dtype=np.float64).copy()
+        idx = 1 if self.spec.is_gaussian else 0
+        if cp[idx] >= 1e-6:
+            return      # did not collapse: keep the fitted value
+        cp[idx] = 1e-20
+        self.cov_pars_ = cp
+        # std devs recompute lazily at the pinned parameters
+        self.std_dev_cov_pars_ = None
+        self.std_dev_coefs_ = None
+        fe_full = None if fe is None else np.asarray(fe, np.float64)
+        if self.coefs_ is not None and X is not None:
+            xb = np.asarray(X, np.float64) @ np.asarray(self.coefs_)
+            fe_full = xb if fe_full is None else fe_full + xb
+        self.current_nll_ = float(self.neg_log_likelihood(
+            cov_pars=cp, y=y_np, aux_pars=self.get_aux_pars(),
+            fixed_effects=fe_full))
 
     # -- profiled-nugget path (gradient_descent / lbfgs / nelder_mead / adam)
     def _fit_gaussian_profiled(self, spec, data, init, cfg, has_coef, fe_arr):
@@ -1049,6 +1088,10 @@ class GPModel:
 
         Returns dict with 'mu', 'var', 'cov' like the reference.
         """
+        if self._iid_model and group_data_pred is None:
+            n_pred = len(np.asarray(
+                X_pred if X_pred is not None else gp_coords_pred))
+            group_data_pred = np.zeros(n_pred)
         cov_pars_arr = jnp.asarray(
             np.asarray(cov_pars if cov_pars is not None else self.cov_pars_,
                        dtype=np.float64), dtype=self.dtype)
@@ -1611,8 +1654,80 @@ class GPModel:
             return np.asarray(self.coefs_)
         sd = getattr(self, "std_dev_coefs_", None)
         if sd is None:
+            try:
+                sd = self._calc_std_dev_coefs()
+            except Exception:
+                sd = None
+            self.std_dev_coefs_ = sd
+        if sd is None:
             sd = np.full(len(np.asarray(self.coefs_)), np.nan)
         return np.vstack([np.asarray(self.coefs_), np.asarray(sd)])
+
+    def _calc_std_dev_coefs(self):
+        """Asymptotic std devs of the regression coefficients.
+
+        Gaussian: GLS covariance (X' Psi^-1 X)^-1 (``CalcStdDevCoef``),
+        matrix-free through the active approximation. Non-Gaussian: square
+        root of the diagonal of the inverse Hessian of the Laplace NLL
+        w.r.t. beta (``CalcStdDevCoefNonGaussian``,
+        ``re_model_template.h:9825``) — the reference finite-differences its
+        gradient; here the gradient is exact autodiff and only the outer
+        Jacobian is numerical."""
+        data = self.data
+        if data is None or data.X is None or self.coefs_ is None:
+            return None
+        if self.num_sets_re == 2:
+            return None
+        cov_pars_arr = jnp.asarray(np.asarray(self.cov_pars_, np.float64),
+                                   dtype=self.dtype)
+        X = data.X
+        if self.spec.is_gaussian:
+            if self._approx is not None and self.gp_approx != "vecchia_latent":
+                PiX = self._psi_solve(cov_pars_arr, X)
+                XtPiX = np.asarray(X.T @ PiX)
+            else:
+                psi = gaussian.build_psi(self.spec, data, cov_pars_arr)
+                XtPiX = np.asarray(X.T @ jnp.linalg.solve(psi, X))
+            try:
+                inv = np.linalg.inv(XtPiX)
+            except np.linalg.LinAlgError:
+                inv = np.linalg.pinv(XtPiX)
+            return np.sqrt(np.maximum(np.diagonal(inv), 0.0))
+        aux = self._aux_pars_array(None)
+        fe0 = getattr(self, "_train_fixed_effects", None)
+        y_arr = data.y
+
+        def nll_b(b):
+            fe = X @ b if fe0 is None else X @ b + fe0
+            if self._approx is not None:
+                return self._approx.nll_laplace(cov_pars_arr, y_arr, aux, fe)
+            if self._grouped_only:
+                from gpboost_tpu.models import grouped
+                return grouped.nll_laplace(self.spec, data, cov_pars_arr,
+                                           aux, None, fe)
+            from gpboost_tpu.models import laplace
+            return laplace.neg_log_marginal_likelihood(
+                self.spec, data, cov_pars_arr, aux, None, fe)
+
+        g_fn = jax.jit(jax.grad(nll_b))
+        beta = np.asarray(self.coefs_, np.float64)
+        p = len(beta)
+        eps = float(np.finfo(np.float64).eps) ** (1.0 / 3.0)
+        H = np.zeros((p, p))
+        for i in range(p):
+            d = eps * max(abs(beta[i]), 1.0)
+            b1 = beta.copy()
+            b2 = beta.copy()
+            b1[i] += d
+            b2[i] -= d
+            H[i] = (np.asarray(g_fn(jnp.asarray(b1, self.dtype)))
+                    - np.asarray(g_fn(jnp.asarray(b2, self.dtype)))) / (2 * d)
+        Hsym = (H + H.T) / 2.0
+        try:
+            inv = np.linalg.inv(Hsym)
+        except np.linalg.LinAlgError:
+            inv = np.linalg.pinv(Hsym)
+        return np.sqrt(np.maximum(np.diagonal(inv), 0.0))
 
     def get_aux_pars(self):
         return getattr(self, "aux_pars_", None)

@@ -22,7 +22,7 @@ APPROXIMATIONS = ["none", "vecchia", "fitc", "full_scale_tapering",
 # model must raise a clear error, not crash later
 GUARDED = {
     # two-latent-set heteroscedastic engine requires the Vecchia structure
-    ("gaussian_heteroscedastic", "none"),
+    # (gp_approx="none" is SUPPORTED: exact all-neighbors Vecchia route)
     ("gaussian_heteroscedastic", "fitc"),
     ("gaussian_heteroscedastic", "full_scale_tapering"),
     ("gaussian_heteroscedastic", "full_scale_vecchia"),
