@@ -1739,14 +1739,25 @@ class GPModel:
         return getattr(self, "current_nll_", None)
 
     def summary(self):
-        print("Covariance parameters:")
-        if self.std_dev_cov_pars_ is not None:
-            for name, est, sd in zip(self._cov_par_names(),
-                                     np.asarray(self.cov_pars_),
-                                     np.asarray(self.std_dev_cov_pars_)):
-                print(f"  {name}: {est:.6g} (std dev {sd:.6g})")
-        else:
-            print(dict(zip(self._cov_par_names(), np.asarray(self.cov_pars_))))
+        # iid models: hide the collapsed dummy-RE variance (reference
+        # summary prints only Error_var, GPModel.R:2281-2292)
+        names = list(self._cov_par_names())
+        cps = list(np.asarray(self.cov_pars_))
+        sds = (None if self.std_dev_cov_pars_ is None
+               else list(np.asarray(self.std_dev_cov_pars_)))
+        if self._iid_model:
+            keep = [i for i, nm in enumerate(names) if nm == "Error_term"]
+            names = [names[i] for i in keep]
+            cps = [cps[i] for i in keep]
+            if sds is not None:
+                sds = [sds[i] for i in keep]
+        if names:
+            print("Covariance parameters:")
+            if sds is not None:
+                for name, est, sd in zip(names, cps, sds):
+                    print(f"  {name}: {est:.6g} (std dev {sd:.6g})")
+            else:
+                print(dict(zip(names, cps)))
         if self.coefs_ is not None:
             print("Linear regression coefficients:")
             sd = getattr(self, "std_dev_coefs_", None)
@@ -1803,6 +1814,7 @@ class GPModel:
             "aux_pars": None if getattr(self, "aux_pars_", None) is None else list(
                 np.asarray(self.aux_pars_, dtype=np.float64)),
             "num_data": self.num_data,
+            "iid_model": self._iid_model,
         }
         if include_data:
             data = self.data
@@ -1865,7 +1877,10 @@ class GPModel:
                 d["gp_rand_coef_data"], dtype=np.float64)
         if d.get("cluster_ids") is not None:
             kwargs["cluster_ids"] = np.asarray(d["cluster_ids"])
+        if ("group_data" not in kwargs and "gp_coords" not in kwargs):
+            kwargs["num_data"] = d.get("num_data")
         model = cls(**kwargs)
+        model._iid_model = bool(d.get("iid_model", False))
         if d.get("cov_pars") is not None:
             model.cov_pars_ = np.asarray(d["cov_pars"], dtype=np.float64)
         if d.get("coefs") is not None:
