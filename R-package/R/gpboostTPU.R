@@ -62,7 +62,7 @@ GPModel <- function(likelihood = "gaussian", group_data = NULL,
                     matrix_inversion_method = "cholesky", seed = 0L,
                     cluster_ids = NULL,
                     likelihood_additional_param = NULL, weights = NULL,
-                    free_raw_data = FALSE) {
+                    free_raw_data = FALSE, num_data = NULL) {
   py <- .gpb()$GPModel(
     group_data = .as_np(group_data),
     group_rand_coef_data = .as_np(group_rand_coef_data),
@@ -84,7 +84,8 @@ GPModel <- function(likelihood = "gaussian", group_data = NULL,
     cluster_ids = .as_np(cluster_ids),
     likelihood = likelihood,
     likelihood_additional_param = likelihood_additional_param,
-    weights = .as_np(weights))
+    weights = .as_np(weights),
+    num_data = if (is.null(num_data)) NULL else as.integer(num_data))
   structure(list(py = py), class = "GPModel")
 }
 

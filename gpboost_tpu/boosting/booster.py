@@ -1164,7 +1164,11 @@ class Booster:
                    "response_var": gp_pred["var"],
                    "fixed_effect": raw,
                    "random_effect_mean": gp_pred["mu"],
-                   "random_effect_cov": gp_pred.get("cov")}
+                   # reference: with predict_var=TRUE random_effect_cov
+                   # carries the predictive VARIANCES (basic.py:3560-3650)
+                   "random_effect_cov": (gp_pred.get("cov")
+                                         if gp_pred.get("cov") is not None
+                                         else gp_pred.get("var"))}
         else:
             if pred_latent:
                 gp_pred = gp.predict(y=train_label,
@@ -1172,7 +1176,9 @@ class Booster:
                                      predict_response=False, **pred_kwargs)
                 out = {"fixed_effect": raw,
                        "random_effect_mean": gp_pred["mu"],
-                       "random_effect_cov": gp_pred.get("cov"),
+                       "random_effect_cov": (gp_pred.get("cov")
+                                             if gp_pred.get("cov") is not None
+                                             else gp_pred.get("var")),
                        "response_mean": None, "response_var": None}
             else:
                 gp_pred = gp.predict(y=train_label,

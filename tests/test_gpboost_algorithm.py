@@ -191,3 +191,70 @@ def test_line_search_step_length(combined_data):
     rmse_ls = run(True)
     rmse_plain = run(False)
     assert rmse_ls < rmse_plain
+
+
+def _sim_gp_boost_data(init_coords=0.63):
+    """test_z_GPBoost_algorithm.R:1131-1161 (fitc/FSA blocks): friedman3
+    fixed effects + an exponential GP + noise, 100 train / 100 test."""
+    ntrain = ntest = 100
+    n = ntrain + ntest
+    X, f = sim_friedman3(n, n_irrelevant=5)
+    d = 2
+    x = sim_rand_unif_boost(n * d, init_c=init_coords)
+    coords = np.column_stack([x[:n], x[n:]])
+    D = np.sqrt(((coords[:, None] - coords[None]) ** 2).sum(-1))
+    Sigma = np.exp(-D / 0.1) + 1e-20 * np.eye(n)
+    C = np.linalg.cholesky(Sigma)
+    eps = C @ qnorm(sim_rand_unif_boost(n, 0.864))
+    xi = np.sqrt(0.1) * qnorm(sim_rand_unif_boost(n, 0.36))
+    y = f + eps + xi
+    return dict(ntrain=ntrain, X=X, f=f, coords=coords, y=y)
+
+
+@pytest.mark.parametrize("approx,kw,ref_cov", [
+    # reference goldens (TOLERANCE=1e-3 there; tree trajectories are not
+    # bit-identical here, so covariance parameters get loose bounds and the
+    # out-of-sample behavior is the hard check)
+    ("fitc", dict(num_ind_points=50), (0.009778865, 1.142124739, 0.072746954)),
+    ("full_scale_tapering", dict(num_ind_points=50, cov_fct_taper_range=0.5),
+     (0.00947784, 1.14864, 0.0729985)),
+    ("vecchia", dict(num_neighbors=30), None),
+])
+def test_gpboost_algorithm_with_gp_approximations(approx, kw, ref_cov):
+    """GPBoost algorithm (boosting + GP) under fitc / FSA / Vecchia
+    (test_z_GPBoost_algorithm.R:1131,1181: 'GPBoost algorithm with
+    fitc'/'with FSA')."""
+    f = _sim_gp_boost_data()
+    nt = f["ntrain"]
+    X_train, y_train = f["X"][:nt], f["y"][:nt]
+    X_test, coords_test = f["X"][nt:], f["coords"][nt:]
+    coords_train = f["coords"][:nt]
+    dists = np.sqrt(((coords_train[:, None] - coords_train[None]) ** 2
+                     ).sum(-1))
+    init_cov = [np.var(y_train) / 2, np.var(y_train) / 2,
+                np.mean(dists[np.triu_indices(nt, 1)]) / 3]
+    gp = GPModel(gp_coords=coords_train, cov_function="matern",
+                 cov_fct_shape=1.5, gp_approx=approx, **kw)
+    gp.set_optim_params(params=dict(maxit=20,
+                                    optimizer_cov="gradient_descent",
+                                    init_cov_pars=init_cov))
+    ds = gpb.Dataset(X_train, label=y_train)
+    bst = gpb.train({"learning_rate": 0.05, "max_depth": 6,
+                     "min_data_in_leaf": 5, "objective": "regression_l2",
+                     "verbose": -1}, ds, gp_model=gp, num_boost_round=20)
+    cp = np.asarray(gp.get_cov_pars(std_err=False), float).ravel()
+    assert np.all(np.isfinite(cp))
+    if ref_cov is not None:
+        # GP variance and range land near the reference's fitted values
+        assert abs(cp[1] - ref_cov[1]) < 0.5
+        assert abs(cp[2] - ref_cov[2]) < 0.05
+    pred = bst.predict(X_test, gp_coords_pred=coords_test,
+                       predict_var=True, pred_latent=True)
+    assert np.all(np.isfinite(pred["fixed_effect"]))
+    assert np.all(np.isfinite(pred["random_effect_mean"]))
+    assert np.all(np.asarray(pred["random_effect_cov"]) >= 0)
+    # combined out-of-sample predictions beat the trees alone
+    resp = pred["fixed_effect"] + pred["random_effect_mean"]
+    mse_combined = float(np.mean((f["y"][nt:] - resp) ** 2))
+    mse_trees = float(np.mean((f["y"][nt:] - pred["fixed_effect"]) ** 2))
+    assert mse_combined < mse_trees
