@@ -262,7 +262,12 @@ def _prior_var_diag(spec: ModelSpec, data_pred: ModelData, comp_pars) -> jnp.nda
                 z = data_pred.slope_data[:, comp.slope_data_idx]
                 contrib = contrib * z * z
         else:
-            contrib = pars[0] * jnp.ones((n,))
+            if comp.cov_fn.cov_fct_type == "linear":
+                # non-stationary: prior var = sigma2 * x'x per point
+                contrib = pars[0] * jnp.sum(
+                    data_pred.coords * data_pred.coords, axis=1)
+            else:
+                contrib = pars[0] * jnp.ones((n,))
             if comp.is_random_coef:
                 z = data_pred.gp_rand_coef_data[:, comp.rand_coef_data_idx]
                 contrib = contrib * z * z

@@ -400,25 +400,33 @@ def build_factors(cov_fn: CovFunction, cov_pars: jnp.ndarray,
         coords = cov_fn.scale_coords(coords, cov_pars)
         row_coords = cov_fn.scale_coords(row_coords, cov_pars)
     n, m = neighbors.shape
-    if n >= _TRANSPOSED_MIN_ROWS and m <= 64:
+    linear = cov_fn.cov_fct_type == "linear"
+    if n >= _TRANSPOSED_MIN_ROWS and m <= 64 and not linear:
         return _build_factors_transposed(cov_fn, cov_pars, coords, neighbors,
                                          nugget, include_nugget, row_coords,
                                          scaled)
     mask = neighbors >= 0
     idx = jnp.maximum(neighbors, 0)
     nb_coords = coords[idx]                     # [n, m, d]
-    diffs = nb_coords[:, :, None, :] - nb_coords[:, None, :, :]
-    d_nn = _safe_dist(jnp.sum(diffs * diffs, -1))                  # [n,m,m]
-    di = row_coords[:, None, :] - nb_coords
-    d_in = _safe_dist(jnp.sum(di * di, -1))                        # [n, m]
-
-    if scaled:
-        c_nn = cov_pars[0] * cov_fn.corr_from_scaled_dist(d_nn, cov_pars)
-        c_in = cov_pars[0] * cov_fn.corr_from_scaled_dist(d_in, cov_pars)
+    if linear:
+        # inner-product kernel sigma2 * x x' (non-stationary: the variance
+        # is per-point, cov_fcts.h "linear")
+        c_nn = cov_pars[0] * jnp.einsum('nmd,nkd->nmk', nb_coords, nb_coords)
+        c_in = cov_pars[0] * jnp.sum(row_coords[:, None, :] * nb_coords, -1)
+        var_ii = cov_pars[0] * jnp.sum(row_coords * row_coords, axis=1)
     else:
-        c_nn = cov_fn.cov_matrix(cov_pars, dist=d_nn)
-        c_in = cov_fn.cov_matrix(cov_pars, dist=d_in[:, None, :])[:, 0, :]
-    var_ii = cov_pars[0] * jnp.ones(n, dtype=coords.dtype)
+        diffs = nb_coords[:, :, None, :] - nb_coords[:, None, :, :]
+        d_nn = _safe_dist(jnp.sum(diffs * diffs, -1))              # [n,m,m]
+        di = row_coords[:, None, :] - nb_coords
+        d_in = _safe_dist(jnp.sum(di * di, -1))                    # [n, m]
+
+        if scaled:
+            c_nn = cov_pars[0] * cov_fn.corr_from_scaled_dist(d_nn, cov_pars)
+            c_in = cov_pars[0] * cov_fn.corr_from_scaled_dist(d_in, cov_pars)
+        else:
+            c_nn = cov_fn.cov_matrix(cov_pars, dist=d_nn)
+            c_in = cov_fn.cov_matrix(cov_pars, dist=d_in[:, None, :])[:, 0, :]
+        var_ii = cov_pars[0] * jnp.ones(n, dtype=coords.dtype)
     if include_nugget and nugget is not None:
         eye = jnp.eye(m, dtype=coords.dtype)
         c_nn = c_nn + nugget * eye[None]
