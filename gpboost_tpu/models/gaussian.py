@@ -266,6 +266,11 @@ def _prior_var_diag(spec: ModelSpec, data_pred: ModelData, comp_pars) -> jnp.nda
                 # non-stationary: prior var = sigma2 * x'x per point
                 contrib = pars[0] * jnp.sum(
                     data_pred.coords * data_pred.coords, axis=1)
+            elif comp.cov_fn.cov_fct_type == "hurst":
+                # fBm: prior var = sigma2 * (x'x)^H per point
+                contrib = pars[0] * jnp.power(jnp.maximum(jnp.sum(
+                    data_pred.coords * data_pred.coords, axis=1), 1e-300),
+                    pars[1])
             else:
                 contrib = pars[0] * jnp.ones((n,))
             if comp.is_random_coef:

@@ -400,20 +400,37 @@ def build_factors(cov_fn: CovFunction, cov_pars: jnp.ndarray,
         coords = cov_fn.scale_coords(coords, cov_pars)
         row_coords = cov_fn.scale_coords(row_coords, cov_pars)
     n, m = neighbors.shape
-    linear = cov_fn.cov_fct_type == "linear"
-    if n >= _TRANSPOSED_MIN_ROWS and m <= 64 and not linear:
+    nonstat = cov_fn.cov_fct_type in ("linear", "hurst")
+    if n >= _TRANSPOSED_MIN_ROWS and m <= 64 and not nonstat:
         return _build_factors_transposed(cov_fn, cov_pars, coords, neighbors,
                                          nugget, include_nugget, row_coords,
                                          scaled)
     mask = neighbors >= 0
     idx = jnp.maximum(neighbors, 0)
     nb_coords = coords[idx]                     # [n, m, d]
-    if linear:
+    if cov_fn.cov_fct_type == "linear":
         # inner-product kernel sigma2 * x x' (non-stationary: the variance
         # is per-point, cov_fcts.h "linear")
         c_nn = cov_pars[0] * jnp.einsum('nmd,nkd->nmk', nb_coords, nb_coords)
         c_in = cov_pars[0] * jnp.sum(row_coords[:, None, :] * nb_coords, -1)
         var_ii = cov_pars[0] * jnp.sum(row_coords * row_coords, axis=1)
+    elif cov_fn.cov_fct_type == "hurst":
+        # fractional Brownian motion sigma2/2 (r^H + r'^H - d^2H)
+        # (cov_fcts.h HurstCovariance; non-stationary)
+        H = cov_pars[1]
+        s2h = cov_pars[0] / 2.0
+        r_nb = jnp.power(jnp.maximum(
+            jnp.sum(nb_coords * nb_coords, -1), 1e-300), H)   # [n, m]
+        r_row = jnp.power(jnp.maximum(
+            jnp.sum(row_coords * row_coords, -1), 1e-300), H)  # [n]
+        diffs = nb_coords[:, :, None, :] - nb_coords[:, None, :, :]
+        d2_nn = jnp.power(jnp.maximum(
+            jnp.sum(diffs * diffs, -1), 1e-300), H)
+        di = row_coords[:, None, :] - nb_coords
+        d2_in = jnp.power(jnp.maximum(jnp.sum(di * di, -1), 1e-300), H)
+        c_nn = s2h * (r_nb[:, :, None] + r_nb[:, None, :] - d2_nn)
+        c_in = s2h * (r_row[:, None] + r_nb - d2_in)
+        var_ii = cov_pars[0] * r_row
     else:
         diffs = nb_coords[:, :, None, :] - nb_coords[:, None, :, :]
         d_nn = _safe_dist(jnp.sum(diffs * diffs, -1))              # [n,m,m]
