@@ -61,6 +61,10 @@ def parse_cov_alias(cov_fct_type: str, shape: float) -> tuple[str, float]:
         return "matern_space_time", 0.5
     if cov_fct_type in ("sq_exp", "rbf", "squared_exponential"):
         return "gaussian", shape
+    if cov_fct_type == "linear_no_woodbury":
+        # reference: same kernel, only the internal solve strategy differs
+        # (re_model.cpp matrix-format choice); one path here
+        return "linear", shape
     return cov_fct_type, shape
 
 
