@@ -247,8 +247,11 @@ def make_voting_context(mesh: Mesh, max_num_bins: int, top_k: int,
         full_hg = jnp.zeros_like(hg).at[sel].set(hg_sel)
         full_hh = jnp.zeros_like(hh).at[sel].set(hh_sel)
         full_hc = jnp.zeros_like(hc).at[sel].set(hc_sel)
-        sel_mask = jnp.zeros(F, bool).at[sel].set(
-            jnp.isfinite(global_gain[sel]))
+        # every selected feature's histogram is exactly aggregated, so the
+        # grower's GLOBAL validity checks decide — do not drop features whose
+        # local splits were all invalid (small shards fail min_data_in_leaf
+        # locally even when the global split is valid)
+        sel_mask = jnp.zeros(F, bool).at[sel].set(True)
 
         # exact global leaf totals (independent of the feature selection)
         g_tot = jax.lax.psum(jnp.sum(hg) / F, axis)
