@@ -13,6 +13,20 @@ pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
                                 reason="needs 8 virtual devices")
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_xla_client():
+    """Re-initialize the XLA CPU client before this module's big SPMD
+    compiles. After hundreds of prior tests the long-lived client can
+    segfault inside backend_compile_and_load on the large mesh programs
+    (observed twice in full-suite runs; the same tests pass standalone
+    every time — accumulated compiler/client state, not our graphs).
+    A fresh client reproduces the standalone conditions."""
+    import jax._src.xla_bridge as xb
+    jax.clear_caches()
+    xb._clear_backends()
+    yield
+
+
 @pytest.fixture(scope="module")
 def mesh():
     return make_mesh(8)
