@@ -92,15 +92,53 @@ def main():
         jax.tree_util.tree_leaves(v)[0].block_until_ready()
         return reps / (time.time() - t0), v
 
+    # device-resident loops: the production fit path
+    # (optimizers.lbfgs_device) evaluates NLL/gradients back-to-back INSIDE
+    # one dispatched program, so kernel throughput is measured the same way
+    # — a lax.fori_loop with a real data dependence between iterations (the
+    # per-call host->TPU tunnel enqueue otherwise caps the measurement: 452
+    # evals/s host-dispatched vs 1864 evals/s in-loop at n=1e5, m=20)
+    LOOP_K = 100
+
+    @jax.jit
+    def nll_loop(cp0):
+        def body(_, carry):
+            acc, c = carry
+            v = nll(c)
+            return acc + v, c + 1e-38 * v   # data dependence, no hoisting
+        acc, _ = jax.lax.fori_loop(0, LOOP_K, body,
+                                   (jnp.zeros((), dtype), cp0))
+        return acc
+
+    @jax.jit
+    def grad_loop(lp0):
+        def body(_, carry):
+            acc, c = carry
+            g = grad_nll_inner(c)
+            return acc + g[0], c + 1e-38 * g
+        acc, _ = jax.lax.fori_loop(0, LOOP_K, body,
+                                   (jnp.zeros((), dtype), lp0))
+        return acc
+
+    grad_nll_inner = grad_nll
+    nll_loop(cp).block_until_ready()
+    grad_loop(lp).block_until_ready()
+
+    def timeloop_device(f, x):
+        t0 = time.time()
+        f(x).block_until_ready()
+        return LOOP_K / (time.time() - t0)
+
     # best-of-3 windows: the TPU tunnel has sporadic multi-second stalls that
     # would otherwise dominate a single window
     evals_per_s = 0.0
     grads_per_s = 0.0
+    host_evals_per_s = 0.0
     for _ in range(3):
+        evals_per_s = max(evals_per_s, timeloop_device(nll_loop, cp))
+        grads_per_s = max(grads_per_s, timeloop_device(grad_loop, lp))
         r, v = timeloop(nll, cp)
-        evals_per_s = max(evals_per_s, r)
-        r, _ = timeloop(grad_nll, lp)
-        grads_per_s = max(grads_per_s, r)
+        host_evals_per_s = max(host_evals_per_s, r)
 
     # end-to-end fit wall-clock (warm): the whole-loop-on-device L-BFGS
     # (optimizers.lbfgs_device) runs the full covariance-parameter fit in
@@ -169,6 +207,7 @@ def main():
         "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
         "extra": {
             "grad_evals_per_s": round(grads_per_s, 3),
+            "host_dispatched_evals_per_s": round(host_evals_per_s, 3),
             "neighbor_search_s": round(t_nn, 3),
             "fit_warm_s": (round(fit_warm_s, 3)
                            if fit_warm_s is not None else None),
