@@ -217,13 +217,20 @@ class FITCGP:
         # re_model_template.h:10839): engage when requested or when the
         # exact path would materialize/solve an [n_p, n] system too large
         use_sim = predict_var and (
-            nsim_var_pred is not None
-            or n_p * self.n > 50_000_000)
+            (nsim_var_pred is not None and int(nsim_var_pred) > 0)
+            or (nsim_var_pred is None and n_p * self.n > 50_000_000))
         if use_sim:
             from gpboost_tpu.models.predvar import sim_pred_mean_var
+            from gpboost_tpu.utils.log import log_info
+            if nsim_var_pred is None:
+                # nsim_var_pred=0 forces the exact path
+                log_info("Using simulation-based predictive variances "
+                         "(large n_p * n; set 'nsim_var_pred=0' to force "
+                         "the exact path)")
             gp_pars = cov_pars[1:]
+            sol_mn = self._fsa_cross_sol(gp_pars)
             mean, quad = sim_pred_mean_var(
-                lambda cpc: self._fsa_cross(gp_pars, cpc), cp,
+                lambda cpc: self._fsa_cross(gp_pars, cpc, sol_mn=sol_mn), cp,
                 lambda W: self._psi_inv_mul(cov_pars, W), psi_inv_r,
                 int(nsim_var_pred or 1000),
                 seed=self.seed_rand_vec_trace)
@@ -242,18 +249,26 @@ class FITCGP:
                 var = var + cov_pars[0]
         return mean, var
 
-    def _fsa_cross(self, cov_pars, coords_pred):
-        d_pn = euclidean_distance(coords_pred, self.coords)
-        sigma_pn = self.cov_fn.cov_matrix(cov_pars, dist=d_pn)
-        d_pm = euclidean_distance(coords_pred, self.ind_points)
-        c_pm = self.cov_fn.cov_matrix(cov_pars, dist=d_pm)
+    def _fsa_cross_sol(self, cov_pars):
+        """Chunk-independent piece of the FSA cross-covariance:
+        C_mm^-1 C_mn [m, n] — hoisted out of per-chunk rebuilds in the
+        simulation-based variance path."""
         d_nm = euclidean_distance(self.coords, self.ind_points)
         c_nm = self.cov_fn.cov_matrix(cov_pars, dist=d_nm)
         d_mm = euclidean_distance(self.ind_points, self.ind_points)
         c_mm = self.cov_fn.cov_matrix(cov_pars, dist=d_mm) + \
             fops.JITTER * cov_pars[0] * jnp.eye(self.ind_points.shape[0],
                                                 dtype=self.dtype)
-        q_pn = c_pm @ jnp.linalg.solve(c_mm, c_nm.T)
+        return jnp.linalg.solve(c_mm, c_nm.T)
+
+    def _fsa_cross(self, cov_pars, coords_pred, sol_mn=None):
+        d_pn = euclidean_distance(coords_pred, self.coords)
+        sigma_pn = self.cov_fn.cov_matrix(cov_pars, dist=d_pn)
+        d_pm = euclidean_distance(coords_pred, self.ind_points)
+        c_pm = self.cov_fn.cov_matrix(cov_pars, dist=d_pm)
+        if sol_mn is None:
+            sol_mn = self._fsa_cross_sol(cov_pars)
+        q_pn = c_pm @ sol_mn
         from gpboost_tpu.ops.cov_fns import wendland_correlation
         T = wendland_correlation(d_pn, self.taper_range, self.taper_shape,
                                  self.taper_mu)

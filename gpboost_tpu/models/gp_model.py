@@ -98,8 +98,16 @@ class GPModel:
             # the TPU route to the reference's dense
             # FindModePostRandEffCalcMLLStable path for num_sets_re=2
             # (likelihoods.h:258-268); user-facing gp_approx stays 'none'
+            n_het = len(np.asarray(gp_coords))
+            if n_het > 1000:
+                # the all-neighbor factor build materializes [n, n-1, n-1]
+                # covariance blocks (O(n^3) memory) — refuse before OOM
+                raise ValueError(
+                    "likelihood='gaussian_heteroscedastic' with "
+                    f"gp_approx='none' is only supported for n <= 1000 "
+                    f"(have n={n_het}); use gp_approx='vecchia'")
             gp_approx = "vecchia"
-            num_neighbors = len(np.asarray(gp_coords)) - 1
+            num_neighbors = n_het - 1
             vecchia_ordering = "none"
         self.gp_approx = gp_approx
         self.matrix_inversion_method = matrix_inversion_method
@@ -1089,8 +1097,15 @@ class GPModel:
         Returns dict with 'mu', 'var', 'cov' like the reference.
         """
         if self._iid_model and group_data_pred is None:
-            n_pred = len(np.asarray(
-                X_pred if X_pred is not None else gp_coords_pred))
+            for cand in (X_pred, gp_coords_pred, fixed_effects_pred):
+                if cand is not None:
+                    n_pred = np.asarray(cand).shape[0]
+                    break
+            else:
+                raise ValueError(
+                    "Need to provide at least one of 'X_pred', "
+                    "'gp_coords_pred' or 'fixed_effects_pred' to determine "
+                    "the number of prediction points for an iid model")
             group_data_pred = np.zeros(n_pred)
         cov_pars_arr = jnp.asarray(
             np.asarray(cov_pars if cov_pars is not None else self.cov_pars_,

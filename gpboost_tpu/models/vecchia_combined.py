@@ -94,14 +94,24 @@ class VecchiaGroupedGP:
                 lambda t: self.nll_gaussian(jnp.exp(t), y, fp, nb))(th))
 
     def sync_iter_cfg(self, cfg):
-        """Adopt the model's iterative-methods settings (OptimConfig)."""
-        self._iter_cfg = dict(
+        """Adopt the model's iterative-methods settings (OptimConfig).
+
+        The jitted value+grad program closes over ``_iter_cfg`` at trace
+        time, so a changed config must invalidate the cached program (a
+        fresh ``jax.jit`` wrapper) — otherwise a second fit with different
+        CG/trace settings silently reuses the old ones."""
+        new_cfg = dict(
             num_rand_vec_trace=int(cfg.num_rand_vec_trace),
             lanczos_steps=min(int(cfg.cg_max_num_it_tridiag), 100,
                               self.q_total),
             cg_tol=float(cfg.cg_delta_conv),
             cg_max_iter=int(cfg.cg_max_num_it),
             seed=int(cfg.seed_rand_vec_trace))
+        if new_cfg != self._iter_cfg:
+            self._iter_cfg = new_cfg
+            self._vg_gaussian_jit = jax.jit(
+                lambda th, y, fp, nb: jax.value_and_grad(
+                    lambda t: self.nll_gaussian(jnp.exp(t), y, fp, nb))(th))
 
     def _vg_gaussian(self, th, y, fp):
         return self._vg_gaussian_jit(th, y, fp, self.neighbors)
