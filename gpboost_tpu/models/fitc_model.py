@@ -54,6 +54,9 @@ class FITCGP:
                                    cover_tree_radius=cover_tree_radius),
             dtype=dtype)
         self.dtype = dtype
+        self.mesh = None
+        self._shard_coords = None
+        self._shard_w = None
         self.matrix_inversion_method = matrix_inversion_method
         # iterative-path knobs (reference defaults; sync_iter_cfg adopts
         # the optimizer config's values)
@@ -70,6 +73,38 @@ class FITCGP:
         # persistent jitted value+grad (shared fit driver expects this)
         self._vg_gaussian = jax.jit(jax.value_and_grad(
             lambda th, y, fp: self.nll_gaussian(jnp.exp(th), y, fp)))
+        from gpboost_tpu import parallel as par
+        if par.active_mesh() is not None and gp_approx == "fitc":
+            self.shard_over(par.active_mesh())
+
+    def shard_over(self, mesh, axis=None):
+        """Shard the FITC row panels over a device mesh: the [n, k]
+        cross-covariance build, the Lambda diagonal and the Woodbury
+        products partition over padded row shards (inducing-point [k, k]
+        work replicates) — the mesh analog of the reference's per-row OpenMP
+        loops (``re_model_template.h:7000-7100``). Gaussian ``fitc`` only;
+        FSA keeps replicated structure."""
+        if self.gp_approx != "fitc":
+            raise NotImplementedError(
+                "mesh sharding is implemented for gp_approx='fitc' "
+                f"(got {self.gp_approx!r})")
+        from gpboost_tpu import parallel as par
+        import numpy as _np
+        self.mesh = mesh
+        self._mesh_axis = axis
+        ndev = int(_np.prod(mesh.devices.shape))
+        pad = (-self.n) % ndev
+        cn = _np.asarray(self.coords)
+        cpad = (_np.concatenate([cn, _np.repeat(cn[:1], pad, axis=0)])
+                if pad else cn)
+        w = _np.concatenate([_np.ones(self.n), _np.zeros(pad)])
+        self._shard_coords = par.shard_rows(
+            jnp.asarray(cpad, self.dtype), mesh, axis)
+        self._shard_w = par.shard_rows(jnp.asarray(w, self.dtype), mesh,
+                                       axis)
+        self.coords = par.replicate(self.coords, mesh)
+        self.ind_points = par.replicate(self.ind_points, mesh)
+        return self
 
     @property
     def _use_iterative(self):
@@ -103,6 +138,14 @@ class FITCGP:
     def nll_gaussian(self, cov_pars, y, fixed_part=None):
         r = y if fixed_part is None else y - fixed_part
         if self.gp_approx == "fitc":
+            if self._shard_coords is not None:
+                pad = self._shard_coords.shape[0] - self.n
+                r_pad = (jnp.concatenate([r, jnp.zeros(pad, r.dtype)])
+                         if pad else r)
+                return fops.fitc_nll(self.cov_fn, cov_pars,
+                                     self._shard_coords, self.ind_points,
+                                     r_pad, row_w=self._shard_w,
+                                     num_data=self.n)
             return fops.fitc_nll(self.cov_fn, cov_pars, self.coords,
                                  self.ind_points, r)
         if self._use_iterative:

@@ -230,44 +230,75 @@ class GPModel:
             elif gp_approx in ("full_scale_vecchia",
                                "full_scale_vecchia_correlation_based"):
                 from gpboost_tpu.models.fsva_model import FSVAGP
-                if group_data is not None or gp_rand_coef_data is not None \
-                        or cluster_ids is not None:
+                if group_data is not None or gp_rand_coef_data is not None:
                     raise NotImplementedError(
                         "gp_approx='full_scale_vecchia' currently supports a "
-                        "single GP component without cluster_ids")
-                self._approx = FSVAGP(
-                    np.asarray(gp_coords, dtype=np.float64).reshape(
-                        len(np.asarray(gp_coords)), -1),
-                    cf, num_neighbors=(num_neighbors or 30),
-                    num_ind_points=num_ind_points,
-                    ind_points_selection=ind_points_selection,
-                    ordering=vecchia_ordering, seed=seed,
-                    cover_tree_radius=cover_tree_radius,
-                    likelihood=_canonical_likelihood(likelihood),
-                    neighbor_selection=(
-                        "residual_correlation"
-                        if gp_approx == "full_scale_vecchia_correlation_based"
-                        else "nearest"),
-                    dtype=dtype)
+                        "single GP component")
+
+                def make_fsva(cc):
+                    return FSVAGP(
+                        cc, cf, num_neighbors=(num_neighbors or 30),
+                        num_ind_points=num_ind_points,
+                        ind_points_selection=ind_points_selection,
+                        ordering=vecchia_ordering, seed=seed,
+                        cover_tree_radius=cover_tree_radius,
+                        likelihood=_canonical_likelihood(likelihood),
+                        neighbor_selection=(
+                            "residual_correlation"
+                            if gp_approx
+                            == "full_scale_vecchia_correlation_based"
+                            else "nearest"),
+                        dtype=dtype)
+
+                coords_arr = np.asarray(gp_coords, dtype=np.float64).reshape(
+                    len(np.asarray(gp_coords)), -1)
+                if cluster_ids is not None:
+                    # per-cluster sub-approximations
+                    # (re_model_template.h:6015 loops clusters for exactly
+                    # these approximations)
+                    from gpboost_tpu.models.clustered_approx import (
+                        ClusteredApprox)
+                    self._approx = ClusteredApprox(
+                        coords_arr, np.asarray(data.cluster_codes),
+                        make_fsva,
+                        likelihood=_canonical_likelihood(likelihood),
+                        dtype=dtype)
+                else:
+                    self._approx = make_fsva(coords_arr)
             elif gp_approx in ("fitc", "full_scale_tapering"):
                 from gpboost_tpu.models.fitc_model import FITCGP
-                if group_data is not None or gp_rand_coef_data is not None \
-                        or cluster_ids is not None:
+                if group_data is not None or gp_rand_coef_data is not None:
                     raise NotImplementedError(
                         "gp_approx='fitc'/'full_scale_tapering' currently "
-                        "supports a single GP component without cluster_ids")
-                self._approx = FITCGP(
-                    np.asarray(gp_coords, dtype=np.float64).reshape(
-                        len(np.asarray(gp_coords)), -1),
-                    cf, num_ind_points=num_ind_points,
-                    ind_points_selection=ind_points_selection, seed=seed,
-                    cover_tree_radius=cover_tree_radius,
-                    likelihood=_canonical_likelihood(likelihood),
-                    gp_approx=gp_approx,
-                    cov_fct_taper_range=cov_fct_taper_range,
-                    cov_fct_taper_shape=cov_fct_taper_shape,
-                    matrix_inversion_method=matrix_inversion_method,
-                    dtype=dtype)
+                        "supports a single GP component")
+                coords_arr = np.asarray(gp_coords, dtype=np.float64).reshape(
+                    len(np.asarray(gp_coords)), -1)
+
+                def make_fitc(cc):
+                    return FITCGP(
+                        cc, cf, num_ind_points=num_ind_points,
+                        ind_points_selection=ind_points_selection, seed=seed,
+                        cover_tree_radius=cover_tree_radius,
+                        likelihood=_canonical_likelihood(likelihood),
+                        gp_approx=gp_approx,
+                        cov_fct_taper_range=cov_fct_taper_range,
+                        cov_fct_taper_shape=cov_fct_taper_shape,
+                        matrix_inversion_method=matrix_inversion_method,
+                        dtype=dtype)
+
+                if cluster_ids is not None:
+                    # per-cluster sub-approximations with per-cluster
+                    # inducing points (re_model_template.h:6015 loops
+                    # clusters for exactly these approximations)
+                    from gpboost_tpu.models.clustered_approx import (
+                        ClusteredApprox)
+                    self._approx = ClusteredApprox(
+                        coords_arr, np.asarray(data.cluster_codes),
+                        make_fitc,
+                        likelihood=_canonical_likelihood(likelihood),
+                        dtype=dtype)
+                else:
+                    self._approx = make_fitc(coords_arr)
             else:
                 self._approx = None
         else:
@@ -298,6 +329,11 @@ class GPModel:
             len(self.spec.components) > 0
             and all(isinstance(c, GroupedRESpec) for c in self.spec.components)
             and self.data.cluster_codes is None)
+        # active mesh at construction: grouped-only fits run SPMD over padded
+        # row shards (segment-sums partition over rows, psum'd into the q-dim
+        # dense work — reference Z'WZ loops, re_model_template.h:5020-5394)
+        from gpboost_tpu import parallel as par
+        self._mesh = par.active_mesh() if self._grouped_only else None
         # batched per-cluster solves: [C, m, m] blocks + one vmapped Cholesky
         # instead of a masked [n, n] matrix (SURVEY §2.5 item 8; the cluster
         # axis is the embarrassing mesh-sharding axis)
@@ -308,6 +344,44 @@ class GPModel:
             and isinstance(self.spec.components[0], GPRESpec)
             and self.spec.components[0].cov_fn.is_isotropic)
         self._cluster_blocks = None
+
+    def _mesh_grouped_view(self, data, fe_arr):
+        """Padded, row-sharded copy of (data, fixed_effects) for the SPMD
+        grouped-RE fit: rows rounded up to a device multiple, ``row_weight``
+        zeroing the pads out of every likelihood/Z product. Pad values are
+        benign (y -> y[0], a valid response; X/slope -> 0; codes -> 0,
+        masked; weights -> 1)."""
+        from gpboost_tpu import parallel as par
+        mesh = self._mesh
+        ndev = int(np.prod(mesh.devices.shape))
+        n = self.num_data
+        pad = (-n) % ndev
+
+        def prep(x, fill=None, dtype=None, shard=True):
+            if x is None:
+                return None
+            xn = np.asarray(x)
+            if pad:
+                f = (np.zeros((pad,) + xn.shape[1:], xn.dtype) if fill is None
+                     else np.broadcast_to(
+                         np.asarray(fill, xn.dtype),
+                         (pad,) + xn.shape[1:]).copy())
+                xn = np.concatenate([xn, f])
+            arr = jnp.asarray(xn, dtype=dtype)
+            return par.shard_rows(arr, mesh) if shard else arr
+
+        row_w = np.concatenate([np.ones(n), np.zeros(pad)])
+        data_mesh = ModelData(
+            y=prep(data.y, fill=np.asarray(data.y)[0]),
+            X=prep(data.X),
+            group_codes=prep(data.group_codes),
+            slope_data=prep(data.slope_data),
+            weights=prep(data.weights, fill=1.0),
+            row_weight=par.shard_rows(jnp.asarray(row_w, self.dtype), mesh))
+        fe_mesh = None
+        if fe_arr is not None:
+            fe_mesh = prep(fe_arr)
+        return data_mesh, fe_mesh
 
     def _get_cluster_blocks(self):
         if self._cluster_blocks is None:
@@ -465,9 +539,13 @@ class GPModel:
         if self._approx is not None and hasattr(self._approx, "shard_over"):
             self._approx.shard_over(mesh)
             return self
+        if self._grouped_only:
+            self._mesh = mesh
+            return self
         raise NotImplementedError(
-            "mesh sharding is currently supported for gp_approx='vecchia' "
-            f"models (got gp_approx={self.gp_approx!r})")
+            "mesh sharding is currently supported for gp_approx='vecchia'/"
+            "'fitc'/'full_scale_tapering' and grouped-RE models "
+            f"(got gp_approx={self.gp_approx!r})")
 
     # ------------------------------------------------------------------
     def set_likelihood(self, likelihood: str):
@@ -714,6 +792,36 @@ class GPModel:
         # the offset is part of the model state for later predictions
         # (reference: offset stored at fit time, ``GLMM with an offset`` tests)
         self._train_fixed_effects = fe_arr
+
+        if self._mesh is not None and self._grouped_only:
+            # padded, row-sharded data view for the SPMD fit; self.data keeps
+            # the unpadded arrays for predictions/summaries
+            data_mesh, fe_mesh = self._mesh_grouped_view(data, fe_arr)
+            if not self.spec.is_gaussian:
+                from gpboost_tpu.models import laplace_fit
+                laplace_fit.fit(self, data_mesh, fe_mesh)
+                self._pin_iid_dummy(y_np, X, fe)
+                return self
+            cfg_prof = cfg.optimizer_cov in (
+                "gradient_descent", "lbfgs", "nelder_mead", "adam",
+                "lbfgs_linesearch_nocedal_wright")
+            no_mask = (cfg.estimate_cov_par_index is None
+                       or not np.any(
+                           np.asarray(cfg.estimate_cov_par_index) == 0))
+            if cfg_prof and no_mask:
+                init = (cfg.init_cov_pars if cfg.init_cov_pars is not None
+                        else self._default_init_cov_pars(y_np))
+                result = self._fit_gaussian_profiled(
+                    self.spec, data_mesh, init, cfg, data.X is not None,
+                    fe_mesh)
+                self._fit_result = result
+                self.num_it_ = result.num_it
+                if cfg.std_dev:
+                    self.std_dev_cov_pars_ = \
+                        self._calc_std_dev_cov_pars(data)
+                return self
+            # masked/fisher-scoring fits use dense [n, n] algebra — fall
+            # through to the replicated path
 
         if self._approx is not None:
             from gpboost_tpu.models import vecchia_fit
@@ -1117,8 +1225,11 @@ class GPModel:
                 else jnp.asarray(self.coefs_, dtype=self.dtype))
 
         if self._approx is not None:
-            y_arr = None if y is None else jnp.asarray(
+            # y defaults to the stored training response (the reference keeps
+            # y in the REModel from fit/set_y; predict's y is optional)
+            y_arr = (jnp.asarray(
                 np.asarray(y, dtype=np.float64).ravel(), dtype=self.dtype)
+                if y is not None else getattr(data, "y", None))
             fe = None if fixed_effects is None else jnp.asarray(
                 fixed_effects, dtype=self.dtype)
             fep = None if fixed_effects_pred is None else jnp.asarray(
@@ -1285,7 +1396,9 @@ class GPModel:
                 nsim = getattr(self, "nsim_var_pred", None)
                 use_sim = (hasattr(self._approx, "predict_laplace_sim")
                            and not lap_extra
-                           and (nsim is not None or self.num_data > 20000))
+                           and (nsim is not None or self.num_data > 20000
+                                or getattr(self._approx, "mesh", None)
+                                is not None))
                 if use_sim:
                     # simulation-based predictive variances (nsim_var_pred;
                     # Sample_Posterior_LaplaceApprox_*, likelihoods.h:6818):

@@ -42,10 +42,27 @@ def grouped_layout(spec: ModelSpec):
     return tuple(offsets), tuple(sizes), off
 
 
+def _eff_weights(data: ModelData):
+    """Likelihood weights combined with the mesh-padding row mask (pads get
+    effective weight 0, so their likelihood terms vanish exactly)."""
+    if data.row_weight is None:
+        return data.weights
+    if data.weights is None:
+        return data.row_weight
+    return data.weights * data.row_weight
+
+
+def _num_real(spec: ModelSpec, r: jnp.ndarray):
+    """Real (unpadded) observation count: the mesh layout pads rows to a
+    device multiple, so counts must come from the static spec."""
+    return spec.num_data if spec.num_data else r.shape[0]
+
+
 @partial(jax.jit, static_argnums=(0,))
 def _z_weights(spec: ModelSpec, data: ModelData):
     """Per-component multiplier z_i (1 for intercepts, covariate for slopes),
-    stacked [ncomp, n]."""
+    stacked [ncomp, n]. Mesh-padding rows are zeroed (``data.row_weight``)
+    so every Z product excludes them."""
     n = data.group_codes.shape[0]
     ws = []
     for j, comp in enumerate(spec.components):
@@ -55,7 +72,10 @@ def _z_weights(spec: ModelSpec, data: ModelData):
             ws.append(jnp.ones(n, data.slope_data.dtype
                                if data.slope_data is not None else
                                jnp.result_type(float)))
-    return jnp.stack(ws, axis=0)
+    out = jnp.stack(ws, axis=0)
+    if data.row_weight is not None:
+        out = out * data.row_weight[None, :]
+    return out
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -120,15 +140,17 @@ def nll_gaussian(spec: ModelSpec, data: ModelData, cov_pars: jnp.ndarray,
     comp_vars = cov_pars[1:]
     db = _sigma_b_diag(spec, comp_vars, r.dtype)
     w = data.weights
-    n = r.shape[0]
+    n = _num_real(spec, r)
+    rmask = data.row_weight
     if w is None:
         ztwz = ztz_matrix(spec, data)
-        rw = r
+        rw = r if rmask is None else r * rmask
         log_w_sum = 0.0
     else:
         ztwz = ztw_z(spec, data, w)
-        rw = w * r
-        log_w_sum = jnp.sum(jnp.log(w))
+        rw = w * r if rmask is None else w * r * rmask
+        log_w_sum = (jnp.sum(jnp.log(w)) if rmask is None
+                     else jnp.sum(jnp.log(w) * rmask))
     # M = sigma2 Sigma_b^-1 + Z'WZ  (Psi = sigma2 diag(1/w) + Z Sigma_b Z')
     M = ztwz + jnp.diag(sigma2 / db)
     L = jnp.linalg.cholesky(M)
@@ -155,15 +177,17 @@ def nll_profiled(spec: ModelSpec, data: ModelData, ratio_vars: jnp.ndarray,
         r = r - fixed_effects
     db = _sigma_b_diag(spec, ratio_vars, r.dtype)
     w = data.weights
-    n = r.shape[0]
+    n = _num_real(spec, r)
+    rmask = data.row_weight
     if w is None:
         ztwz = ztz_matrix(spec, data)
-        rw = r
+        rw = r if rmask is None else r * rmask
         log_w_sum = 0.0
     else:
         ztwz = ztw_z(spec, data, w)
-        rw = w * r
-        log_w_sum = jnp.sum(jnp.log(w))
+        rw = w * r if rmask is None else w * r * rmask
+        log_w_sum = (jnp.sum(jnp.log(w)) if rmask is None
+                     else jnp.sum(jnp.log(w) * rmask))
     M = ztwz + jnp.diag(1.0 / db)
     L = jnp.linalg.cholesky(M)
     ztr = zt_mul(spec, data, rw)
@@ -302,7 +326,7 @@ def _find_mode_grouped_impl(lik_name, spec, data, db, F, aux):
     from gpboost_tpu import likelihoods as lk
     from gpboost_tpu.models.laplace import _weighted_fns
     fam = lk.get_family(lik_name)
-    ll_fn, d1_fn, d2_fn = _weighted_fns(fam, data.weights)
+    ll_fn, d1_fn, d2_fn = _weighted_fns(fam, _eff_weights(data))
     y = data.y
     q = db.shape[0]
 
@@ -371,7 +395,7 @@ def _find_mode_grouped_bwd(lik_name, spec, res, v):
     from gpboost_tpu.models.laplace import _weighted_fns
     fam = lk.get_family(lik_name)
     data, db, F, aux, b = res
-    ll_fn, d1_fn, d2_fn = _weighted_fns(fam, data.weights)
+    ll_fn, d1_fn, d2_fn = _weighted_fns(fam, _eff_weights(data))
     y = data.y
     loc = F + z_mul(spec, data, b)
     w = -d2_fn(y, loc, aux)
@@ -411,7 +435,7 @@ def nll_laplace(spec: ModelSpec, data: ModelData, cov_pars: jnp.ndarray,
         F = F + fixed_effects
     aux = aux_pars if aux_pars is not None else jnp.zeros((0,), data.y.dtype)
     from gpboost_tpu.models.laplace import _weighted_fns
-    ll_fn, d1_fn, d2_fn = _weighted_fns(fam, data.weights)
+    ll_fn, d1_fn, d2_fn = _weighted_fns(fam, _eff_weights(data))
     db = _sigma_b_diag(spec, cov_pars, data.y.dtype)
     b = find_mode_grouped(spec.likelihood, spec, data, db, F, aux)
     loc = F + z_mul(spec, data, b)
@@ -435,7 +459,7 @@ def laplace_mode_and_w(spec, data, cov_pars, aux_pars, fixed_effects):
     b = find_mode_grouped(spec.likelihood, spec, data, db, F, aux)
     loc = F + z_mul(spec, data, b)
     from gpboost_tpu.models.laplace import _weighted_fns
-    _, _, d2_fn = _weighted_fns(fam, data.weights)
+    _, _, d2_fn = _weighted_fns(fam, _eff_weights(data))
     w = -d2_fn(data.y, loc, aux)
     return b, w, db
 
@@ -519,9 +543,14 @@ def nll_profiled_iterative(spec: ModelSpec, data: ModelData,
         r = r - fixed_effects
     db = _sigma_b_diag(spec, ratio_vars, r.dtype)
     w = data.weights
-    n = r.shape[0]
+    n = _num_real(spec, r)
+    rmask = data.row_weight
     rw = r if w is None else w * r
-    log_w_sum = 0.0 if w is None else jnp.sum(jnp.log(w))
+    if rmask is not None:
+        rw = rw * rmask
+    log_w_sum = (0.0 if w is None else
+                 (jnp.sum(jnp.log(w)) if rmask is None
+                  else jnp.sum(jnp.log(w) * rmask)))
     shift = 1.0 / db
     matvec = lambda V: _mv_sys(spec, data, w, shift, V)  # noqa: E731
     diag_M = ztw_z_diag(spec, data, w) + shift
@@ -576,7 +605,7 @@ def _find_mode_grouped_cg_impl(lik_name, spec, data, db, F, aux):
     from gpboost_tpu.models.laplace import _weighted_fns
     from gpboost_tpu.ops import cg as cgops
     fam = lk.get_family(lik_name)
-    ll_fn, d1_fn, d2_fn = _weighted_fns(fam, data.weights)
+    ll_fn, d1_fn, d2_fn = _weighted_fns(fam, _eff_weights(data))
     y = data.y
     q = db.shape[0]
 
@@ -634,7 +663,7 @@ def _find_mode_grouped_cg_bwd(lik_name, spec, res, v):
     from gpboost_tpu.ops import cg as cgops
     fam = lk.get_family(lik_name)
     data, db, F, aux, b = res
-    ll_fn, d1_fn, d2_fn = _weighted_fns(fam, data.weights)
+    ll_fn, d1_fn, d2_fn = _weighted_fns(fam, _eff_weights(data))
     y = data.y
     loc = F + z_mul(spec, data, b)
     w = -d2_fn(y, loc, aux)
@@ -681,7 +710,7 @@ def nll_laplace_iterative(spec: ModelSpec, data: ModelData,
     if fixed_effects is not None:
         F = F + fixed_effects
     aux = aux_pars if aux_pars is not None else jnp.zeros((0,), data.y.dtype)
-    ll_fn, d1_fn, d2_fn = _weighted_fns(fam, data.weights)
+    ll_fn, d1_fn, d2_fn = _weighted_fns(fam, _eff_weights(data))
     db = _sigma_b_diag(spec, cov_pars, data.y.dtype)
     b = find_mode_grouped_cg(spec.likelihood, spec, data, db, F, aux)
     loc = F + z_mul(spec, data, b)
@@ -781,7 +810,7 @@ def posterior_b_laplace_iterative(spec, data, cov_pars, aux_pars, nsim: int,
     F = (jnp.zeros(n, data.y.dtype) if fixed_effects is None
          else fixed_effects)
     aux = aux_pars if aux_pars is not None else jnp.zeros((0,), data.y.dtype)
-    _, _, d2_fn = _weighted_fns(fam, data.weights)
+    _, _, d2_fn = _weighted_fns(fam, _eff_weights(data))
     db = _sigma_b_diag(spec, cov_pars, data.y.dtype)
     q = db.shape[0]
     b = find_mode_grouped_cg(spec.likelihood, spec, data, db, F, aux)

@@ -107,11 +107,12 @@ class ModelData:
     gp_rand_coef_data: Optional[jnp.ndarray] = None  # [n, n_gp_rc]
     weights: Optional[jnp.ndarray] = None      # [n]
     cluster_codes: Optional[jnp.ndarray] = None  # [n] int32 independent blocks
+    row_weight: Optional[jnp.ndarray] = None   # [n] 0/1 mesh-padding mask
 
     def tree_flatten(self):
         children = (self.y, self.X, self.group_codes, self.slope_data,
                     self.coords, self.dists, self.gp_rand_coef_data,
-                    self.weights, self.cluster_codes)
+                    self.weights, self.cluster_codes, self.row_weight)
         return children, None
 
     @classmethod

@@ -194,7 +194,12 @@ def fit(model, data, fixed_effects: Optional[jnp.ndarray] = None):
         return cov, aux, beta
 
     use_iterative = (getattr(model, "matrix_inversion_method", "cholesky")
-                     == "iterative")
+                     == "iterative"
+                     # under a mesh the matrix-free iterative path is the
+                     # sharded (SPMD) Vecchia-Laplace fit; the dense path
+                     # would run replicated with [n, n] matrices
+                     or (getattr(vec, "_shard_nb", None) is not None
+                         and not is_het))
     if hasattr(vec, "ensure_neighbors"):
         # ARD kernels: determine neighbors in the scaled space of the inits
         vec.ensure_neighbors(np.exp(theta0[:n_cov]))

@@ -35,13 +35,18 @@ def _precision_diag(a, neighbors, d):
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _find_mode_cg(lik_name, a, d, neighbors, y, F, aux):
+def _find_mode_cg(lik_name, a, d, neighbors, y, F, aux, row_w):
     """Matrix-free posterior mode: solve Q b = d1(y, F+b) with Newton-CG.
-    Implicit differentiation w.r.t. (a, d, F, aux) via one adjoint CG solve."""
-    return _find_mode_cg_impl(lik_name, a, d, neighbors, y, F, aux)
+    Implicit differentiation w.r.t. (a, d, F, aux) via one adjoint CG solve.
+
+    ``row_w`` (0/1 per row) masks likelihood terms of padding rows — the
+    mesh-sharded layout pads rows to a device multiple; padded rows have no
+    neighbors (decoupled in Q) and zero weight, so their mode stays 0 and
+    the real-row solution is bit-identical to the unpadded one."""
+    return _find_mode_cg_impl(lik_name, a, d, neighbors, y, F, aux, row_w)
 
 
-def _find_mode_cg_impl(lik_name, a, d, neighbors, y, F, aux):
+def _find_mode_cg_impl(lik_name, a, d, neighbors, y, F, aux, row_w):
     from gpboost_tpu import likelihoods as lk
     from gpboost_tpu.ops import cg as cgops
     fam = lk.get_family(lik_name)
@@ -51,15 +56,16 @@ def _find_mode_cg_impl(lik_name, a, d, neighbors, y, F, aux):
         return vops.precision_matvec(a, neighbors, d, v)
 
     def obj(b):
-        return jnp.sum(fam.log_lik(y, F + b, aux)) - 0.5 * jnp.dot(b, q_mv(b))
+        return (jnp.sum(fam.log_lik(y, F + b, aux) * row_w)
+                - 0.5 * jnp.dot(b, q_mv(b)))
 
     diag_q = _precision_diag(a, neighbors, d)
 
     def newton(state):
         b, psi, it, conv = state
         loc = F + b
-        d1 = fam.d_loc(y, loc, aux)
-        w = jnp.maximum(-fam.d2_loc(y, loc, aux), 1e-10)
+        d1 = fam.d_loc(y, loc, aux) * row_w
+        w = jnp.maximum(-fam.d2_loc(y, loc, aux), 1e-10) * row_w
         g = d1 - q_mv(b)
         pre_d = jnp.maximum(diag_q + w, 1e-10)
 
@@ -97,18 +103,18 @@ def _find_mode_cg_impl(lik_name, a, d, neighbors, y, F, aux):
     return b
 
 
-def _find_mode_cg_fwd(lik_name, a, d, neighbors, y, F, aux):
-    b = _find_mode_cg_impl(lik_name, a, d, neighbors, y, F, aux)
-    return b, (a, d, neighbors, y, F, aux, b)
+def _find_mode_cg_fwd(lik_name, a, d, neighbors, y, F, aux, row_w):
+    b = _find_mode_cg_impl(lik_name, a, d, neighbors, y, F, aux, row_w)
+    return b, (a, d, neighbors, y, F, aux, row_w, b)
 
 
 def _find_mode_cg_bwd(lik_name, res, v):
     from gpboost_tpu import likelihoods as lk
     from gpboost_tpu.ops import cg as cgops
     fam = lk.get_family(lik_name)
-    a, d, neighbors, y, F, aux, b = res
+    a, d, neighbors, y, F, aux, row_w, b = res
     loc = F + b
-    w = -fam.d2_loc(y, loc, aux)
+    w = -fam.d2_loc(y, loc, aux) * row_w
     diag_q = _precision_diag(a, neighbors, d)
     pre_d = jnp.maximum(diag_q + w, 1e-10)
 
@@ -121,12 +127,13 @@ def _find_mode_cg_bwd(lik_name, res, v):
                        tol=1e-8, max_iter=1000)
 
     def g(a_, d_, F_, aux_):
-        d1 = fam.d_loc(y, F_ + b, aux_)
+        d1 = fam.d_loc(y, F_ + b, aux_) * row_w
         return vops.precision_matvec(a_, neighbors, d_, b) - d1
 
     _, vjp = jax.vjp(g, a, d, F, aux)
     ga, gd, gF, gaux = vjp(-lam)
-    return ga, gd, None, jnp.zeros_like(y), gF, gaux
+    return (ga, gd, None, jnp.zeros_like(y), gF, gaux,
+            jnp.zeros_like(row_w))
 
 
 _find_mode_cg.defvjp(_find_mode_cg_fwd, _find_mode_cg_bwd)
@@ -252,9 +259,12 @@ class VecchiaGP:
         the psum for the log-det/quadratic-form reductions (the collectives
         the reference drives by hand via ``Network::Allreduce``). Padding
         rows have no neighbors and weight 0, so they contribute nothing.
-        The fused Pallas kernels are single-chip programs and are bypassed
-        under a mesh (the XLA path serves the sharded fit); prediction and
-        the dense Laplace paths keep the unpadded replicated structure.
+        The padded layout also serves the Laplace (non-Gaussian) fit via
+        ``nll_laplace_iterative`` (matrix-free Newton-CG mode finder +
+        stochastic logdet, all SPMD) and the simulation-based Laplace
+        prediction; Gaussian predictions run row-sharded over prediction
+        points (``_predict_kriging_mesh``). Only the SVC (random-coefficient)
+        builds keep the unpadded replicated structure.
         """
         from gpboost_tpu import parallel as par
         self.mesh = mesh
@@ -271,7 +281,51 @@ class VecchiaGP:
             self.z_orig = par.replicate(self.z_orig, mesh)
             return self
         self._build_shard_arrays(mesh, axis)
+        if self._pallas_shape is not None:
+            self._build_pallas_mesh_jit()
         return self
+
+    def _build_pallas_mesh_jit(self):
+        """shard_map wrapper around the fused Pallas NLL+grad kernel: each
+        device runs the kernel on its row shard (local rows' neighbors /
+        coords / residual against the replicated gather tables) and the
+        scalar outputs psum over ICI — multi-chip keeps the single-chip
+        kernel throughput instead of regressing to the XLA path."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        from gpboost_tpu.ops.kernels.vecchia_factors import (
+            vecchia_nll_grad_pallas)
+        shape_code, is_ard = self._pallas_shape
+        mesh = self.mesh
+        ax = self._mesh_axis or "data"
+        const = 0.5 * self.n * math.log(2.0 * math.pi)
+
+        def local(th, coords, r_perm, nb_loc, row_coords_loc, rrow_loc,
+                  rv_loc):
+            nll, g = vecchia_nll_grad_pallas(
+                th, coords, nb_loc, r_perm, shape_code, ard=is_ard,
+                row_r=rrow_loc, row_valid=rv_loc,
+                row_coords=row_coords_loc, include_const=False)
+            return jax.lax.psum(nll, ax), jax.lax.psum(g, ax)
+
+        smapped = shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(), P(), P(ax, None), P(ax, None), P(ax), P(ax)),
+            out_specs=(P(), P()),
+            check_vma=False)  # pallas_call out_shape carries no vma
+
+        def vg(th, r, nb_sh, row_coords_sh, rv_sh, perm_pad):
+            r32 = jnp.asarray(r, jnp.float32)
+            r_perm = r32[jnp.asarray(self.perm)]
+            rrow_pad = r32[perm_pad]
+            nll, g = smapped(jnp.asarray(th, jnp.float32),
+                             self.coords_perm.astype(jnp.float32),
+                             r_perm, nb_sh,
+                             row_coords_sh.astype(jnp.float32),
+                             rrow_pad, rv_sh.astype(jnp.float32))
+            return nll + const, g
+
+        self._vg_pallas_mesh_jit = jax.jit(vg)
 
     def _build_shard_arrays(self, mesh, axis: Optional[str] = None):
         from gpboost_tpu import parallel as par
@@ -321,6 +375,13 @@ class VecchiaGP:
             # n=1e5, m=20)
             r = y if fp is None else y - fp
             return self._vg_pallas_jit(th, r, self.neighbors)
+        if (getattr(self, "_vg_pallas_mesh_jit", None) is not None
+                and jax.default_backend() == "tpu"):
+            # shard_map'd kernel: per-chip Pallas throughput + psum
+            r = y if fp is None else y - fp
+            return self._vg_pallas_mesh_jit(
+                th, r, self._shard_nb, self._shard_row_coords,
+                self._shard_w, self._perm_pad)
         nb = self._shard_nb if self._shard_nb is not None else self.neighbors
         return self._vg_gaussian_jit(th, y, fp, nb)
 
@@ -345,6 +406,9 @@ class VecchiaGP:
             return self._nll_pallas_jit(
                 jnp.asarray(cov_pars, jnp.float32),
                 jnp.asarray(r, jnp.float32), self.neighbors)
+        # under a mesh _vg_gaussian routes to the shard_map'd Pallas kernel
+        # on TPU (value+grad; the discarded grad costs ~2x, still far below
+        # the XLA forward-only graph's rematerialization tax)
         v, _ = self._vg_gaussian(
             jnp.log(jnp.maximum(jnp.asarray(cov_pars, self.dtype), 1e-300)),
             y, fixed_part)
@@ -533,11 +597,67 @@ class VecchiaGP:
             jnp.asarray(coords_pred, self.dtype), r, self.num_neighbors_pred,
             bool(cond_obs_only), predict_response=bool(predict_response))
 
+    def _predict_kriging_mesh(self, gp_pars, nugget, r_orig, coords_pred,
+                              predict_response: bool):
+        """Row-sharded local-kriging prediction over the mesh.
+
+        Prediction is embarrassingly row-parallel: pad the prediction points
+        to a device multiple, shard their rows, and let each device run the
+        neighbor search + factor build + kriging gather against the
+        replicated observed tables (``PredictVecchia``
+        ``Vecchia_utils.cpp:1634-2241`` parallelized over prediction points).
+        Per-row results are independent, so the sharded output equals the
+        single-device one exactly. Returns (mean [n_p], var [n_p]).
+        """
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        from gpboost_tpu import parallel as par
+        mesh = self.mesh
+        ax = self._mesh_axis or par.data_axis()
+        ndev = int(np.prod(mesh.devices.shape))
+        cp = jnp.asarray(coords_pred, self.dtype)
+        n_p = cp.shape[0]
+        pad = (-n_p) % ndev
+        cp_pad = (jnp.concatenate([cp, jnp.repeat(cp[:1], pad, axis=0)])
+                  if pad else cp)
+        coords_obs = self.coords
+        scaled_search = (not self.cov_fn.is_isotropic
+                         and self.cov_fn.has_coord_scaling)
+        m = self.num_neighbors_pred
+        cov_fn = self.cov_fn
+
+        def local(cp_loc, coords_o, r_o, gp, ng):
+            if scaled_search:
+                nb_pred = vops.find_neighbors_cross(
+                    cov_fn.scale_coords(cp_loc, gp),
+                    cov_fn.scale_coords(coords_o, gp), m)
+            else:
+                nb_pred = vops.find_neighbors_cross(cp_loc, coords_o, m)
+            return vops.predict_vecchia_response(
+                cov_fn, gp, ng, coords_o, cp_loc, nb_pred, r_o,
+                predict_response)
+
+        fn = jax.jit(shard_map(
+            local, mesh=mesh,
+            in_specs=(P(ax, None), P(), P(), P(), P()),
+            out_specs=(P(ax), P(ax))))
+        mean, var = fn(par.shard_rows(cp_pad, mesh, ax), coords_obs,
+                       jnp.asarray(r_orig, self.dtype),
+                       jnp.asarray(gp_pars, self.dtype),
+                       jnp.asarray(nugget, self.dtype))
+        return mean[:n_p], var[:n_p]
+
     def predict_gaussian(self, cov_pars, y, coords_pred,
                          fixed_part=None, predict_response=True,
                          predict_var=False, z_pred=None, codes_pred=None):
         """Local-kriging prediction conditioning on observed neighbors."""
         r = y if fixed_part is None else y - fixed_part
+        if (self.mesh is not None and self.z is None and self.codes is None
+                and codes_pred is None):
+            mean, var = self._predict_kriging_mesh(
+                cov_pars[1:], cov_pars[0], r, coords_pred,
+                bool(predict_response))
+            return mean, (var if predict_var else None)
         nb_pred = self._pred_neighbors(cov_pars[1:], coords_pred,
                                        codes_pred=codes_pred)
         if self.z is not None:
@@ -725,16 +845,37 @@ class VecchiaGP:
         """Laplace NLL with preconditioned CG + stochastic Lanczos logdet —
         the fork's iterative method (arXiv:2310.12000), O(n m) per matvec,
         no dense [n, n] matrices.
+
+        Under an active mesh the padded row-sharded layout serves the whole
+        computation SPMD (the multi-chip Vecchia-Laplace fit,
+        ``FindModePostRandEffCalcMLLVecchia`` likelihoods.h:2765): padding
+        rows are decoupled in Q, carry zero likelihood weight, and the
+        stochastic probes are drawn on the REAL rows only (zero-padded), so
+        the value matches the unpadded single-device result exactly.
         """
         from gpboost_tpu import likelihoods as lk
         from gpboost_tpu.ops import cg as cgops
         fam = lk.get_family(self.likelihood)
-        yp = y[self.perm]
-        Fp = (jnp.zeros(self.n, self.dtype) if fixed_part is None
-              else fixed_part[self.perm])
         aux = aux_pars if aux_pars is not None else jnp.zeros((0,), self.dtype)
-        a, d = self._latent_factors(cov_pars)
-        nb = self.neighbors
+        use_shard = (self._shard_nb is not None and self.z is None
+                     and not variance_reduction)
+        if use_shard:
+            nb = self._shard_nb
+            a, d = vops.build_factors(
+                self.cov_fn, cov_pars, self.coords_perm, nb, None, False,
+                row_coords=self._shard_row_coords)
+            yp = y[self._perm_pad]
+            Fp = (jnp.zeros(nb.shape[0], self.dtype) if fixed_part is None
+                  else fixed_part[self._perm_pad])
+            row_w = self._shard_w
+        else:
+            nb = self.neighbors
+            a, d = self._latent_factors(cov_pars)
+            yp = y[self.perm]
+            Fp = (jnp.zeros(self.n, self.dtype) if fixed_part is None
+                  else fixed_part[self.perm])
+            row_w = jnp.ones(self.n, self.dtype)
+        n_tot = nb.shape[0]
 
         def q_mv(V):
             if V.ndim == 1:
@@ -742,10 +883,10 @@ class VecchiaGP:
             return jax.vmap(lambda col: vops.precision_matvec(a, nb, d, col),
                             in_axes=1, out_axes=1)(V)
 
-        b = _find_mode_cg(self.likelihood, a, d, nb, yp, Fp, aux)
+        b = _find_mode_cg(self.likelihood, a, d, nb, yp, Fp, aux, row_w)
         loc = Fp + b
-        w = -fam.d2_loc(yp, loc, aux)
-        loglik = jnp.sum(fam.log_lik(yp, loc, aux))
+        w = -fam.d2_loc(yp, loc, aux) * row_w
+        loglik = jnp.sum(fam.log_lik(yp, loc, aux) * row_w)
         quad = jnp.dot(b, vops.precision_matvec(a, nb, d, b))
         # A = Q + W matvec (differentiable through a, d, w)
         def a_mv(V):
@@ -755,11 +896,20 @@ class VecchiaGP:
 
         # Jacobi preconditioner on A: diag(Q) + W
         diag_q = _precision_diag(a, nb, d)
-        pre = cgops.JacobiPreconditioner(
-            jax.lax.stop_gradient(jnp.maximum(diag_q + w, 1e-10)))
+        pre_diag = jax.lax.stop_gradient(jnp.maximum(diag_q + w, 1e-10))
+        pre = cgops.JacobiPreconditioner(pre_diag)
         key = jax.random.PRNGKey(seed_rand_vec_trace)
         k1, k2 = jax.random.split(key)
-        Z = pre.sample_probes(k1, num_rand_vec_trace)
+        # probes live on the REAL rows only (zero-padded below): the pad
+        # block of A is decoupled and cancels exactly in the logdet ratio,
+        # and the draw shape [n, k] keeps the sharded value identical to the
+        # unpadded single-device one
+        e = jax.random.normal(k1, (self.n, num_rand_vec_trace), self.dtype)
+        Z = jnp.sqrt(pre_diag[:self.n]) [:, None] * e
+        if n_tot != self.n:
+            Z = jnp.concatenate(
+                [Z, jnp.zeros((n_tot - self.n, num_rand_vec_trace),
+                              self.dtype)])
         if variance_reduction:
             # optimal-c control variate on the Jacobi preconditioner
             # (CalcOptimalCVectorized, CG_utils.h:413): P(theta) tracks
@@ -788,11 +938,19 @@ class VecchiaGP:
         else:
             Zg = cgops.rademacher_probes(k2, self.n, num_rand_vec_trace,
                                          self.dtype)
+            if n_tot != self.n:
+                Zg = jnp.concatenate(
+                    [Zg, jnp.zeros((n_tot - self.n, num_rand_vec_trace),
+                                   self.dtype)])
+            # preconditioner logdet over real rows only (pads cancel in the
+            # ratio below)
+            pre_logdet = jnp.sum(jnp.log(pre_diag) * row_w)
             logdet_A = cgops.stochastic_logdet_grad(
-                a_mv, None, Z, lanczos_steps, pre.solve, pre.logdet(),
+                a_mv, None, Z, lanczos_steps, pre.solve, pre_logdet,
                 cg_tol, cg_max_iter, probes_grad=Zg)
-        # logdet(Sigma^-1) = -sum log d  (exact)
-        logdet_ratio = logdet_A + jnp.sum(jnp.log(d))
+        # logdet(Sigma^-1) = -sum log d  (exact; real rows only — the pad
+        # block's -log d_pad cancels against its +log d_pad in logdet_A)
+        logdet_ratio = logdet_A + jnp.sum(jnp.log(d) * row_w)
         return -(loglik - 0.5 * quad - 0.5 * logdet_ratio)
 
     def _zp_full(self, z_pred, n_p):
@@ -899,14 +1057,27 @@ class VecchiaGP:
         fam = lk.get_family(self.likelihood)
         aux = (aux_pars if aux_pars is not None
                else jnp.zeros((0,), self.dtype))
-        yp = y[self.perm]
-        Fp = (jnp.zeros(self.n, self.dtype) if fixed_part is None
-              else fixed_part[self.perm])
-        a, d = self._latent_factors(cov_pars)
-        nb = self.neighbors
-        b = _find_mode_cg(self.likelihood, a, d, nb, yp, Fp, aux)
-        w = jnp.maximum(-fam.d2_loc(yp, Fp + b, aux), 1e-10)
-        b_orig = b[self.inv_perm]
+        use_shard = self._shard_nb is not None and self.z is None
+        if use_shard:
+            nb = self._shard_nb
+            a, d = vops.build_factors(
+                self.cov_fn, cov_pars, self.coords_perm, nb, None, False,
+                row_coords=self._shard_row_coords)
+            yp = y[self._perm_pad]
+            Fp = (jnp.zeros(nb.shape[0], self.dtype) if fixed_part is None
+                  else fixed_part[self._perm_pad])
+            row_w = self._shard_w
+        else:
+            nb = self.neighbors
+            a, d = self._latent_factors(cov_pars)
+            yp = y[self.perm]
+            Fp = (jnp.zeros(self.n, self.dtype) if fixed_part is None
+                  else fixed_part[self.perm])
+            row_w = jnp.ones(self.n, self.dtype)
+        n_tot = nb.shape[0]
+        b = _find_mode_cg(self.likelihood, a, d, nb, yp, Fp, aux, row_w)
+        w = jnp.maximum(-fam.d2_loc(yp, Fp + b, aux), 1e-10) * row_w
+        b_orig = b[:self.n][self.inv_perm]
         cp = jnp.asarray(coords_pred, self.dtype)
         n_p = cp.shape[0]
         # latent conditioning of each pred point on its observed neighbors
@@ -942,6 +1113,12 @@ class VecchiaGP:
                     jax.random.fold_in(key, c), 3)
                 z1 = jax.random.normal(k1, (self.n, chunk), self.dtype)
                 z2 = jax.random.normal(k2, (self.n, chunk), self.dtype)
+                if n_tot != self.n:
+                    # sharded padded layout: pad draws with zeros — the pad
+                    # rows are decoupled, so they stay 0 through the solve
+                    pad0 = jnp.zeros((n_tot - self.n, chunk), self.dtype)
+                    z1 = jnp.concatenate([z1, pad0])
+                    z2 = jnp.concatenate([z2, pad0])
                 # z ~ N(0, H): B' D^-1/2 z1 + W^1/2 z2
                 z = jax.vmap(
                     lambda col: vops.apply_Bt(a, nb, col),
@@ -949,7 +1126,7 @@ class VecchiaGP:
                     + sqrt_w[:, None] * z2
                 u, _ = cgops.pcg(h_mv, z, lambda R: R / pre_d[:, None],
                                  tol=cg_tol, max_iter=cg_max_iter)
-                u_orig = u[inv_perm_j]               # [n, chunk]
+                u_orig = u[:self.n][inv_perm_j]      # [n, chunk]
                 s = jnp.einsum("pm,pmk->pk", a_pred * mask_p,
                                u_orig[idx_p])        # Bpo u
                 s2_sum = s2_sum + jnp.sum(s * s, axis=1)

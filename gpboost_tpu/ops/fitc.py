@@ -52,17 +52,25 @@ def fitc_parts(cov_fn: CovFunction, cov_pars: jnp.ndarray,
 
 def fitc_nll(cov_fn: CovFunction, cov_pars_full: jnp.ndarray,
              coords: jnp.ndarray, ind_points: jnp.ndarray,
-             r: jnp.ndarray) -> jnp.ndarray:
+             r: jnp.ndarray, row_w=None, num_data=None) -> jnp.ndarray:
     """Gaussian FITC NLL via Woodbury.
 
     cov_pars_full = [nugget, sigma1^2, range, ...].
     logdet(Psi) = logdet(M) - logdet(C_mm) + sum log lambda,
     M = C_mm + C_mn Lambda^-1 C_nm.
+
+    ``row_w`` (0/1) + ``num_data``: mesh-sharded padded layout — padding
+    rows' cross-covariances are zeroed and their lambda set to 1, so they
+    drop out of every reduction exactly.
     """
     nugget = cov_pars_full[0]
     c_nm, l_mm, lam, v = fitc_parts(cov_fn, cov_pars_full[1:], coords,
                                     ind_points, nugget)
-    n = r.shape[0]
+    if row_w is not None:
+        c_nm = c_nm * row_w[:, None]
+        lam = jnp.where(row_w > 0, lam, 1.0)
+        r = r * row_w
+    n = num_data if num_data is not None else r.shape[0]
     k = ind_points.shape[0]
     cl = c_nm / lam[:, None]                     # Lambda^-1 C_nm
     M = (jnp.matmul(l_mm, l_mm.T, precision=jax.lax.Precision.HIGHEST)

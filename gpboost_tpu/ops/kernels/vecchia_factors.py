@@ -132,18 +132,17 @@ def _block_factors(pars, nb, row, mask, *, m, dim, shape, include_nugget):
 
 
 def _nll_grad_kernel(pars_ref, nb_ref, row_ref, mask_ref, rnb_ref, rrow_ref,
-                     out_ref, *, m, dim, shape, n, ard):
+                     rv_ref, out_ref, *, m, dim, shape, ard):
     """Per-block Gaussian Vecchia NLL contribution and its gradient w.r.t.
     log(p) for p = [nugget, gp_var, range(s)...]: reverse-mode AD traced
     INSIDE the kernel body (all elementwise ops -> Mosaic-compatible).
     out [1, 8, 128] = (nll, d/dlog nugget, d/dlog var, d/dlog range_k...)
     in lanes 0..(2 + n_ranges) of sublane 0. ARD: one range per coordinate
-    dimension (per-dim scaled distances)."""
-    gid = pl.program_id(0)
+    dimension (per-dim scaled distances). ``rv_ref``: 0/1 per-row validity
+    (covers both the 1024-block tail padding and mesh-shard padding rows)."""
     sub = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 2)
-    pos = gid * BLOCK + sub * 128 + lane
-    row_valid = jnp.where(pos < n, 1.0, 0.0)
+    row_valid = rv_ref[0]
 
     nb = [[nb_ref[i, k] for k in range(dim)] for i in range(m)]
     row = [row_ref[k] for k in range(dim)]
@@ -180,15 +179,26 @@ def _nll_grad_kernel(pars_ref, nb_ref, row_ref, mask_ref, rnb_ref, rrow_ref,
 
 
 def vecchia_nll_grad_pallas(log_cov_pars, coords, neighbors, r,
-                            shape: float, ard: bool = False):
+                            shape: float, ard: bool = False,
+                            row_r=None, row_valid=None, row_coords=None,
+                            include_const: bool = True):
     """Fused Gaussian Vecchia (NLL, dNLL/dlog cov_pars) in one kernel pass.
 
     log_cov_pars = log([nugget, gp_var, range]) (isotropic) or
     log([nugget, gp_var, rho_1..rho_d]) (``ard=True``); r = centered
     residual [n] (original order of ``coords``/``neighbors``). Returns
-    (nll, grad [2 + n_ranges])."""
+    (nll, grad [2 + n_ranges]).
+
+    shard_map support: ``neighbors`` may be a LOCAL row shard whose indices
+    point into the replicated ``coords``/``r`` tables; pass the local rows'
+    coordinates as ``row_coords`` [n_rows, d], their residual as ``row_r``
+    [n_rows], their 0/1 validity as ``row_valid`` (mesh padding rows), and
+    ``include_const=False`` so the caller adds the 0.5 * n_total * log(2 pi)
+    constant once after the psum."""
     n, m = neighbors.shape
     dim = coords.shape[1]
+    if row_coords is None:
+        row_coords = coords
     if shape not in _SUPPORTED_SHAPES:
         raise ValueError(f"unsupported shape {shape}")
     idx = jnp.maximum(neighbors, 0)
@@ -198,22 +208,27 @@ def vecchia_nll_grad_pallas(log_cov_pars, coords, neighbors, r,
     n_pad = g * BLOCK
     nbT = jnp.pad(jnp.transpose(nb_coords, (1, 2, 0)),
                   ((0, 0), (0, 0), (0, n_pad - n))).reshape(m, dim, g, 8, 128)
-    rowT = jnp.pad(coords.T.astype(jnp.float32),
+    rowT = jnp.pad(row_coords.T.astype(jnp.float32),
                    ((0, 0), (0, n_pad - n))).reshape(dim, g, 8, 128)
     maskT = jnp.pad(mask.T, ((0, 0), (0, n_pad - n)),
                     constant_values=1.0).reshape(m, g, 8, 128)
     r32 = r.astype(jnp.float32)
+    rrow = r32 if row_r is None else row_r.astype(jnp.float32)
     rnbT = jnp.pad((r32[idx] * mask).T,
                    ((0, 0), (0, n_pad - n))).reshape(m, g, 8, 128)
-    rrowT = jnp.pad(r32[None, :], ((0, 0), (0, n_pad - n))).reshape(
+    rrowT = jnp.pad(rrow[None, :], ((0, 0), (0, n_pad - n))).reshape(
+        1, g, 8, 128)
+    rv = (jnp.ones(n, jnp.float32) if row_valid is None
+          else row_valid.astype(jnp.float32))
+    rvT = jnp.pad(rv[None, :], ((0, 0), (0, n_pad - n))).reshape(
         1, g, 8, 128)
     logp = jnp.asarray(log_cov_pars, jnp.float32)
 
     def kernel(pars_ref, nb_ref, row_ref, mask_ref, rnb_ref, rrow_ref,
-               out_ref):
+               rv_ref, out_ref):
         _nll_grad_kernel(pars_ref, nb_ref, row_ref, mask_ref, rnb_ref,
-                         rrow_ref, out_ref, m=m, dim=dim, shape=shape, n=n,
-                         ard=ard)
+                         rrow_ref, rv_ref, out_ref, m=m, dim=dim,
+                         shape=shape, ard=ard)
 
     interpret = jax.default_backend() != "tpu"
     with jax.enable_x64(False):
@@ -229,12 +244,15 @@ def vecchia_nll_grad_pallas(log_cov_pars, coords, neighbors, r,
                 pl.BlockSpec((m, 1, 8, 128), lambda i: (0, i, 0, 0)),
                 pl.BlockSpec((m, 1, 8, 128), lambda i: (0, i, 0, 0)),
                 pl.BlockSpec((1, 1, 8, 128), lambda i: (0, i, 0, 0)),
+                pl.BlockSpec((1, 1, 8, 128), lambda i: (0, i, 0, 0)),
             ],
             out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((g, 8, 128), jnp.float32),
-        )(logp, nbT, rowT, maskT, rnbT, rrowT)
+        )(logp, nbT, rowT, maskT, rnbT, rrowT, rvT)
     tot = jnp.sum(out, axis=0)[0]
-    nll = 0.5 * n * math.log(2.0 * math.pi) + tot[0]
+    nll = tot[0]
+    if include_const:
+        nll = nll + 0.5 * n * math.log(2.0 * math.pi)
     n_ranges = dim if ard else 1
     return nll, tot[1:3 + n_ranges]
 

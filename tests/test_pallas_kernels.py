@@ -120,3 +120,37 @@ def test_vecchia_factors_pallas_row_coords_interpret():
                                     0.5, row_coords=coords_pred)
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=2e-5)
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=2e-5)
+
+
+def test_vecchia_nll_grad_pallas_shard_map_mesh():
+    """shard_map'd fused kernel over the 8-device mesh: each device runs the
+    Pallas kernel on its row shard (padded mesh layout, zero-weight pads) and
+    psums the scalar outputs — must match the single-device kernel."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import gpboost_tpu as gpb
+    from gpboost_tpu.models.vecchia_model import VecchiaGP
+    from gpboost_tpu.ops.cov_fns import CovFunction
+    from gpboost_tpu.ops.kernels.vecchia_factors import (
+        vecchia_nll_grad_pallas)
+    rng = np.random.default_rng(5)
+    n, m = 1003, 10  # not a device multiple: exercises mesh padding rows
+    coords = rng.uniform(size=(n, 2))
+    r = np.sin(4 * coords[:, 0]) + 0.4 * rng.standard_normal(n)
+    with gpb.use_mesh(gpb.make_mesh(8)):
+        vg = VecchiaGP(coords, CovFunction.create("exponential"),
+                       num_neighbors=m, ordering="none",
+                       dtype=jnp.float32)
+    assert getattr(vg, "_vg_pallas_mesh_jit", None) is not None
+    assert vg._shard_nb.shape[0] == 1008
+    lp = jnp.log(jnp.asarray([0.2, 1.1, 0.13], jnp.float32))
+    r32 = jnp.asarray(r, jnp.float32)
+    with jax.enable_x64(False):
+        v_mesh, g_mesh = vg._vg_pallas_mesh_jit(
+            lp, r32, vg._shard_nb, vg._shard_row_coords, vg._shard_w,
+            vg._perm_pad)
+        v_one, g_one = vecchia_nll_grad_pallas(
+            lp, vg.coords_perm, vg.neighbors, r32, 0.5)
+    assert abs(float(v_mesh) - float(v_one)) < 1e-2 * abs(float(v_one))
+    np.testing.assert_allclose(np.asarray(g_mesh), np.asarray(g_one),
+                               rtol=1e-3, atol=1e-2)

@@ -131,6 +131,72 @@ def test_mesh_vecchia_fit_matches_single_device(mesh):
                                rtol=1e-9)
 
 
+def test_mesh_vecchia_laplace_fit_predict_matches_single_device(mesh):
+    """Non-Gaussian (bernoulli_logit) Vecchia-Laplace fit + predictions under
+    the mesh: the matrix-free Newton-CG mode finder, stochastic logdet and
+    simulation-based predictive variances all run SPMD over the padded
+    row-sharded layout and reproduce the single-device values (VERDICT
+    round-2 item 1; ``FindModePostRandEffCalcMLLVecchia`` likelihoods.h:2765,
+    ``PredictVecchia`` Vecchia_utils.cpp:1634)."""
+    import gpboost_tpu as gpb
+    rng = np.random.default_rng(21)
+    n = 131
+    coords = rng.uniform(size=(n, 2))
+    D = np.sqrt(((coords[:, None] - coords[None]) ** 2).sum(-1))
+    L = np.linalg.cholesky(1.0 * np.exp(-D / 0.3) + 1e-10 * np.eye(n))
+    b = L @ rng.standard_normal(n)
+    y = (rng.uniform(size=n) < 1.0 / (1.0 + np.exp(-b))).astype(np.float64)
+    cp = rng.uniform(size=(37, 2))
+
+    def run():
+        gp = gpb.GPModel(gp_coords=coords, cov_function="exponential",
+                         gp_approx="vecchia", num_neighbors=8,
+                         vecchia_ordering="none",
+                         likelihood="bernoulli_logit",
+                         matrix_inversion_method="iterative")
+        gp.fit(y=y, params={"maxit": 5, "trace": False})
+        gp.set_prediction_data(nsim_var_pred=100)
+        pr = gp.predict(gp_coords_pred=cp, predict_var=True,
+                        predict_response=True)
+        return gp, pr
+
+    gp1, pr1 = run()
+    with gpb.use_mesh(mesh):
+        gp2, pr2 = run()
+        devs = {s.device for s in gp2._approx._shard_nb.addressable_shards}
+        assert len(devs) == 8
+    np.testing.assert_allclose(gp2.cov_pars_, gp1.cov_pars_, rtol=1e-8)
+    assert abs(gp2.current_nll_ - gp1.current_nll_) < 1e-8
+    np.testing.assert_allclose(pr2["mu"], pr1["mu"], atol=1e-8)
+    np.testing.assert_allclose(pr2["var"], pr1["var"], atol=1e-8)
+
+
+def test_mesh_gaussian_predict_row_sharded(mesh):
+    """Gaussian Vecchia predictions under the mesh run row-sharded over the
+    prediction points (shard_map kriging) and match single-device exactly."""
+    import gpboost_tpu as gpb
+    rng = np.random.default_rng(22)
+    n = 131
+    coords = rng.uniform(size=(n, 2))
+    D = np.sqrt(((coords[:, None] - coords[None]) ** 2).sum(-1))
+    L = np.linalg.cholesky(0.9 * np.exp(-D / 0.25) + 0.05 * np.eye(n))
+    y = L @ rng.standard_normal(n)
+    cp = rng.uniform(size=(29, 2))  # not divisible by 8
+
+    def run():
+        gp = gpb.GPModel(gp_coords=coords, cov_function="exponential",
+                         gp_approx="vecchia", num_neighbors=8,
+                         vecchia_ordering="none")
+        gp.fit(y=y, params={"maxit": 8, "trace": False})
+        return gp.predict(gp_coords_pred=cp, predict_var=True)
+
+    p1 = run()
+    with gpb.use_mesh(mesh):
+        p2 = run()
+    np.testing.assert_allclose(p2["mu"], p1["mu"], atol=1e-9)
+    np.testing.assert_allclose(p2["var"], p1["var"], atol=1e-9)
+
+
 def test_mesh_gpboost_train_matches_single_device(mesh):
     """3 rounds of the GPBoost algorithm (trees + per-iteration cov refits)
     under the mesh match single-device scores to 1e-10."""
@@ -306,3 +372,69 @@ def test_mesh_voting_small_topk_restricts_and_trains(mesh):
     used = {int(f) for t in b.trees
             for f in t.split_feature[t.internal_nodes()]}
     assert 5 in used and 17 in used
+
+
+def test_mesh_grouped_fit_matches_single_device(mesh):
+    """Grouped-RE fits under `use_mesh` (VERDICT round-2 item 3): the
+    segment-sum Z products partition over padded row shards with the pads
+    masked out (`ModelData.row_weight`), psum'd into the q-dim dense work —
+    Gaussian (Woodbury), Laplace (b-space Newton) and the iterative CG path
+    all reproduce single-device values (reference Z'WZ loops,
+    re_model_template.h:5020-5394)."""
+    import gpboost_tpu as gpb
+    rng = np.random.default_rng(31)
+    n, ngr = 133, 25
+    group = rng.integers(0, ngr, size=n)
+    b = 0.7 * rng.standard_normal(ngr)
+    X = rng.uniform(size=(n, 2))
+    y = X @ np.array([1.0, -2.0]) + b[group] + 0.3 * rng.standard_normal(n)
+    p = 1.0 / (1.0 + np.exp(-(X @ np.array([0.7, -0.5]) + b[group])))
+    yb = (rng.uniform(size=n) < p).astype(np.float64)
+
+    def run(lik, yy, mim="cholesky"):
+        gp = gpb.GPModel(group_data=group, likelihood=lik,
+                         matrix_inversion_method=mim)
+        gp.fit(y=yy, X=X, params={"maxit": 25, "trace": False})
+        return gp
+
+    cases = [("gaussian", y, "cholesky"), ("bernoulli_logit", yb, "cholesky"),
+             ("gaussian", y, "iterative")]
+    singles = [run(*c) for c in cases]
+    with gpb.use_mesh(mesh):
+        meshed = [run(*c) for c in cases]
+        assert meshed[0]._mesh is not None
+    for s, m_ in zip(singles, meshed):
+        np.testing.assert_allclose(m_.cov_pars_, s.cov_pars_, rtol=1e-7)
+        np.testing.assert_allclose(m_.coefs_, s.coefs_, rtol=1e-6)
+        assert abs(m_.current_nll_ - s.current_nll_) < 1e-6
+
+
+def test_mesh_fitc_fit_matches_single_device(mesh):
+    """FITC fits under `use_mesh`: the [n, k] cross-covariance panels and
+    Lambda diagonal shard over padded rows (pads' cross-cov zeroed,
+    lambda -> 1), Woodbury [k, k] work replicates (VERDICT round-2 item 3)."""
+    import gpboost_tpu as gpb
+    rng = np.random.default_rng(32)
+    n = 133
+    coords = rng.uniform(size=(n, 2))
+    D = np.sqrt(((coords[:, None] - coords[None]) ** 2).sum(-1))
+    L = np.linalg.cholesky(1.1 * np.exp(-D / 0.3) + 0.1 * np.eye(n))
+    y = L @ rng.standard_normal(n)
+    cp = rng.uniform(size=(9, 2))
+
+    def run():
+        gp = gpb.GPModel(gp_coords=coords, cov_function="exponential",
+                         gp_approx="fitc", num_ind_points=30)
+        gp.fit(y=y, params={"maxit": 15, "trace": False})
+        return gp, gp.predict(gp_coords_pred=cp, predict_var=True)
+
+    g1, p1 = run()
+    with gpb.use_mesh(mesh):
+        g2, p2 = run()
+        devs = {s.device
+                for s in g2._approx._shard_coords.addressable_shards}
+        assert len(devs) == 8
+    np.testing.assert_allclose(g2.cov_pars_, g1.cov_pars_, rtol=1e-9)
+    assert abs(g2.current_nll_ - g1.current_nll_) < 1e-8
+    np.testing.assert_allclose(p2["mu"], p1["mu"], atol=1e-9)
+    np.testing.assert_allclose(p2["var"], p1["var"], atol=1e-9)
