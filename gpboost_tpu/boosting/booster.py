@@ -569,6 +569,15 @@ class Booster:
         if self.boosting_type == "dart" and dart_drop is not None:
             self._dart_normalize(dart_drop)
             # weight bookkeeping for the new tree happened at shrinkage time
+        if (isinstance(self.objective, GPBoostObjective)
+                and not (self.use_gp_model_for_validation
+                         and self.use_nesterov_acc)):
+            # end-of-iteration covariance refit at the UPDATED score
+            # (gbdt.cpp:536-542 calls Boosting() again after UpdateScore):
+            # get_cov_pars() / validation metrics reflect the post-iteration
+            # residual, and the next iteration's refit warm-starts from an
+            # already-converged point (cheap)
+            self.objective.get_gradients(self._score)
         return False
 
     def _line_search_scale(self, tree: Tree):

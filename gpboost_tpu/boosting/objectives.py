@@ -474,9 +474,19 @@ class GPBoostObjective(Objective):
     name = "regression_gp"
     is_constant_hessian = True
 
-    def __init__(self, gp_model, train_gp_model_cov_pars=True):
+    def __init__(self, gp_model, train_gp_model_cov_pars=True,
+                 reuse_learning_rates_gp_model=True):
         self.gp_model = gp_model
         self.train_gp_model_cov_pars = train_gp_model_cov_pars
+        # carry optimizer state across boosting iterations
+        # (re_model_template.h:841-883 reuse_learning_rates_from_previous_call
+        # + :880 reuse_m_bfgs_from_previous_call): GD restarts every refit at
+        # the learning rate reached after the FIRST refit with the Armijo
+        # constant dropped to 0 (InitializeOptimSettings, :7475-7488); L-BFGS
+        # keeps its curvature memory
+        self.reuse_learning_rates_gp_model = reuse_learning_rates_gp_model
+        self._lr_after_first = None
+        self._inner_fit_count = 0
         self._warm_cov_pars = None
         # gaussian_heteroscedastic: one ensemble per latent set
         # (c_api.cpp:132 sets num_class = GetNumSetsFixedEffects)
@@ -527,12 +537,40 @@ class GPBoostObjective(Objective):
     def _data_with_y(self, y):
         return self.gp_model._with_y(y)
 
-    def _optim_cov_pars_gaussian(self, resid):
+    def _inner_fit_params(self):
+        """Per-refit optimizer adjustments: warm-started inits plus the
+        reference's learning-rate / L-BFGS-memory reuse. The user's own
+        optimizer settings (maxit etc.) are honored as configured."""
         gp = self.gp_model
-        params = {"maxit": 50}
+        params = {}
         if gp.cov_pars_ is not None:
             params["init_cov_pars"] = np.asarray(gp.cov_pars_)
-        gp.fit(y=resid, params=params)
+        cfg = gp.optim_cfg
+        if self.reuse_learning_rates_gp_model and self._inner_fit_count > 0:
+            if (cfg.optimizer_cov == "gradient_descent"
+                    and self._lr_after_first is not None):
+                # reuse mode: GD starts at the lr after the FIRST refit's
+                # first iteration, c_armijo = 0, halved shrinkage budget,
+                # plus the lr-doubling recovery (:7475-7488, :7666)
+                cfg._reuse_lr_start = self._lr_after_first
+            elif cfg.optimizer_cov in ("lbfgs",
+                                       "lbfgs_linesearch_nocedal_wright"):
+                cfg.lbfgs_reuse_mem = True
+        return params
+
+    def _after_inner_fit(self):
+        gp = self.gp_model
+        self._inner_fit_count += 1
+        if self._inner_fit_count == 1 and self.reuse_learning_rates_gp_model:
+            res = getattr(gp, "_fit_result", None)
+            lr1 = getattr(res, "lr_after_first", None) if res else None
+            if lr1 is not None:
+                self._lr_after_first = float(lr1)
+
+    def _optim_cov_pars_gaussian(self, resid):
+        gp = self.gp_model
+        gp.fit(y=resid, params=self._inner_fit_params())
+        self._after_inner_fit()
 
     def _gaussian_psi_inv_resid(self, resid):
         gp = self.gp_model
@@ -542,11 +580,9 @@ class GPBoostObjective(Objective):
 
     def _optim_cov_pars_laplace(self, score):
         gp = self.gp_model
-        params = {"maxit": 50}
-        if gp.cov_pars_ is not None:
-            params["init_cov_pars"] = np.asarray(gp.cov_pars_)
-        gp.fit(y=self.label, params=params,
+        gp.fit(y=self.label, params=self._inner_fit_params(),
                fixed_effects=np.asarray(score, dtype=np.float64))
+        self._after_inner_fit()
 
     def _laplace_grad_F(self, score):
         gp = self.gp_model
@@ -594,7 +630,10 @@ def create_objective(name: str, params: dict, gp_model=None) -> Objective:
                 "response distribution is specified via the GPModel likelihood")
         return GPBoostObjective(
             gp_model,
-            train_gp_model_cov_pars=params.get("train_gp_model_cov_pars", True))
+            train_gp_model_cov_pars=params.get("train_gp_model_cov_pars",
+                                               True),
+            reuse_learning_rates_gp_model=params.get(
+                "reuse_learning_rates_gp_model", True))
     if name == "regression":
         return RegressionL2()
     if name == "regression_l1":

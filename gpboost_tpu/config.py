@@ -198,6 +198,9 @@ PARAMS: Tuple[Param, ...] = (
     # ---- GPBoost coupling ----------------------------------------------
     Param("train_gp_model_cov_pars", True, "bool", GP,
           "re-optimize covariance parameters each boosting iteration"),
+    Param("reuse_learning_rates_gp_model", True, "bool", GP,
+          "carry GD learning rates / L-BFGS curvature memory across the "
+          "per-iteration covariance refits (config.h:181)"),
     Param("use_gp_model_for_validation", True, "bool", GP,
           "validation metrics include predicted random effects"),
     Param("leaves_newton_update", False, "bool", GP,

@@ -65,6 +65,9 @@ class OptimConfig:
     init_coef: Optional[np.ndarray] = None
     std_dev: bool = False
     estimate_cov_par_index: Optional[np.ndarray] = None
+    # GPBoost per-iteration refits (reuse_learning_rates_gp_model): keep the
+    # L-BFGS curvature memory across calls (re_model_template.h:880)
+    lbfgs_reuse_mem: bool = False
 
 
 @dataclass
@@ -74,6 +77,8 @@ class OptimResult:
     num_it: int
     converged: bool
     history: list = field(default_factory=list)
+    final_lr: Optional[float] = None  # GD learning rate at exit (lr reuse)
+    lr_after_first: Optional[float] = None  # GD lr after the 1st iteration
 
 
 def nesterov_mu(it: int, acc_rate: float, offset: int) -> float:
@@ -92,7 +97,19 @@ def gradient_descent(value_fn: Callable, grad_fn: Callable,
     theta = np.asarray(theta0, dtype=np.float64)
     theta_after_grad = theta.copy()
     theta_after_grad_lag1 = theta.copy()
-    lr = cfg.lr_cov
+    # GPBoost reuse mode (InitializeOptimSettings, re_model_template.h:7475):
+    # start at the learning rate reached after the FIRST refit's first
+    # iteration, Armijo constant 0, halved shrinkage budget, and the
+    # doubling logic that recovers from too-small carried-over rates
+    # (PotentiallyIncreaseLearningRatesForGPBoostAlgorithm, :7666)
+    reuse_lr = getattr(cfg, "_reuse_lr_start", None)
+    lr_init = cfg.lr_cov
+    lr = lr_init if reuse_lr is None else reuse_lr
+    use_armijo = cfg.armijo_condition and reuse_lr is None
+    max_shrink = (MAX_LR_SHRINKAGE_STEPS if reuse_lr is None
+                  else MAX_LR_SHRINKAGE_STEPS // 2)
+    doubled_first = False
+    lr_after_first = None
     acc_rate = cfg.acc_rate_cov
     nll = float(value_fn(theta))
     history = [nll]
@@ -108,12 +125,23 @@ def gradient_descent(value_fn: Callable, grad_fn: Callable,
         if gmax > 0 and lr > MAX_GRADIENT_UPDATE_LOG_SCALE / gmax:
             lr = MAX_GRADIENT_UPDATE_LOG_SCALE / gmax
         dir_deriv = -float(np.dot(g, g))  # directional derivative along -g
+        if reuse_lr is not None:
+            if it == 0:
+                if ((-dir_deriv * lr)
+                        <= cfg.delta_rel_conv * max(abs(nll), 1.0)
+                        and (-dir_deriv * lr_init) > max(abs(nll), 1.0)):
+                    if 2.0 * lr <= lr_init:
+                        lr *= 2.0
+                        doubled_first = True
+            elif it == 1 and not doubled_first:
+                if 2.0 * lr <= lr_init:
+                    lr *= 2.0
         lr_try = lr
         acc_try = acc_rate
         accepted = False
         halved = False
         nll_new = nll
-        for k in range(MAX_LR_SHRINKAGE_STEPS):
+        for k in range(max_shrink):
             cand_after_grad = theta - lr_try * g
             mu = nesterov_mu(it, acc_try, cfg.momentum_offset) if cfg.use_nesterov_acc else 0.0
             # after two momentum rejections, drop acceleration entirely: near
@@ -123,7 +151,7 @@ def gradient_descent(value_fn: Callable, grad_fn: Callable,
                 mu = 0.0
             cand = (1.0 + mu) * cand_after_grad - mu * theta_after_grad_lag1
             nll_new = float(value_fn(cand))
-            if cfg.armijo_condition:
+            if use_armijo:
                 ok = np.isfinite(nll_new) and (
                     nll_new <= nll + C_ARMIJO * lr_try * dir_deriv)
             else:
@@ -138,6 +166,8 @@ def gradient_descent(value_fn: Callable, grad_fn: Callable,
             # could not decrease: keep previous parameters and stop
             break
         lr = lr_try
+        if it == 0:
+            lr_after_first = lr
         theta_after_grad_lag1 = theta_after_grad
         theta_after_grad = cand_after_grad
         theta = cand
@@ -163,7 +193,8 @@ def gradient_descent(value_fn: Callable, grad_fn: Callable,
             break
         nll = nll_new
     return OptimResult(params=np.exp(theta), nll=nll, num_it=it + 1,
-                       converged=converged, history=history)
+                       converged=converged, history=history, final_lr=lr,
+                       lr_after_first=lr_after_first)
 
 
 def fisher_scoring(value_fn: Callable, grad_fn: Callable, fisher_fn: Callable,
@@ -217,10 +248,90 @@ def fisher_scoring(value_fn: Callable, grad_fn: Callable, fisher_fn: Callable,
                        converged=converged, history=history)
 
 
+def lbfgs_host(value_and_grad_fn: Callable, theta0: np.ndarray,
+               cfg: OptimConfig, mem=None):
+    """Hand-rolled L-BFGS (two-loop recursion + Armijo backtracking) with
+    PERSISTENT curvature memory: ``mem`` is the (s, y) correction history of
+    a previous call, reused to warm-start the inverse-Hessian approximation
+    — the reference's ``reuse_m_bfgs_from_previous_call`` for the GPBoost
+    algorithm's per-iteration covariance refits
+    (``re_model_template.h:880``, LBFGSpp ``BFGSMat`` kept across calls).
+    Returns (OptimResult, mem)."""
+    m_corr = 6
+    theta = np.asarray(theta0, dtype=np.float64)
+    v, g = value_and_grad_fn(theta)
+    v = float(v)
+    g = np.asarray(g, dtype=np.float64)
+    mem = list(mem) if mem else []
+    history = [v]
+    converged = False
+    it = 0
+    for it in range(cfg.maxit):
+        # two-loop recursion for d = -H g
+        q = g.copy()
+        alphas = []
+        for s_i, y_i, rho_i in reversed(mem):
+            a_i = rho_i * np.dot(s_i, q)
+            alphas.append(a_i)
+            q = q - a_i * y_i
+        if mem:
+            s_l, y_l, _ = mem[-1]
+            gamma = np.dot(s_l, y_l) / max(np.dot(y_l, y_l), 1e-300)
+            q = gamma * q
+        for (s_i, y_i, rho_i), a_i in zip(mem, reversed(alphas)):
+            b_i = rho_i * np.dot(y_i, q)
+            q = q + (a_i - b_i) * s_i
+        d = -q
+        dg = float(np.dot(d, g))
+        if dg >= 0:  # not a descent direction: reset to steepest descent
+            d = -g
+            dg = -float(np.dot(g, g))
+            mem = []
+        # first-iteration step scaling (LBFGSpp: 1/||d||)
+        t = (1.0 / max(np.linalg.norm(d), 1e-300)) if not mem and it == 0             else 1.0
+        accepted = False
+        for _ in range(MAX_LR_SHRINKAGE_STEPS):
+            cand = theta + t * d
+            v_new, g_new = value_and_grad_fn(cand)
+            v_new = float(v_new)
+            if np.isfinite(v_new) and v_new <= v + C_ARMIJO * t * dg:
+                accepted = True
+                break
+            t *= LR_SHRINKAGE_FACTOR
+        if not accepted:
+            break
+        g_new = np.asarray(g_new, dtype=np.float64)
+        s_vec = cand - theta
+        y_vec = g_new - g
+        sy = float(np.dot(s_vec, y_vec))
+        if sy > 1e-10 * np.linalg.norm(s_vec) * np.linalg.norm(y_vec):
+            mem.append((s_vec, y_vec, 1.0 / sy))
+            if len(mem) > m_corr:
+                mem.pop(0)
+        rel = abs(v_new - v) / max(abs(v), 1e-300)
+        theta, g = cand, g_new
+        history.append(v_new)
+        done = rel < cfg.delta_rel_conv
+        v = v_new
+        if done:
+            converged = True
+            break
+    return (OptimResult(params=np.exp(theta), nll=v, num_it=it + 1,
+                        converged=converged, history=history), mem)
+
+
 def lbfgs(value_and_grad_fn: Callable, theta0: np.ndarray,
           cfg: OptimConfig) -> OptimResult:
     """L-BFGS on log-scale parameters via scipy (reference: LBFGSpp,
-    ``optim_utils.h:642-676``)."""
+    ``optim_utils.h:642-676``). When ``cfg.lbfgs_reuse_mem`` is enabled
+    (GPBoost per-iteration refits with ``reuse_learning_rates_gp_model``),
+    the hand-rolled persistent-memory solver runs instead and the curvature
+    history carries across calls."""
+    if getattr(cfg, "lbfgs_reuse_mem", False):
+        result, cfg._lbfgs_mem = lbfgs_host(
+            value_and_grad_fn, theta0, cfg,
+            getattr(cfg, "_lbfgs_mem", None))
+        return result
     from scipy.optimize import minimize
 
     def f(theta):
