@@ -83,7 +83,23 @@ class Booster:
             min_sum_hessian_in_leaf=float(p.get("min_sum_hessian_in_leaf", 1e-3)),
             lambda_l1=float(p.get("lambda_l1", 0.0)),
             lambda_l2=float(p.get("lambda_l2", 0.0)),
-            min_gain_to_split=float(p.get("min_gain_to_split", 0.0)))
+            min_gain_to_split=float(p.get("min_gain_to_split", 0.0)),
+            path_smooth=float(p.get("path_smooth", 0.0)),
+            extra_trees=bool(p.get("extra_trees", False)),
+            feature_fraction_bynode=float(
+                p.get("feature_fraction_bynode", 1.0)),
+            monotone_constraints_method=str(
+                p.get("monotone_constraints_method", "basic")),
+            monotone_penalty=float(p.get("monotone_penalty", 0.0)),
+            cat_l2=float(p.get("cat_l2", 10.0)),
+            cat_smooth=float(p.get("cat_smooth", 10.0)),
+            min_data_per_group=float(p.get("min_data_per_group", 100)),
+            max_cat_to_onehot=int(p.get("max_cat_to_onehot", 4)))
+        ic = p.get("interaction_constraints", None)
+        if isinstance(ic, str) and ic:
+            import ast
+            ic = ast.literal_eval(ic)
+        self._interaction_constraints = ic if ic else None
         self.boosting_type = p.get("boosting", p.get("boosting_type", "gbdt"))
         # DART settings (reference src/LightGBM/boosting/dart.hpp)
         self.drop_rate = float(p.get("drop_rate", 0.1))
@@ -101,6 +117,8 @@ class Booster:
         self.other_rate = float(p.get("other_rate", 0.1))
         self.bagging_fraction = float(p.get("bagging_fraction", 1.0))
         self.bagging_freq = int(p.get("bagging_freq", 0))
+        self.pos_bagging_fraction = float(p.get("pos_bagging_fraction", 1.0))
+        self.neg_bagging_fraction = float(p.get("neg_bagging_fraction", 1.0))
         self._bag_mask = None  # reused between re-bagging iterations
         self.feature_fraction = float(p.get("feature_fraction", 1.0))
         # Nesterov-accelerated boosting (nesterov_boosting.h:20, gbdt.cpp:414)
@@ -414,11 +432,22 @@ class Booster:
                 grad[sampled] *= mult
                 hess[sampled] *= mult
                 row_mask = jnp.asarray(keep)
-        elif self.bagging_freq > 0 and self.bagging_fraction < 1.0:
+        elif self.bagging_freq > 0 and (
+                self.bagging_fraction < 1.0
+                or self.pos_bagging_fraction < 1.0
+                or self.neg_bagging_fraction < 1.0):
             # re-bag every bagging_freq iterations, REUSE the bag in between
-            # (GBDT::Bagging, gbdt.cpp:255)
+            # (GBDT::Bagging, gbdt.cpp:255); pos/neg_bagging_fraction sample
+            # the classes separately (BalancedBaggingHelper, gbdt.cpp:225)
             if self._bag_mask is None or it % self.bagging_freq == 0:
-                keep = self._rng.random(n) < self.bagging_fraction
+                if (self.pos_bagging_fraction < 1.0
+                        or self.neg_bagging_fraction < 1.0):
+                    u = self._rng.random(n)
+                    is_pos = np.asarray(self.train_set.label) > 0
+                    keep = np.where(is_pos, u < self.pos_bagging_fraction,
+                                    u < self.neg_bagging_fraction)
+                else:
+                    keep = self._rng.random(n) < self.bagging_fraction
                 self._bag_mask = jnp.asarray(keep)
             row_mask = self._bag_mask
         # padded mesh-sharded binned layout: rows beyond num_data are
@@ -484,7 +513,11 @@ class Booster:
                         and self._monotone is None
                         and getattr(self, "_forced_splits", None) is None
                         and self._cegb is None
-                        and voting_ctx is None)
+                        and voting_ctx is None
+                        and self._interaction_constraints is None
+                        and not self.grower.extra_trees
+                        and self.grower.feature_fraction_bynode >= 1.0
+                        and self.grower.path_smooth <= 0.0)
             nan_mask = ds.has_nan if bool(np.any(ds.has_nan)) else None
             if nan_mask is not None and len(nan_mask) != n_feat_grower:
                 nan_mask = np.concatenate(
@@ -510,7 +543,9 @@ class Booster:
                     monotone_constraints=self._monotone,
                     forced_splits=getattr(self, "_forced_splits", None),
                     cegb=self._cegb, nan_mask=nan_mask,
-                    voting_ctx=voting_ctx, efb=getattr(ds, "efb", None))
+                    voting_ctx=voting_ctx, efb=getattr(ds, "efb", None),
+                    interaction_constraints=self._interaction_constraints,
+                    rng=self._rng)
             # real-valued thresholds for raw prediction
             for node in tree.internal_nodes():
                 if tree.is_categorical is not None and tree.is_categorical[node]:

@@ -174,6 +174,7 @@ class Dataset:
             init_score, dtype=np.float64).ravel()
         self.group = group
         self.max_bin = max_bin
+        self.min_data_in_bin = int(p.get("min_data_in_bin", 3))
         self.feature_name = (list(feature_name) if feature_name is not None
                              else [f"Column_{i}" for i in range(self.num_features)])
         self.categorical_feature = sorted(set(categorical_feature or []))
@@ -222,8 +223,31 @@ class Dataset:
                                  method="linear")
                 ub = np.unique(qs[1:-1])
                 ub = np.append(ub, np.inf)
+            ub = self._merge_small_bins(ub, finite)
             self.bin_upper_bounds.append(ub.astype(np.float64))
             self.num_bins[f] = len(ub) + (1 if self.has_nan[f] else 0)
+
+    def _merge_small_bins(self, ub, finite):
+        """Merge adjacent bins holding fewer than ``min_data_in_bin``
+        samples (LightGBM ``GreedyFindBin``'s per-bin minimum,
+        config.h min_data_in_bin, io/bin.cpp): left-to-right accumulation,
+        the tail bin merges backward if underfull."""
+        mdb = getattr(self, "min_data_in_bin", 3)
+        if mdb <= 1 or len(ub) <= 1:
+            return ub
+        idx = np.searchsorted(ub, finite, side="left")
+        counts = np.bincount(idx, minlength=len(ub))
+        merged = []
+        acc = 0
+        for i, c in enumerate(counts[:len(ub)]):
+            acc += int(c)
+            if acc >= mdb or i == len(ub) - 1:
+                merged.append(ub[i])
+                last_cnt = acc
+                acc = 0
+        if len(merged) > 1 and last_cnt < mdb:
+            merged.pop(-2)  # fold the underfull tail into its neighbor
+        return np.asarray(merged, dtype=np.float64)
 
     def _bin_data(self):
         """Map raw values to bin indices. Features whose TRAINING data had

@@ -335,19 +335,44 @@ class RankXENDCG(Objective):
 
 
 class Binary(Objective):
-    """Binary log-loss with logit link (``binary_objective.hpp``)."""
+    """Binary log-loss with logit link (``binary_objective.hpp``).
+
+    ``is_unbalance`` weights the positive class by cnt_neg / cnt_pos
+    (binary_objective.hpp:70-79); ``scale_pos_weight`` sets the positive
+    weight explicitly (they are mutually exclusive in the reference).
+    """
     name = "binary"
 
+    def __init__(self, sigmoid=1.0, is_unbalance=False, scale_pos_weight=1.0):
+        self.sigmoid = float(sigmoid)
+        self.is_unbalance = bool(is_unbalance)
+        self.scale_pos_weight = float(scale_pos_weight)
+
+    def _pos_weight(self):
+        if self.is_unbalance:
+            pos = max(float(np.sum(self.label > 0)), 1.0)
+            neg = float(np.sum(self.label <= 0))
+            return neg / pos
+        return self.scale_pos_weight
+
     def boost_from_average(self):
-        p = np.clip(np.mean(self.label), 1e-12, 1 - 1e-12)
-        return float(np.log(p / (1 - p)))
+        w_pos = self._pos_weight()
+        suml = float(np.sum(np.where(self.label > 0, w_pos, 1.0)
+                            * self.label))
+        sumw = float(np.sum(np.where(self.label > 0, w_pos, 1.0)))
+        p = np.clip(suml / sumw, 1e-12, 1 - 1e-12)
+        return float(np.log(p / (1 - p)) / self.sigmoid)
 
     def get_gradients(self, score):
-        p = _sigmoid(score)
-        return self._apply_weight(p - self.label, p * (1 - p))
+        p = _sigmoid(self.sigmoid * score)
+        w_pos = self._pos_weight()
+        lw = np.where(self.label > 0, w_pos, 1.0)
+        grad = self.sigmoid * (p - self.label) * lw
+        hess = self.sigmoid ** 2 * p * (1 - p) * lw
+        return self._apply_weight(grad, hess)
 
     def convert_output(self, score):
-        return _sigmoid(score)
+        return _sigmoid(self.sigmoid * score)
 
 
 class CrossEntropy(Objective):
@@ -653,7 +678,14 @@ def create_objective(name: str, params: dict, gp_model=None) -> Objective:
     if name == "mape":
         return Mape()
     if name == "binary":
-        return Binary()
+        if params.get("is_unbalance", False) and float(
+                params.get("scale_pos_weight", 1.0)) != 1.0:
+            raise ValueError("Cannot set is_unbalance and scale_pos_weight "
+                             "at the same time")
+        return Binary(sigmoid=float(params.get("sigmoid", 1.0)),
+                      is_unbalance=bool(params.get("is_unbalance", False)),
+                      scale_pos_weight=float(
+                          params.get("scale_pos_weight", 1.0)))
     if name == "cross_entropy":
         return CrossEntropy()
     if name == "mean_scale_regression":

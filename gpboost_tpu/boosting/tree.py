@@ -75,11 +75,14 @@ def expand_bundle_hist(hg, hh, hc, src_col, src_bin, default_bin, fix_mask):
     return one(hg), one(hh), one(hc)
 
 
-@partial(jax.jit, static_argnums=())
+@partial(jax.jit, static_argnames=("use_smoothing", "use_bounds"))
 def find_best_split(hist_g, hist_h, hist_c, num_bins_per_feat,
                     lambda_l1, lambda_l2, min_data_in_leaf,
                     min_sum_hessian, min_gain_to_split,
-                    monotone=None, penalty=None, nan_mask=None):
+                    monotone=None, penalty=None, nan_mask=None,
+                    extra_bins=None, path_smooth=0.0, parent_output=0.0,
+                    mono_lo=0.0, mono_hi=0.0, mono_penalty_mult=None,
+                    use_smoothing=False, use_bounds=False):
     """Best (feature, bin, gain) over all features.
 
     Vectorized over [F, B]: left stats are prefix sums over bins; split at
@@ -91,6 +94,19 @@ def find_best_split(hist_g, hist_h, hist_c, num_bins_per_feat,
     those, both default directions for missing values are scored (LightGBM
     ``default_left`` learning, feature_histogram.hpp FindBestThreshold's
     NA-bin two-pass). Returns (feat, bin, gain, ok, GL, HL, CL, default_left).
+
+    Optional LightGBM extensions:
+    - ``extra_bins`` [F]: extremely-randomized trees (``extra_trees``,
+      config.h:368) — only the one pre-drawn random bin per feature is
+      scored (USE_RAND in feature_histogram.hpp).
+    - ``path_smooth`` / ``parent_output``: leaf-value smoothing along the
+      path (config.h:550); outputs shrink toward the parent's with weight
+      n/(n + path_smooth), and gains use the smoothed outputs
+      (GetSplitGains USE_SMOOTHING).
+    - ``mono_lo``/``mono_hi``: the leaf's monotone output bounds — the
+      'intermediate' constraints method scores gains with clamped outputs.
+    - ``mono_penalty_mult`` [F]: multiplicative gain penalty for splits on
+      monotone features (ComputeMonotoneSplitGainPenalty, depth-dependent).
     """
     GL = jnp.cumsum(hist_g, axis=1)
     HL = jnp.cumsum(hist_h, axis=1)
@@ -99,9 +115,25 @@ def find_best_split(hist_g, hist_h, hist_c, num_bins_per_feat,
     H = HL[:, -1:]
     C = CL[:, -1:]
 
-    def score(g, h):
-        t = _threshold_l1(g, lambda_l1)
-        return t * t / (h + lambda_l2 + 1e-15)
+    use_out_score = use_smoothing or use_bounds
+
+    def out_of(g, h, c):
+        o = -_threshold_l1(g, lambda_l1) / (h + lambda_l2 + 1e-15)
+        if use_smoothing:
+            w = c / (c + path_smooth)
+            o = o * w + (1.0 - w) * parent_output
+        if use_bounds:
+            o = jnp.clip(o, mono_lo, mono_hi)
+        return o
+
+    def score(g, h, c=None):
+        if not use_out_score:
+            t = _threshold_l1(g, lambda_l1)
+            return t * t / (h + lambda_l2 + 1e-15)
+        # GetLeafGainGivenOutput: -(2 G w + (H + l2) w^2) at the (smoothed /
+        # clamped) output — reduces to the closed form when unconstrained
+        o = out_of(g, h, c)
+        return -(2.0 * g * o + (h + lambda_l2) * o * o)
 
     F, B = hist_g.shape
     bin_ids = jnp.arange(B)[None, :]
@@ -110,10 +142,12 @@ def find_best_split(hist_g, hist_h, hist_c, num_bins_per_feat,
         GR = G - GLv
         HR = H - HLv
         CR = C - CLv
-        gain = score(GLv, HLv) + score(GR, HR) - score(G, H)
+        gain = score(GLv, HLv, CLv) + score(GR, HR, CR) - score(G, H, C)
         valid = (bin_ids < (num_bins_per_feat[:, None] - 1))
         valid &= (CLv >= min_data_in_leaf) & (CR >= min_data_in_leaf)
         valid &= (HLv >= min_sum_hessian) & (HR >= min_sum_hessian)
+        if extra_bins is not None:
+            valid &= bin_ids == extra_bins[:, None]
         if monotone is not None:
             # basic monotone-constraint feasibility (monotone_constraints.hpp):
             # +1 requires left_output <= right_output, -1 the reverse
@@ -122,6 +156,8 @@ def find_best_split(hist_g, hist_h, hist_c, num_bins_per_feat,
             mono = monotone[:, None]
             valid &= jnp.where(mono > 0, left_out <= right_out, True)
             valid &= jnp.where(mono < 0, left_out >= right_out, True)
+        if mono_penalty_mult is not None:
+            gain = gain * mono_penalty_mult[:, None]
         return jnp.where(valid, gain, -jnp.inf)
 
     gain = gain_and_valid(GL, HL, CL)  # NA bin (bin 0) on the LEFT
@@ -184,59 +220,130 @@ def partition_rows_categorical(binned, row_leaf, leaf_id, feature,
     return jnp.where(in_leaf, new_leaf, row_leaf)
 
 
-@jax.jit
 def find_best_split_categorical(hist_g, hist_h, hist_c, num_bins_per_feat,
                                 cat_feature_mask, lambda_l1, lambda_l2,
                                 min_data_in_leaf, min_sum_hessian,
                                 min_gain_to_split, max_cat_threshold,
-                                penalty=None):
-    """Best sorted-subset categorical split (LightGBM 'many-vs-many':
-    categories sorted by G/H, prefix scan of the sorted order —
-    ``feature_histogram.hpp`` FindBestThresholdCategorical, simplified).
+                                penalty=None, cat_l2=0.0, cat_smooth=0.0,
+                                min_data_per_group=0.0,
+                                max_cat_to_onehot=0):
+    """Best categorical split (``feature_histogram.hpp``
+    FindBestThresholdCategoricalInner):
 
-    Returns (feat, k_prefix, gain, ok, sort_order [F, B]) where the left set
-    is the first ``k_prefix+1`` categories of ``sort_order[feat]``.
+    - features with <= ``max_cat_to_onehot`` bins use ONE-HOT (one-vs-rest)
+      splits with plain lambda_l2;
+    - otherwise 'many-vs-many': categories with count >= ``cat_smooth`` are
+      sorted by G / (H + cat_smooth) and BOTH prefix directions are scanned
+      with l2 + cat_l2, left-set size capped at
+      min(max_cat_threshold, (used_bin + 1) / 2), and split positions gated
+      by the ``min_data_per_group`` group accumulation.
+
+    Returns (feat, k_prefix, gain, ok, sort_order [F, B], GL, HL, CL) where
+    the left set is the first ``k_prefix + 1`` categories of
+    ``sort_order[feat]`` (the order rows already encode direction/one-hot).
     """
     F, B = hist_g.shape
-    ratio = hist_g / (hist_h + lambda_l2 + 1e-15)
     bin_ids = jnp.arange(B)[None, :]
-    present = (hist_c > 0) & (bin_ids < num_bins_per_feat[:, None])
-    # absent categories sort to the end
-    sort_key = jnp.where(present, ratio, jnp.inf)
-    order = jnp.argsort(sort_key, axis=1)
-    take = jnp.take_along_axis
-    g_sorted = take(hist_g, order, axis=1)
-    h_sorted = take(hist_h, order, axis=1)
-    c_sorted = take(hist_c, order, axis=1)
-    GL = jnp.cumsum(g_sorted, axis=1)
-    HL = jnp.cumsum(h_sorted, axis=1)
-    CL = jnp.cumsum(c_sorted, axis=1)
-    G = GL[:, -1:]
-    H = HL[:, -1:]
-    C = CL[:, -1:]
+    in_range = bin_ids < num_bins_per_feat[:, None]
+    G = jnp.sum(jnp.where(in_range, hist_g, 0.0), axis=1, keepdims=True)
+    H = jnp.sum(jnp.where(in_range, hist_h, 0.0), axis=1, keepdims=True)
+    C = jnp.sum(jnp.where(in_range, hist_c, 0.0), axis=1, keepdims=True)
 
-    def score(g, h):
+    def score(g, h, l2):
         t = _threshold_l1(g, lambda_l1)
-        return t * t / (h + lambda_l2 + 1e-15)
+        return t * t / (h + l2 + 1e-15)
 
-    gain = score(GL, HL) + score(G - GL, H - HL) - score(G, H)
-    n_present = jnp.sum(present, axis=1, keepdims=True)
-    valid = (bin_ids < (n_present - 1))
-    valid &= (bin_ids < max_cat_threshold)
-    valid &= (CL >= min_data_in_leaf) & ((C - CL) >= min_data_in_leaf)
-    valid &= (HL >= min_sum_hessian) & ((H - HL) >= min_sum_hessian)
-    valid &= cat_feature_mask[:, None]
-    gain = jnp.where(valid, gain, -jnp.inf)
-    sel = gain if penalty is None else gain - penalty[:, None]
-    flat = jnp.argmax(sel)
-    f_best = flat // B
+    # ---- one-hot candidates: left = {single category} ----
+    gain_oh = (score(hist_g, hist_h, lambda_l2)
+               + score(G - hist_g, H - hist_h, lambda_l2)
+               - score(G, H, lambda_l2))
+    valid_oh = in_range & (hist_c >= min_data_in_leaf) \
+        & ((C - hist_c) >= min_data_in_leaf) \
+        & (hist_h >= min_sum_hessian) \
+        & ((H - hist_h) >= min_sum_hessian)
+    use_onehot = (num_bins_per_feat <= max_cat_to_onehot)[:, None]
+    gain_oh = jnp.where(valid_oh & use_onehot, gain_oh, -jnp.inf)
+
+    # ---- many-vs-many ----
+    l2m = lambda_l2 + cat_l2
+    eligible = in_range & (hist_c >= max(cat_smooth, 1.0))
+    sort_key = jnp.where(eligible, hist_g / (hist_h + cat_smooth + 1e-15),
+                         jnp.inf)
+    order_fwd = jnp.argsort(sort_key, axis=1)
+    used_bin = jnp.sum(eligible, axis=1)                      # [F]
+    # reversed direction: flip the eligible prefix of the sorted order
+    idx_rev = jnp.clip(used_bin[:, None] - 1 - bin_ids, 0, B - 1)
+    order_rev = jnp.take_along_axis(order_fwd, idx_rev, axis=1)
+    max_num_cat = jnp.minimum(max_cat_threshold, (used_bin + 1) // 2)
+
+    def scan_dir(order):
+        take = jnp.take_along_axis
+        g_s = take(hist_g, order, axis=1)
+        h_s = take(hist_h, order, axis=1)
+        c_s = take(hist_c, order, axis=1)
+        GL = jnp.cumsum(g_s, axis=1)
+        HL = jnp.cumsum(h_s, axis=1)
+        CL = jnp.cumsum(c_s, axis=1)
+        CR = C - CL
+        HR = H - HL
+        base_ok = (CL >= min_data_in_leaf) & (HL >= min_sum_hessian) \
+            & (CR >= min_data_in_leaf) & (HR >= min_sum_hessian) \
+            & (bin_ids < jnp.minimum(max_num_cat, used_bin)[:, None])
+        if min_data_per_group > 0:
+            # cnt_cur_group accumulation: a position is a group boundary
+            # only once >= min_data_per_group data accrued since the last
+            # boundary; the right side must also keep min_data_per_group
+            def step(carry, x):
+                cnt_i, ok_i = x
+                cur = carry + cnt_i
+                boundary = ok_i & (cur >= min_data_per_group)
+                return jnp.where(boundary, 0.0, cur), boundary
+
+            _, boundary = jax.lax.scan(
+                step, jnp.zeros(F, hist_c.dtype),
+                (c_s.T, (base_ok & (CR >= min_data_per_group)).T))
+            ok = boundary.T
+        else:
+            ok = base_ok
+        gain = (score(GL, HL, l2m) + score(G - GL, HR, l2m)
+                - score(G, H, l2m))
+        return jnp.where(ok & ~use_onehot, gain, -jnp.inf), GL, HL, CL
+
+    gain_f, GLf, HLf, CLf = scan_dir(order_fwd)
+    gain_r, GLr, HLr, CLr = scan_dir(order_rev)
+
+    # per-feature combine: one-hot as (order with winning cat first, k=0)
+    oh_best_bin = jnp.argmax(gain_oh, axis=1)                 # [F]
+    oh_best_gain = jnp.take_along_axis(
+        gain_oh, oh_best_bin[:, None], axis=1)[:, 0]
+    order_oh = jnp.argsort(
+        jnp.where(bin_ids == oh_best_bin[:, None], -1, bin_ids), axis=1)
+    gain_oh_mat = jnp.where(bin_ids == 0, oh_best_gain[:, None], -jnp.inf)
+
+    cand = jnp.stack([gain_f, gain_r, gain_oh_mat])           # [3, F, B]
+    cand = jnp.where(cat_feature_mask[None, :, None], cand, -jnp.inf)
+    if penalty is not None:
+        cand = cand - penalty[None, :, None]
+    flat = jnp.argmax(cand)
+    d_best = flat // (F * B)
+    f_best = (flat // B) % F
     k_best = flat % B
-    g_best = sel[f_best, k_best]
-    ok = gain[f_best, k_best] > min_gain_to_split
+    g_best = cand[d_best, f_best, k_best]
+    raw_gain = jnp.stack([gain_f, gain_r, gain_oh_mat])[d_best, f_best,
+                                                        k_best]
+    ok = raw_gain > min_gain_to_split
     if penalty is not None:
         ok &= g_best > 0.0
+    order = jnp.stack([order_fwd, order_rev, order_oh])[d_best]
+    GL_oh = jnp.cumsum(jnp.take_along_axis(hist_g, order_oh, axis=1), axis=1)
+    HL_oh = jnp.cumsum(jnp.take_along_axis(hist_h, order_oh, axis=1), axis=1)
+    CL_oh = jnp.cumsum(jnp.take_along_axis(hist_c, order_oh, axis=1), axis=1)
+    GLs = jnp.stack([GLf, GLr, GL_oh])
+    HLs = jnp.stack([HLf, HLr, HL_oh])
+    CLs = jnp.stack([CLf, CLr, CL_oh])
     return (f_best.astype(jnp.int32), k_best.astype(jnp.int32), g_best, ok,
-            order, GL[f_best, k_best], HL[f_best, k_best], CL[f_best, k_best])
+            order, GLs[d_best, f_best, k_best], HLs[d_best, f_best, k_best],
+            CLs[d_best, f_best, k_best])
 
 
 @dataclass
@@ -354,6 +461,18 @@ class GrowerParams:
     lambda_l1: float = 0.0
     lambda_l2: float = 0.0
     min_gain_to_split: float = 0.0
+    # LightGBM tail (config.h): leaf-path smoothing, extremely-randomized
+    # splits, per-node feature sampling, categorical regularization,
+    # monotone method/penalty
+    path_smooth: float = 0.0
+    extra_trees: bool = False
+    feature_fraction_bynode: float = 1.0
+    monotone_constraints_method: str = "basic"
+    monotone_penalty: float = 0.0
+    cat_l2: float = 10.0
+    cat_smooth: float = 10.0
+    min_data_per_group: float = 100.0
+    max_cat_to_onehot: int = 4
 
 
 class CEGBState:
@@ -444,7 +563,8 @@ def grow_tree(binned: jnp.ndarray, num_bins_per_feat: jnp.ndarray,
               forced_splits: Optional[dict] = None,
               cegb: Optional["CEGBState"] = None,
               nan_mask: Optional[np.ndarray] = None,
-              voting_ctx=None, efb=None):
+              voting_ctx=None, efb=None,
+              interaction_constraints=None, rng=None):
     """Grow one tree leaf-wise (best-first), LightGBM-style.
 
     ``categorical_mask`` [F] marks categorical features: they get
@@ -488,13 +608,39 @@ def grow_tree(binned: jnp.ndarray, num_bins_per_feat: jnp.ndarray,
     if row_mask is None:
         row_mask = jnp.ones(n, dtype=bool)
     bounds = {0: (-np.inf, np.inf)}  # monotone output bounds per node
+    parent_out = {0: 0.0}            # node outputs (path_smooth chain)
+    path_feats = {0: frozenset()}    # features used on the path (interaction)
+    if rng is None:
+        rng = np.random.default_rng(0)
+    nbf_np = np.asarray(num_bins_per_feat)
+    if interaction_constraints:
+        ic_groups = [frozenset(int(f) for f in g)
+                     for g in interaction_constraints]
+    else:
+        ic_groups = None
+
+    def allowed_features(used: frozenset) -> np.ndarray:
+        """Features usable at a leaf under interaction constraints: the
+        union of constraint groups containing every feature already used on
+        the branch (serial_tree_learner.cpp GetAllowedFeatures role)."""
+        allowed = np.zeros(F, bool)
+        for g in ic_groups:
+            if used <= g:
+                for f in g:
+                    if f < F:
+                        allowed[f] = True
+        return allowed
 
     l1 = params.lambda_l1
     l2 = params.lambda_l2
 
-    def leaf_output(g_sum, h_sum):
-        return float(-_threshold_l1(jnp.asarray(g_sum), l1)
-                     / (h_sum + l2 + 1e-15))
+    def leaf_output(g_sum, h_sum, cnt=None, parent=0.0):
+        raw = float(-_threshold_l1(jnp.asarray(g_sum), l1)
+                    / (h_sum + l2 + 1e-15))
+        if params.path_smooth > 0.0 and cnt is not None:
+            w = cnt / (cnt + params.path_smooth)
+            raw = raw * w + (1.0 - w) * parent
+        return raw
 
     # per-leaf cached state: (hist triple, best split tuple, g_sum, h_sum, cnt)
     hist_cache: dict = {}
@@ -503,6 +649,54 @@ def grow_tree(binned: jnp.ndarray, num_bins_per_feat: jnp.ndarray,
 
     def compute_leaf(leaf_id, hist=None):
         num_bins_leaf = num_bins_numerical
+        num_bins_cat = num_bins_per_feat
+        # per-node feature restrictions: interaction constraints + per-node
+        # feature sampling (feature_fraction_bynode, config.h:359)
+        node_allowed = None
+        if ic_groups is not None:
+            node_allowed = allowed_features(path_feats.get(leaf_id,
+                                                           frozenset()))
+        if params.feature_fraction_bynode < 1.0:
+            k = max(1, int(np.ceil(params.feature_fraction_bynode * F)))
+            chosen = rng.choice(F, size=k, replace=False)
+            samp = np.zeros(F, bool)
+            samp[chosen] = True
+            node_allowed = samp if node_allowed is None \
+                else (node_allowed & samp)
+        if node_allowed is not None:
+            allowed_j = jnp.asarray(node_allowed)
+            num_bins_leaf = jnp.where(allowed_j, num_bins_leaf, 0)
+            num_bins_cat = jnp.where(allowed_j, num_bins_cat, 0)
+        # extremely randomized trees: pre-draw ONE random candidate bin per
+        # feature (USE_RAND, config.h extra_trees)
+        extra_bins = None
+        if params.extra_trees:
+            hi = np.maximum(nbf_np - 1, 1)
+            extra_bins = jnp.asarray(
+                rng.integers(0, hi), jnp.int32)
+        mono_kwargs = {}
+        if monotone_constraints is not None:
+            if params.monotone_penalty > 0.0:
+                d = float(depth[leaf_id]) - 1.0  # root split depth 0
+                pen = params.monotone_penalty
+                if pen >= d + 1.0:
+                    factor = 1e-15
+                elif pen <= 1.0:
+                    factor = 1.0 - pen / (2.0 ** d) + 1e-15
+                else:
+                    factor = 1.0 - 2.0 ** (pen - 1.0 - d) + 1e-15
+                mono_kwargs["mono_penalty_mult"] = jnp.where(
+                    jnp.asarray(monotone_constraints) != 0, factor, 1.0)
+            if params.monotone_constraints_method != "basic":
+                lo_b, hi_b = bounds.get(leaf_id, (-np.inf, np.inf))
+                if np.isfinite(lo_b) or np.isfinite(hi_b):
+                    mono_kwargs["mono_lo"] = lo_b
+                    mono_kwargs["mono_hi"] = hi_b
+                    mono_kwargs["use_bounds"] = True
+        if params.path_smooth > 0.0:
+            mono_kwargs["path_smooth"] = params.path_smooth
+            mono_kwargs["parent_output"] = parent_out.get(leaf_id, 0.0)
+            mono_kwargs["use_smoothing"] = True
         if voting_ctx is not None:
             # voting-parallel (PV-Tree): shard-local vote selects the
             # features whose histograms are globally aggregated; split
@@ -544,17 +738,20 @@ def grow_tree(binned: jnp.ndarray, num_bins_per_feat: jnp.ndarray,
             hg, hh, hc, num_bins_leaf, l1, l2,
             float(params.min_data_in_leaf), params.min_sum_hessian_in_leaf,
             params.min_gain_to_split, monotone=mono_j, penalty=penalty,
-            nan_mask=nan_mask_j)
+            nan_mask=nan_mask_j, extra_bins=extra_bins, **mono_kwargs)
         best = ("num", int(f_b), int(b_b), float(gain), bool(ok),
                 float(gl), float(hl), float(cl), None, bool(dl))
         if has_cat:
             (fc, kc, gc, okc, order, glc, hlc, clc) = \
                 find_best_split_categorical(
-                    hg, hh, hc, num_bins_per_feat, cat_mask_j, l1, l2,
+                    hg, hh, hc, num_bins_cat, cat_mask_j, l1, l2,
                     float(params.min_data_in_leaf),
                     params.min_sum_hessian_in_leaf,
                     params.min_gain_to_split, max_cat_threshold,
-                    penalty=penalty)
+                    penalty=penalty, cat_l2=params.cat_l2,
+                    cat_smooth=params.cat_smooth,
+                    min_data_per_group=params.min_data_per_group,
+                    max_cat_to_onehot=params.max_cat_to_onehot)
             if bool(okc) and (not best[4] or float(gc) > best[3]):
                 left_cats = np.asarray(order)[int(fc), :int(kc) + 1]
                 best = ("cat", int(fc), int(kc), float(gc), True,
@@ -586,6 +783,10 @@ def grow_tree(binned: jnp.ndarray, num_bins_per_feat: jnp.ndarray,
         is_leaf[left_id] = is_leaf[right_id] = True
         bounds[left_id] = bounds[right_id] = bounds.get(
             leaf_id, (-np.inf, np.inf))
+        parent_out[left_id] = parent_out[right_id] = parent_out.get(
+            leaf_id, 0.0)
+        path_feats[left_id] = path_feats[right_id] = \
+            path_feats.get(leaf_id, frozenset()) | {int(f_b)}
         depth[left_id] = depth[right_id] = depth[leaf_id] + 1
         max_depth_used = max(max_depth_used, int(depth[left_id]))
         num_leaves += 1
@@ -671,21 +872,39 @@ def grow_tree(binned: jnp.ndarray, num_bins_per_feat: jnp.ndarray,
         lo, hi = bounds.get(best_leaf, (-np.inf, np.inf))
         bounds[left_id] = (lo, hi)
         bounds[right_id] = (lo, hi)
+        g_sum_p, h_sum_p, cnt_p = stats_cache[best_leaf]
+        l_out = leaf_output(gl, hl, cl, parent_out.get(best_leaf, 0.0))
+        r_out = leaf_output(g_sum_p - gl, h_sum_p - hl, cnt_p - cl,
+                            parent_out.get(best_leaf, 0.0))
+        parent_out[left_id] = min(max(l_out, lo), hi)
+        parent_out[right_id] = min(max(r_out, lo), hi)
+        pf = path_feats.get(best_leaf, frozenset())
+        path_feats[left_id] = path_feats[right_id] = pf | {int(f_b)}
         if (monotone_constraints is not None and kind == "num"
                 and monotone_constraints[f_b] != 0):
-            g_sum_p, h_sum_p, _ = stats_cache[best_leaf]
             lo_, hi_ = lo, hi
-            l_out = float(-_threshold_l1(jnp.asarray(gl), l1)
-                          / (hl + l2 + 1e-15))
-            r_out = float(-_threshold_l1(jnp.asarray(g_sum_p - gl), l1)
-                          / (h_sum_p - hl + l2 + 1e-15))
-            mid = 0.5 * (min(max(l_out, lo_), hi_) + min(max(r_out, lo_), hi_))
-            if monotone_constraints[f_b] > 0:
-                bounds[left_id] = (lo, min(hi, mid))
-                bounds[right_id] = (max(lo, mid), hi)
+            l_c = min(max(l_out, lo_), hi_)
+            r_c = min(max(r_out, lo_), hi_)
+            if params.monotone_constraints_method in ("intermediate",
+                                                      "advanced"):
+                # IntermediateLeafConstraints::UpdateConstraintsWithOutputs:
+                # children bounded by the ACTUAL sibling outputs (tighter
+                # than the midpoint; 'advanced' additionally re-tightens
+                # non-sibling leaves — approximated by the same bounds here)
+                if monotone_constraints[f_b] > 0:
+                    bounds[left_id] = (lo, min(hi, r_c))
+                    bounds[right_id] = (max(lo, l_c), hi)
+                else:
+                    bounds[left_id] = (max(lo, r_c), hi)
+                    bounds[right_id] = (lo, min(hi, l_c))
             else:
-                bounds[left_id] = (max(lo, mid), hi)
-                bounds[right_id] = (lo, min(hi, mid))
+                mid = 0.5 * (l_c + r_c)
+                if monotone_constraints[f_b] > 0:
+                    bounds[left_id] = (lo, min(hi, mid))
+                    bounds[right_id] = (max(lo, mid), hi)
+                else:
+                    bounds[left_id] = (max(lo, mid), hi)
+                    bounds[right_id] = (lo, min(hi, mid))
         depth[left_id] = depth[right_id] = depth[best_leaf] + 1
         max_depth_used = max(max_depth_used, int(depth[left_id]))
         num_leaves += 1
@@ -710,10 +929,15 @@ def grow_tree(binned: jnp.ndarray, num_bins_per_feat: jnp.ndarray,
         compute_leaf(left_id, hist_left)
         compute_leaf(right_id, hist_right)
 
-    # leaf values (clipped to monotone bounds where applicable)
+    # leaf values (path-smoothed and clipped to monotone bounds)
     for leaf_id, (g_sum, h_sum, cnt) in stats_cache.items():
         if is_leaf[leaf_id]:
-            v = leaf_output(g_sum, h_sum)
+            if params.path_smooth > 0.0 and leaf_id != 0:
+                v = parent_out.get(leaf_id, leaf_output(g_sum, h_sum))
+            else:
+                v = leaf_output(g_sum, h_sum,
+                                cnt if params.path_smooth > 0.0 else None,
+                                0.0)
             if monotone_constraints is not None:
                 lo, hi = bounds.get(leaf_id, (-np.inf, np.inf))
                 v = min(max(v, lo), hi)

@@ -93,6 +93,44 @@ PARAMS: Tuple[Param, ...] = (
           "max left-set size for categorical splits", (), _pos, "> 0"),
     Param("monotone_constraints", None, "list", B,
           "per-feature -1/0/+1 monotonicity"),
+    Param("monotone_constraints_method", "basic", "str", B,
+          "basic (midpoint bounds) / intermediate or advanced "
+          "(actual-output bounds + constrained gains)"),
+    Param("monotone_penalty", 0.0, "float", B,
+          "depth-dependent gain penalty for monotone splits "
+          "(monotone_constraints.hpp:355)", (), _nonneg, ">= 0"),
+    Param("extra_trees", False, "bool", B,
+          "extremely randomized trees: one random candidate bin per "
+          "feature per node (config.h:368)"),
+    Param("feature_fraction_bynode", 1.0, "float", B,
+          "column subsample fraction per tree NODE (config.h:359)",
+          ("sub_feature_bynode", "colsample_bynode"), _frac, "(0, 1]"),
+    Param("path_smooth", 0.0, "float", B,
+          "leaf-value smoothing toward the parent with weight "
+          "n/(n + path_smooth) (config.h:550)", (), _nonneg, ">= 0"),
+    Param("interaction_constraints", None, "list", B,
+          "list of feature-index groups; branches may only combine "
+          "features from a common group"),
+    Param("cat_l2", 10.0, "float", B,
+          "extra L2 for many-vs-many categorical splits", (),
+          _nonneg, ">= 0"),
+    Param("cat_smooth", 10.0, "float", B,
+          "categorical smoothing: sort key G/(H + cat_smooth); categories "
+          "with fewer data are ineligible", (), _nonneg, ">= 0"),
+    Param("max_cat_to_onehot", 4, "int", B,
+          "features with <= this many categories use one-hot splits", (),
+          _pos, "> 0"),
+    Param("min_data_in_bin", 3, "int", B,
+          "minimum samples per histogram bin (adjacent bins merge)", (),
+          _pos, "> 0"),
+    Param("min_data_per_group", 100, "int", B,
+          "minimum data per categorical group boundary", (), _pos, "> 0"),
+    Param("pos_bagging_fraction", 1.0, "float", B,
+          "bagging fraction for positive-class rows (binary)",
+          (), _frac, "(0, 1]"),
+    Param("neg_bagging_fraction", 1.0, "float", B,
+          "bagging fraction for negative-class rows (binary)",
+          (), _frac, "(0, 1]"),
     Param("metric", None, "any", B,
           "l2, rmse, l1, mape, quantile, huber, poisson, gamma, "
           "gamma_deviance, tweedie, binary_logloss, binary_error, auc, "
@@ -185,6 +223,12 @@ PARAMS: Tuple[Param, ...] = (
     Param("yu", 1.0, "float", O, "tobit upper censoring bound"),
     Param("sigmoid", 1.0, "float", O, "binary/lambdarank sigmoid scale",
           (), _pos, "> 0"),
+    Param("is_unbalance", False, "bool", O,
+          "weight the positive class by cnt_neg/cnt_pos (binary)",
+          ("unbalance", "unbalanced_sets")),
+    Param("scale_pos_weight", 1.0, "float", O,
+          "explicit positive-class weight (binary; exclusive with "
+          "is_unbalance)", (), _pos, "> 0"),
     Param("lambdarank_truncation_level", 30, "int", O,
           "lambdarank DCG truncation", (), _pos, "> 0"),
     # ---- prediction ----------------------------------------------------
