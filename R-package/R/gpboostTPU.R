@@ -391,3 +391,151 @@ gpb.grid.search.tune.parameters <- function(param_grid, data,
     num_boost_round = as.integer(nrounds))
   reticulate::py_to_r(res)
 }
+
+# ---------------------------------------------------------------------------
+# Interpretation / plotting / serialization surface
+# (reference R-package/R: gpb.interprete.R, gpb.plot.importance.R,
+#  gpb.plot.interpretation.R, gpb.plot.partial.dependence.R,
+#  gpb.model.dt.tree.R, saveRDS.gpb.Booster.R / readRDS.gpb.Booster.R,
+#  gpb.convert_with_rules.R)
+
+#' Per-prediction feature contributions (gpb.interprete.R): one data.frame
+#' per requested row with (Feature, Contribution) sorted by |Contribution|,
+#' computed from exact TreeSHAP values (pred_contrib).
+gpb.interprete <- function(model, data, idxset, num_iteration = NULL) {
+  data <- .as_matrix(data)
+  contrib <- predict.gpb.Booster(model, data[idxset, , drop = FALSE],
+                                 num_iteration = num_iteration,
+                                 pred_contrib = TRUE)
+  contrib <- .as_matrix(contrib)
+  fn <- reticulate::py_to_r(model$py$feature_name())
+  lapply(seq_len(nrow(contrib)), function(i) {
+    vals <- contrib[i, seq_along(fn)]
+    df <- data.frame(Feature = fn, Contribution = vals,
+                     stringsAsFactors = FALSE)
+    df[order(-abs(df$Contribution)), , drop = FALSE]
+  })
+}
+
+#' Barplot of feature importances (gpb.plot.importance.R).
+gpb.plot.importance <- function(tree_imp = NULL, model = NULL, top_n = 10L,
+                                measure = "Gain", left_margin = 10L,
+                                cex = NULL, ...) {
+  if (is.null(tree_imp)) {
+    itype <- if (tolower(measure) == "gain") "gain" else "split"
+    imp <- gpb.importance(model, importance_type = itype)
+    fn <- reticulate::py_to_r(model$py$feature_name())
+    tree_imp <- data.frame(Feature = fn, Value = as.numeric(imp),
+                           stringsAsFactors = FALSE)
+  }
+  tree_imp <- tree_imp[order(-tree_imp[[2L]]), , drop = FALSE]
+  tree_imp <- utils::head(tree_imp, n = top_n)
+  op <- graphics::par(mar = c(4, left_margin, 2, 1))
+  on.exit(graphics::par(op))
+  graphics::barplot(rev(tree_imp[[2L]]), names.arg = rev(tree_imp$Feature),
+                    horiz = TRUE, las = 1, cex.names = cex, ...)
+  invisible(tree_imp)
+}
+
+#' Barplot of one gpb.interprete() result (gpb.plot.interpretation.R).
+gpb.plot.interpretation <- function(tree_interpretation_dt, top_n = 10L,
+                                    cols = 1L, left_margin = 10L,
+                                    cex = NULL, ...) {
+  dt <- utils::head(tree_interpretation_dt, n = top_n)
+  op <- graphics::par(mar = c(4, left_margin, 2, 1))
+  on.exit(graphics::par(op))
+  graphics::barplot(rev(dt$Contribution), names.arg = rev(dt$Feature),
+                    horiz = TRUE, las = 1, cex.names = cex, ...)
+  invisible(dt)
+}
+
+#' Partial dependence plot (gpb.plot.partial.dependence.R): average
+#' prediction over a grid of one feature, all other columns at their
+#' observed values.
+gpb.plot.partial.dependence <- function(model, data, variable,
+                                        n_pts = 100L,
+                                        subsample = pmin(1, n_pts * 100 /
+                                                         nrow(data)),
+                                        discrete_x = FALSE,
+                                        which_class = NULL,
+                                        xlab = variable, ylab = "",
+                                        type = if (discrete_x) "p" else "b",
+                                        main = "", return_plot_data = FALSE,
+                                        ...) {
+  data <- .as_matrix(data)
+  if (is.character(variable)) {
+    variable <- match(variable, colnames(data))
+  }
+  if (subsample < 1) {
+    keep <- sample.int(nrow(data), size = max(1L, floor(subsample *
+                                                        nrow(data))))
+    data <- data[keep, , drop = FALSE]
+  }
+  xs <- if (discrete_x) sort(unique(data[, variable])) else
+    seq(min(data[, variable]), max(data[, variable]), length.out = n_pts)
+  ys <- vapply(xs, function(v) {
+    d <- data
+    d[, variable] <- v
+    mean(predict.gpb.Booster(model, d))
+  }, numeric(1))
+  graphics::plot(xs, ys, type = type, xlab = xlab, ylab = ylab,
+                 main = main, ...)
+  if (return_plot_data) {
+    return(invisible(data.frame(x = xs, y = ys)))
+  }
+  invisible(NULL)
+}
+
+#' Tree structure as a data.frame (gpb.model.dt.tree.R / the python
+#' Booster.trees_to_dataframe).
+gpb.model.dt.tree <- function(model, num_iteration = NULL) {
+  df <- reticulate::py_to_r(model$py$trees_to_dataframe())
+  if (!is.null(num_iteration)) {
+    df <- df[df$tree_index < num_iteration, , drop = FALSE]
+  }
+  df
+}
+
+#' RDS round-trip for boosters (saveRDS.gpb.Booster.R / readRDS.gpb.Booster.R):
+#' the handle serializes through the text model format.
+saveRDS.gpb.Booster <- function(object, file, ascii = FALSE, version = NULL,
+                                compress = TRUE, refhook = NULL,
+                                raw = TRUE) {
+  object$raw_model <- object$py$model_to_string()
+  payload <- object[names(object) != "py"]
+  class(payload) <- "gpb.Booster.saved"
+  saveRDS(payload, file = file, ascii = ascii, version = version,
+          compress = compress, refhook = refhook)
+  invisible(object)
+}
+
+readRDS.gpb.Booster <- function(file, refhook = NULL) {
+  payload <- readRDS(file = file, refhook = refhook)
+  py <- .gpb()$Booster(model_str = payload$raw_model)
+  out <- structure(list(py = py), class = "gpb.Booster")
+  for (nm in setdiff(names(payload), c("py", "raw_model"))) {
+    out[[nm]] <- payload[[nm]]
+  }
+  out
+}
+
+#' Convert factor/character columns to numeric codes with reusable rules
+#' (gpb.convert_with_rules.R) — pure R, no python round trip.
+gpb.convert_with_rules <- function(data, rules = NULL) {
+  data <- as.data.frame(data)
+  if (is.null(rules)) rules <- list()
+  for (cn in colnames(data)) {
+    col <- data[[cn]]
+    if (is.character(col)) col <- factor(col)
+    if (is.factor(col)) {
+      if (is.null(rules[[cn]])) {
+        lv <- levels(col)
+        rules[[cn]] <- stats::setNames(seq_along(lv), lv)
+      }
+      data[[cn]] <- as.numeric(rules[[cn]][as.character(col)])
+    } else if (is.logical(col)) {
+      data[[cn]] <- as.numeric(col)
+    }
+  }
+  list(data = data, rules = rules)
+}

@@ -163,3 +163,30 @@ def test_r_testthat_flow_replays(data, tmp_path):
     # gpb.importance(importance_type=...)
     assert bst.feature_importance(importance_type="split").sum() > 0
     assert bst.feature_importance(importance_type="gain").sum() > 0
+
+
+def test_r_interpretation_surface_replays(data, tmp_path):
+    """Replay the python call sequences of the new R interpretation /
+    serialization surface (gpboostTPU.R: gpb.interprete,
+    gpb.plot.partial.dependence, gpb.model.dt.tree,
+    saveRDS.gpb.Booster/readRDS.gpb.Booster)."""
+    rng = np.random.default_rng(9)
+    X = rng.uniform(size=(200, 3))
+    y = 2 * X[:, 0] - X[:, 1] + 0.2 * rng.standard_normal(200)
+    bst = gpb.train(params={"objective": "regression", "num_leaves": 4,
+                            "verbose": -1},
+                    train_set=gpb.Dataset(X, label=y), num_boost_round=5)
+    # gpb.interprete: pred_contrib rows reconstruct predictions
+    contrib = np.asarray(bst.predict(X[:3], pred_contrib=True))
+    pred = np.asarray(bst.predict(X[:3]))
+    np.testing.assert_allclose(contrib.sum(axis=1), pred, atol=1e-8)
+    names = bst.feature_name()
+    assert len(names) == 3 and contrib.shape[1] == 4
+    # gpb.model.dt.tree
+    df = bst.trees_to_dataframe()
+    assert len(df) > 0
+    # saveRDS round trip: model_to_string <-> Booster(model_str=...)
+    s = bst.model_to_string()
+    bst2 = gpb.Booster(model_str=s)
+    np.testing.assert_allclose(np.asarray(bst2.predict(X)),
+                               np.asarray(bst.predict(X)), atol=1e-12)
