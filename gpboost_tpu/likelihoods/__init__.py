@@ -91,6 +91,11 @@ class LikelihoodFamily:
     # e.g. zero_inflated_gamma p0). The reference keeps transformed
     # aux_pars_ + aux_pars_original_ the same way.
     aux_transforms: Optional[Tuple[str, ...]] = None
+    # FISHER-Laplace families (reference approximation_type_ =
+    # "fisher_laplace", the DEFAULT for t, likelihoods.h:207): the Laplace
+    # machinery uses the EXPECTED information fisher_loc(y, loc, aux)
+    # instead of the observed -d2 (the t log-likelihood is not concave)
+    fisher_loc: Optional[Callable] = None
 
     def default_aux_pars(self, additional_param=None):
         if self.num_aux_pars == 0:
@@ -107,7 +112,14 @@ class LikelihoodFamily:
         return jax.grad(lambda l: jnp.sum(self.log_lik(y, l, aux)))(loc)
 
     def d2_loc(self, y, loc, aux):
-        """Diagonal second derivative (elementwise; negative = information)."""
+        """Diagonal second derivative (elementwise; negative = information).
+
+        Fisher-Laplace families return the NEGATIVE expected information
+        (constant in loc for t) so every Laplace consumer — mode finder W,
+        logdet(I + Sigma W), predictive variances — runs the reference's
+        fisher_laplace approximation."""
+        if self.fisher_loc is not None:
+            return -self.fisher_loc(y, loc, aux)
         d2 = jax.grad(lambda l: jnp.sum(self.d_loc(y, l, aux)))(loc)
         if self.clip_information:
             d2 = jnp.minimum(d2, 0.0)
@@ -363,7 +375,10 @@ _register(LikelihoodFamily(
     response_mean=lambda loc, aux: loc,
     response_var=lambda loc, aux: jnp.full_like(
         loc, aux[0] ** 2 * aux[1] / jnp.maximum(aux[1] - 2.0, 1e-10)),
-    default_aux=(1.0, 2.0)))
+    default_aux=(1.0, 2.0),
+    # FisherInformationT (likelihoods.h:9947): (nu+1) / ((nu+3) sigma^2)
+    fisher_loc=lambda y, loc, aux: jnp.full_like(
+        loc, (aux[1] + 1.0) / (aux[1] + 3.0) / (aux[0] * aux[0]))))
 
 _register(LikelihoodFamily(
     "t_fix_df", 1, ("scale",),
