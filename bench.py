@@ -187,18 +187,102 @@ def main():
                 f"reference {v64} by {nll_err_vs_f64:.2e} relative "
                 "(> 1e-4): numeric drift in the fast path")
 
+    # ---- north-star extras (BASELINE.json): 1M-point NLL/grad throughput
+    # and a GPBoost boosting loop (trees + per-iteration GP refits) ----
+    northstar = {}
+    if (jax.default_backend() == "tpu" and dtype_name == "float32"
+            and os.environ.get("BENCH_NORTHSTAR", "1") != "0"):
+        from gpboost_tpu.ops.kernels.vecchia_factors import (
+            vecchia_nll_grad_pallas)
+        n1 = 1_000_000
+        rng1 = np.random.default_rng(0)
+        coords1 = rng1.uniform(size=(n1, 2)).astype(np.float64)
+        y1 = (np.sin(6 * coords1[:, 0]) + np.cos(4 * coords1[:, 1])
+              + 0.5 * rng1.standard_normal(n1))
+        c1 = jnp.asarray(coords1, dtype)
+        yj1 = jnp.asarray(y1, dtype)
+        t0 = time.time()
+        nb1 = vops.find_neighbors(c1, m, chunk=1024)
+        nb1.block_until_ready()
+        northstar["n1m_neighbor_search_s"] = round(time.time() - t0, 3)
+
+        @jax.jit
+        def vg1(lp):
+            return vecchia_nll_grad_pallas(lp, c1, nb1, yj1, 0.5)
+
+        K1 = 20
+
+        @jax.jit
+        def nll1_loop(lp0):
+            def body(_, carry):
+                acc, c = carry
+                v, g = vg1(c)
+                return acc + v, c + 1e-38 * g
+            acc, _ = jax.lax.fori_loop(0, K1, body,
+                                       (jnp.zeros((), dtype), lp0))
+            return acc
+
+        nll1_loop(lp).block_until_ready()
+        best = 0.0
+        for _ in range(2):
+            t0 = time.time()
+            nll1_loop(lp).block_until_ready()
+            best = max(best, K1 / (time.time() - t0))
+        northstar["n1m_nll_grad_evals_per_s"] = round(best, 3)
+        northstar["n1m_nll_value"] = float(vg1(lp)[0])
+        del c1, yj1, nb1
+
+        # GPBoost loop: 30 rounds @ 100k rows, trees + per-iteration GP
+        # covariance refits (the reference's headline combined algorithm)
+        if os.environ.get("BENCH_BOOST", "1") != "0":
+            import gpboost_tpu as gpb
+            rngb = np.random.default_rng(1)
+            X = rngb.uniform(size=(n, 5))
+            f = 2.0 * np.sin(5 * X[:, 0]) + X[:, 1] ** 2 + X[:, 2]
+            yb = f + y
+            gp = gpb.GPModel(gp_coords=coords, cov_function="exponential",
+                             gp_approx="vecchia", num_neighbors=m,
+                             dtype=jnp.float32)
+            gp.set_optim_params({"optimizer_cov": "lbfgs",
+                                 "init_cov_pars": [0.25, 1.0, 0.1]})
+            params = {"objective": "regression", "num_leaves": 31,
+                      "learning_rate": 0.1, "min_data_in_leaf": 20,
+                      "verbose": -1}
+            ds = gpb.Dataset(X, label=yb)
+            t0 = time.time()
+            bst = gpb.train(params, ds, gp_model=gp, num_boost_round=30)
+            northstar["gpboost_30r_100k_s"] = round(time.time() - t0, 3)
+            northstar["gpboost_cov_pars"] = [
+                round(float(x), 4) for x in np.asarray(gp.cov_pars_)]
+
     # baseline: reference GPBoost multicore-CPU Vecchia NLL evals/s at the
     # same n, m. Measured via the reference python package if available, else
     # the recorded value from a prior measurement on this machine class.
     baseline_file = os.path.join(os.path.dirname(__file__),
                                  "bench_baseline.json")
     baseline = None
+    b = {}
     if os.path.exists(baseline_file):
         with open(baseline_file) as f:
             b = json.load(f)
             if b.get("n") == n and b.get("m") == m:
                 baseline = b.get("evals_per_s")
     vs_baseline = (evals_per_s / baseline) if baseline else None
+    # north-star ratios vs the reference C++ measured at the same configs
+    ns_base = b.get("north_star", {})
+    if northstar.get("n1m_nll_grad_evals_per_s") and ns_base.get(
+            "n1m_evals_per_s"):
+        northstar["n1m_vs_baseline"] = round(
+            northstar["n1m_nll_grad_evals_per_s"]
+            / ns_base["n1m_evals_per_s"], 3)
+    if fit_warm_s and ns_base.get("fit_100k_s"):
+        northstar["fit_100k_speedup_vs_baseline"] = round(
+            ns_base["fit_100k_s"] / fit_warm_s, 3)
+    if northstar.get("gpboost_30r_100k_s") and ns_base.get(
+            "gpboost_30r_100k_s"):
+        northstar["gpboost_30r_speedup_vs_baseline"] = round(
+            ns_base["gpboost_30r_100k_s"]
+            / northstar["gpboost_30r_100k_s"], 3)
 
     print(json.dumps({
         "metric": f"vecchia_gp_nll_evals_per_s_n{n}_m{m}",
@@ -216,6 +300,7 @@ def main():
             "nll_value": float(v),
             "nll_err_vs_f64": (None if nll_err_vs_f64 is None
                                else float(nll_err_vs_f64)),
+            **northstar,
         },
     }))
 

@@ -26,6 +26,27 @@ import pytest  # noqa: E402
 
 from gpboost_tpu.utils.rng import sim_rand_unif, sim_rand_normal  # noqa: E402
 
+# Slow-fit gating (the reference's own pattern:
+# test_GPModel_gaussian_process.R:4 gates on GPBOOST_ALL_TESTS): tests
+# marked @pytest.mark.slow only run when GPBOOST_ALL_TESTS is set, keeping
+# the default suite's wall-clock bounded.
+RUN_ALL = os.environ.get("GPBOOST_ALL_TESTS", "") not in ("", "0", "false")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running fit/parity test; runs only with "
+        "GPBOOST_ALL_TESTS=1 (reference R-suite gating pattern)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if RUN_ALL:
+        return
+    skip = pytest.mark.skip(reason="slow; set GPBOOST_ALL_TESTS=1 to run")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
 
 @pytest.fixture(scope="session")
 def gp_fixture_data():
