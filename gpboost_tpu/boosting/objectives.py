@@ -545,6 +545,20 @@ class GPBoostObjective(Objective):
         return np.array([self.boost_from_average()])
 
     def get_gradients(self, score):
+        # the end-of-iteration refit (booster.update tail, mirroring
+        # gbdt.cpp:536-542) runs at the SAME score the next iteration's
+        # Boosting() sees — reuse its refit + gradient instead of paying
+        # two more device dispatches over the TPU tunnel
+        cache = getattr(self, "_grad_cache", None)
+        if cache is not None and np.array_equal(cache[0], score):
+            g, h = cache[1]
+            return g.copy(), h.copy()
+        out = self._get_gradients_impl(score)
+        self._grad_cache = (np.array(score, copy=True),
+                            (out[0].copy(), out[1].copy()))
+        return out
+
+    def _get_gradients_impl(self, score):
         gp = self.gp_model
         if gp.spec.is_gaussian:
             resid = self.label - score
