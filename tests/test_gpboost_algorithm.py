@@ -13,6 +13,8 @@ import gpboost_tpu as gpb
 from gpboost_tpu import GPModel
 from gpboost_tpu.utils.rng import sim_rand_unif_boost
 
+pytestmark = pytest.mark.slow  # full GPBoost-algorithm fits (~6 min; fast coverage: test_gpboost_reuse_lr + test_boosting_basic)
+
 
 def qnorm(u):
     return norm.ppf(u)

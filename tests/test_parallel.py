@@ -87,6 +87,7 @@ def test_sharded_histogram_matches(mesh):
     np.testing.assert_allclose(np.asarray(hc), np.asarray(rc), atol=1e-10)
 
 
+@pytest.mark.slow  # the driver runs dryrun_multichip separately every round
 def test_dryrun_multichip_product_paths(mesh):
     """The driver dry run: real GPModel.fit + 3 gpb.train rounds under the
     mesh, asserted equal to single-device inside."""
