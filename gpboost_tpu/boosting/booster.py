@@ -1048,7 +1048,7 @@ class Booster:
         set one (reference ``basic.py`` predict default)."""
         if num_iteration is None and getattr(self, "best_iteration", -1) > 0:
             num_iteration = self.best_iteration
-        data = np.asarray(data, dtype=np.float64)
+        data = self._marshal_pred(data)
         if data.ndim == 1:
             data = data[:, None]
         raw = self._predict_raw(data, num_iteration)
@@ -1074,6 +1074,36 @@ class Booster:
             n = data.shape[0]
             return {"pred_mean": raw[:n], "pred_var": np.exp(raw[n:])}
         return self.objective.convert_output(raw)
+
+    def _pandas_categorical_levels(self):
+        """JSON-safe training-time category levels (reference stores
+        ``pandas_categorical`` in the model file, basic.py:3321)."""
+        pc = (getattr(self.train_set, "pandas_categorical", None)
+              if self.train_set is not None
+              else getattr(self, "_pandas_categorical", None))
+        if not pc:
+            return None
+        def conv(v):
+            if isinstance(v, (bool, int, float, str)):
+                return v
+            if isinstance(v, (np.integer,)):
+                return int(v)
+            if isinstance(v, (np.floating,)):
+                return float(v)
+            return str(v)
+        return [[conv(v) for v in levels] for levels in pc]
+
+    def _marshal_pred(self, data):
+        """Prediction-input marshalling: DataFrames re-mapped with the
+        training-time category levels, sparse matrices densified
+        (reference ``_InnerPredictor.predict`` pandas path, basic.py:788)."""
+        from gpboost_tpu.boosting.compat_data import marshal_matrix
+        pc = (getattr(self.train_set, "pandas_categorical", None)
+              if self.train_set is not None
+              else getattr(self, "_pandas_categorical", None))
+        arr, _, _, _ = marshal_matrix(data, "auto", "auto",
+                                      pandas_categorical=pc)
+        return arr
 
     def _predict_raw(self, data, num_iteration=None):
         n = data.shape[0]
@@ -1329,6 +1359,10 @@ class Booster:
                          {str(f): {str(k): int(v) for k, v in mp.items()}
                           for f, mp in self.train_set.cat_maps.items()}),
             "attrs": getattr(self, "_attrs", {}),
+            "feature_names": (list(self.train_set.feature_name)
+                              if self.train_set is not None else
+                              getattr(self, "_feature_names", None)),
+            "pandas_categorical": self._pandas_categorical_levels(),
         }
         if self.gp_model is not None:
             d["gp_model"] = self.gp_model.model_to_dict()
@@ -1355,6 +1389,8 @@ class Booster:
         self.num_class = d.get("num_class", 1)
         self.num_models = d.get("num_models", 1)
         self._attrs = d.get("attrs", {})
+        self._feature_names = d.get("feature_names")
+        self._pandas_categorical = d.get("pandas_categorical")
         self.init_score = np.asarray(d["init_score"], dtype=np.float64)
         self.trees = [Tree.from_dict(td) for td in d["trees"]]
         self.best_iteration = d.get("best_iteration", -1)

@@ -149,6 +149,7 @@ class Dataset:
         if params:
             max_bin = int(params.get("max_bin", max_bin))
         self.tree_learner = (params or {}).get("tree_learner", "data")
+        self.pandas_categorical = None
         p = params or {}
         self._enable_bundle = bool(p.get(
             "enable_bundle", p.get("is_enable_bundle", True)))
@@ -161,11 +162,28 @@ class Dataset:
             # file path: native multithreaded CSV/TSV parser
             from gpboost_tpu.native import load_table
             data = load_table(data)
+        # pandas DataFrame / scipy.sparse marshalling (reference
+        # basic.py:543 _data_from_pandas, :847/:1396 csr/csc paths)
+        from gpboost_tpu.boosting.compat_data import (marshal_label,
+                                                      marshal_matrix)
+        data, fn_m, cat_m, self.pandas_categorical = marshal_matrix(
+            data,
+            feature_name if feature_name is not None else "auto",
+            categorical_feature if categorical_feature is not None
+            else "auto",
+            pandas_categorical=(getattr(reference, "pandas_categorical",
+                                        None)
+                                if reference is not None else None))
+        if feature_name is None and fn_m is not None:
+            feature_name = fn_m
+        if cat_m is not None:
+            categorical_feature = cat_m
         data = np.asarray(data, dtype=np.float64)
         if data.ndim == 1:
             data = data[:, None]
         self.num_data, self.num_features = data.shape
         self.raw_data = data
+        label = marshal_label(label)
         self.label = None if label is None else np.asarray(
             label, dtype=np.float64).ravel()
         self.weight = None if weight is None else np.asarray(
