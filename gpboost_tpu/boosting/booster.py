@@ -94,7 +94,10 @@ class Booster:
             cat_l2=float(p.get("cat_l2", 10.0)),
             cat_smooth=float(p.get("cat_smooth", 10.0)),
             min_data_per_group=float(p.get("min_data_per_group", 100)),
-            max_cat_to_onehot=int(p.get("max_cat_to_onehot", 4)))
+            max_cat_to_onehot=int(p.get("max_cat_to_onehot", 4)),
+            max_delta_step=float(p.get("max_delta_step", 0.0)),
+            feature_contri=(None if p.get("feature_contri") is None else
+                            np.asarray(p["feature_contri"], np.float64)))
         ic = p.get("interaction_constraints", None)
         if isinstance(ic, str) and ic:
             import ast
@@ -156,6 +159,15 @@ class Booster:
         self._cegb = CEGBState.from_params(
             p, train_set.num_features, train_set.num_data)
         self._rng = np.random.default_rng(int(p.get("seed", 0)))
+        # dedicated RNG streams when their seeds are given explicitly
+        # (config.h bagging_seed / feature_fraction_seed; the single 'seed'
+        # stream remains the default so existing runs are unchanged)
+        self._bag_rng = (np.random.default_rng(int(p["bagging_seed"]))
+                         if "bagging_seed" in p else self._rng)
+        self._ff_rng = (np.random.default_rng(int(p["feature_fraction_seed"]))
+                        if "feature_fraction_seed" in p else self._rng)
+        self._extra_rng = (np.random.default_rng(int(p["extra_seed"]))
+                           if "extra_seed" in p else self._rng)
 
         self.trees: List[Tree] = []
         n = train_set.num_data
@@ -442,12 +454,12 @@ class Booster:
             if self._bag_mask is None or it % self.bagging_freq == 0:
                 if (self.pos_bagging_fraction < 1.0
                         or self.neg_bagging_fraction < 1.0):
-                    u = self._rng.random(n)
+                    u = self._bag_rng.random(n)
                     is_pos = np.asarray(self.train_set.label) > 0
                     keep = np.where(is_pos, u < self.pos_bagging_fraction,
                                     u < self.neg_bagging_fraction)
                 else:
-                    keep = self._rng.random(n) < self.bagging_fraction
+                    keep = self._bag_rng.random(n) < self.bagging_fraction
                 self._bag_mask = jnp.asarray(keep)
             row_mask = self._bag_mask
         # padded mesh-sharded binned layout: rows beyond num_data are
@@ -468,7 +480,7 @@ class Booster:
         if self.feature_fraction < 1.0:
             F = ds.num_features
             k = max(1, int(np.ceil(self.feature_fraction * F)))
-            chosen = self._rng.choice(F, size=k, replace=False)
+            chosen = self._ff_rng.choice(F, size=k, replace=False)
             mask = np.zeros(len(num_bins), dtype=bool)
             mask[chosen] = True
             num_bins = np.where(mask, num_bins, 0)
@@ -517,7 +529,8 @@ class Booster:
                         and self._interaction_constraints is None
                         and not self.grower.extra_trees
                         and self.grower.feature_fraction_bynode >= 1.0
-                        and self.grower.path_smooth <= 0.0)
+                        and self.grower.path_smooth <= 0.0
+                        and self.grower.max_delta_step <= 0.0)
             nan_mask = ds.has_nan if bool(np.any(ds.has_nan)) else None
             if nan_mask is not None and len(nan_mask) != n_feat_grower:
                 nan_mask = np.concatenate(
@@ -545,7 +558,8 @@ class Booster:
                     cegb=self._cegb, nan_mask=nan_mask,
                     voting_ctx=voting_ctx, efb=getattr(ds, "efb", None),
                     interaction_constraints=self._interaction_constraints,
-                    rng=self._rng)
+                    rng=(self._extra_rng if self.grower.extra_trees
+                         else self._rng))
             # real-valued thresholds for raw prediction
             for node in tree.internal_nodes():
                 if tree.is_categorical is not None and tree.is_categorical[node]:
@@ -923,6 +937,9 @@ class Booster:
             kwargs = {}
             if metric in ("multi_logloss", "multi_error"):
                 kwargs["num_class"] = self.num_class
+            if metric == "multi_error":
+                kwargs["top_k"] = int(
+                    self.params.get("multi_error_top_k", 1))
             val = fn(dset.label, pred, dset.weight, **kwargs)
             res.append((name, metric, val, higher_better))
         return res
@@ -1037,6 +1054,7 @@ class Booster:
 
     # ------------------------------------------------------------------
     def predict(self, data, num_iteration: Optional[int] = None,
+                start_iteration: int = 0,
                 raw_score: bool = False, pred_leaf: bool = False,
                 pred_contrib: bool = False, group_data_pred=None,
                 group_rand_coef_data_pred=None, gp_coords_pred=None,
@@ -1051,7 +1069,8 @@ class Booster:
         data = self._marshal_pred(data)
         if data.ndim == 1:
             data = data[:, None]
-        raw = self._predict_raw(data, num_iteration)
+        raw = self._predict_raw(data, num_iteration,
+                                start_iteration=start_iteration)
         if pred_leaf:
             return self._predict_leaf(data, num_iteration)
         if pred_contrib:
@@ -1103,15 +1122,24 @@ class Booster:
               else getattr(self, "_pandas_categorical", None))
         arr, _, _, _ = marshal_matrix(data, "auto", "auto",
                                       pandas_categorical=pc)
+        # training-time missing-value policy (use_missing / zero_as_missing)
+        if not bool(self.params.get("use_missing", True)):
+            arr = np.where(np.isfinite(arr), arr, 0.0)
+        elif bool(self.params.get("zero_as_missing", False)):
+            arr = np.where(arr == 0.0, np.nan, arr)
         return arr
 
-    def _predict_raw(self, data, num_iteration=None):
+    def _predict_raw(self, data, num_iteration=None, start_iteration=0):
         n = data.shape[0]
         limit = (len(self.trees) if num_iteration in (None, -1, 0)
                  else min(num_iteration * self.num_models, len(self.trees)))
+        # start_iteration (config.h:647): predict from a tree-range suffix;
+        # the boost-from-average base belongs to iteration 0
+        start = max(0, int(start_iteration or 0)) * self.num_models
         score = np.zeros(n * self.num_models)
-        for m in range(self.num_models):
-            score[m * n:(m + 1) * n] += self.init_score[m]
+        if start == 0:
+            for m in range(self.num_models):
+                score[m * n:(m + 1) * n] += self.init_score[m]
         Xj = jnp.asarray(data)
         cat_bins_j = jnp.asarray(self._cat_bins_matrix(data))
         # row-wise prediction early stopping (prediction_early_stop.cpp:54,25;
@@ -1123,7 +1151,7 @@ class Booster:
                 early_type = "binary"
             elif self.num_models > 1:
                 early_type = "multiclass"
-        if early_type is not None:
+        if early_type is not None and start == 0:
             freq = int(self.params.get("pred_early_stop_freq", 10))
             thresh = float(self.params.get("pred_early_stop_margin", 10.0))
             active = np.ones(n, dtype=bool)
@@ -1144,7 +1172,7 @@ class Booster:
                         margin = top2[1] - top2[0]
                     active &= margin <= thresh
             return smat.reshape(-1)
-        if (getattr(self, "use_nesterov_acc", False)
+        if (getattr(self, "use_nesterov_acc", False) and start == 0
                 and getattr(self, "boosting_type", "gbdt") == "gbdt"):
             # replay the momentum steps between iterations exactly as the
             # reference prediction path does (gbdt_prediction.cpp:20-35)
@@ -1166,7 +1194,7 @@ class Booster:
                     vals, _ = self._tree_raw_pred(tree, Xj, cat_bins_j)
                     smat[m] += np.asarray(vals)
             return smat.reshape(-1)
-        for k in range(limit):
+        for k in range(start, limit):
             tree = self.trees[k]
             vals, _ = self._tree_raw_pred(tree, Xj, cat_bins_j)
             m = k % self.num_models

@@ -153,6 +153,16 @@ class Dataset:
         p = params or {}
         self._enable_bundle = bool(p.get(
             "enable_bundle", p.get("is_enable_bundle", True)))
+        # params-dict form of categorical_feature ("0,1,2" or "name:a,b";
+        # reference config.h:631) when the kwarg is not given
+        if categorical_feature is None and p.get("categorical_feature"):
+            cf = p["categorical_feature"]
+            if isinstance(cf, str):
+                if cf.startswith("name:"):
+                    cf = [s.strip() for s in cf[5:].split(",") if s.strip()]
+                else:
+                    cf = [int(s) for s in cf.split(",") if s.strip()]
+            categorical_feature = cf
         if isinstance(data, str):
             if data.endswith(".bin") or data.endswith(".npz"):
                 # binary dataset file (reference Dataset::SaveBinaryFile /
@@ -181,6 +191,16 @@ class Dataset:
         data = np.asarray(data, dtype=np.float64)
         if data.ndim == 1:
             data = data[:, None]
+        # missing-value policy (config.h use_missing / zero_as_missing):
+        # applied to the raw matrix so binning, partitioning and
+        # train-data prediction all see the same values; Booster.predict
+        # re-applies it to new data (params travel in the model file)
+        self.use_missing = bool(p.get("use_missing", True))
+        self.zero_as_missing = bool(p.get("zero_as_missing", False))
+        if not self.use_missing:
+            data = np.where(np.isfinite(data), data, 0.0)
+        elif self.zero_as_missing:
+            data = np.where(data == 0.0, np.nan, data)
         self.num_data, self.num_features = data.shape
         self.raw_data = data
         label = marshal_label(label)
@@ -192,7 +212,22 @@ class Dataset:
             init_score, dtype=np.float64).ravel()
         self.group = group
         self.max_bin = max_bin
+        mbf = p.get("max_bin_by_feature")
+        self.max_bin_by_feature = (None if not mbf else
+                                   np.asarray(mbf, dtype=np.int64))
         self.min_data_in_bin = int(p.get("min_data_in_bin", 3))
+        # forced bin boundaries (config.h:596 forcedbins_filename; JSON
+        # [{"feature": i, "bin_upper_bound": [...]}, ...] as in LightGBM's
+        # forced_bins docs): listed bounds are guaranteed bin edges, the
+        # rest fill up from the quantile bins
+        self.forced_bins = {}
+        fb = p.get("forcedbins_filename", "")
+        if fb:
+            import json as _json
+            with open(fb) as fh:
+                for ent in _json.load(fh):
+                    self.forced_bins[int(ent["feature"])] = np.asarray(
+                        ent["bin_upper_bound"], dtype=np.float64)
         self.feature_name = (list(feature_name) if feature_name is not None
                              else [f"Column_{i}" for i in range(self.num_features)])
         self.categorical_feature = sorted(set(categorical_feature or []))
@@ -220,7 +255,13 @@ class Dataset:
         self.num_bins = np.zeros(self.num_features, dtype=np.int32)
         self.cat_maps = {}
         self.has_nan = np.zeros(self.num_features, dtype=bool)
+        mbf = getattr(self, "max_bin_by_feature", None)
         for f in range(self.num_features):
+            # per-feature bin-count override (max_bin_by_feature,
+            # config.h:591; <= 0 entries fall back to the global max_bin)
+            max_bin = self.max_bin
+            if mbf is not None and f < len(mbf) and int(mbf[f]) > 1:
+                max_bin = int(mbf[f])
             col = self.raw_data[:, f]
             finite = col[np.isfinite(col)]
             if f not in self.categorical_feature:
@@ -229,19 +270,29 @@ class Dataset:
                 cats = np.unique(finite)
                 self.cat_maps[f] = {v: i for i, v in enumerate(cats)}
                 self.bin_upper_bounds.append(cats)  # category values
-                self.num_bins[f] = min(len(cats), self.max_bin)
+                self.num_bins[f] = min(len(cats), max_bin)
                 continue
             uniq = np.unique(finite)
-            if len(uniq) <= self.max_bin - 1:
+            if len(uniq) <= max_bin - 1:
                 # one bin per distinct value; boundaries between values
                 ub = (uniq[:-1] + uniq[1:]) / 2.0 if len(uniq) > 1 else np.array([])
                 ub = np.append(ub, np.inf)
             else:
-                qs = np.quantile(finite, np.linspace(0, 1, self.max_bin),
+                qs = np.quantile(finite, np.linspace(0, 1, max_bin),
                                  method="linear")
                 ub = np.unique(qs[1:-1])
                 ub = np.append(ub, np.inf)
             ub = self._merge_small_bins(ub, finite)
+            forced = getattr(self, "forced_bins", {}).get(f)
+            if forced is not None and len(forced):
+                # forced edges always present; quantile edges fill the
+                # remaining budget (smallest-first drop on overflow)
+                ub = np.unique(np.concatenate([forced, ub]))
+                over = len(ub) - (max_bin - 1)
+                if over > 0:
+                    keep = np.isin(ub, forced) | np.isinf(ub)
+                    drop_idx = np.flatnonzero(~keep)[:over]
+                    ub = np.delete(ub, drop_idx)
             self.bin_upper_bounds.append(ub.astype(np.float64))
             self.num_bins[f] = len(ub) + (1 if self.has_nan[f] else 0)
 

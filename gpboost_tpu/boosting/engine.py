@@ -36,16 +36,30 @@ def train(params: dict, train_set: Dataset, num_boost_round: int = 100,
             booster.add_valid(vs, name)
 
     cbs = list(callbacks or [])
+    # params-dict form of early stopping (config.h:375 early_stopping_round
+    # + :380 first_metric_only); the kwarg wins when both are given
+    if early_stopping_rounds is None:
+        esr = int(params.get("early_stopping_round", 0) or 0)
+        if esr > 0:
+            early_stopping_rounds = esr
     if early_stopping_rounds is not None and booster.valid_sets:
-        cbs.append(early_stopping(early_stopping_rounds,
-                                  verbose=bool(verbose_eval)))
+        cbs.append(early_stopping(
+            early_stopping_rounds,
+            first_metric_only=bool(params.get("first_metric_only", False)),
+            verbose=bool(verbose_eval)))
     if evals_result is not None:
         from gpboost_tpu.boosting.callback import record_evaluation
         cbs.append(record_evaluation(evals_result))
+    metric_freq = int(params.get("metric_freq", 1))
     if verbose_eval is True and booster.valid_sets:
-        cbs.append(print_evaluation(period=1))
+        cbs.append(print_evaluation(period=metric_freq))
     elif isinstance(verbose_eval, int) and verbose_eval > 1:
         cbs.append(print_evaluation(period=verbose_eval))
+    # is_provide_training_metric (config.h:981): evaluate on the training
+    # data too, reported as 'training' like the reference CLI
+    if bool(params.get("is_provide_training_metric", False)):
+        booster.set_train_data_name("training")
+        booster._eval_train_metric = True
     if learning_rates is not None:
         from gpboost_tpu.boosting.callback import reset_parameter
         cbs.append(reset_parameter(learning_rate=learning_rates))
@@ -61,8 +75,11 @@ def train(params: dict, train_set: Dataset, num_boost_round: int = 100,
             if snapshot_freq > 0 and (it + 1) % snapshot_freq == 0:
                 booster.save_model(f"{output_model}.snapshot_iter_{it + 1}")
             eval_list = []
+            if getattr(booster, "_eval_train_metric", False) and (
+                    it + 1) % metric_freq == 0:
+                eval_list.extend(booster.eval_train())
             if booster.valid_sets or evals_result is not None:
-                eval_list = booster.eval_valid()
+                eval_list.extend(booster.eval_valid())
                 if feval is not None:
                     for vset, name, score in zip(booster.valid_sets,
                                                  booster.valid_names,

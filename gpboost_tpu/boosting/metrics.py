@@ -115,10 +115,22 @@ def multi_logloss(y, prob_flat, weight=None, num_class=2):
     return float(np.average(-np.log(pc), weights=weight))
 
 
-def multi_error(y, prob_flat, weight=None, num_class=2):
+def multi_error(y, prob_flat, weight=None, num_class=2, top_k=1):
+    """Multiclass error; a row counts as correct when the true class is
+    within the ``top_k`` highest scores (``multi_error_top_k``,
+    config.h:1002, multiclass_metric.hpp)."""
     n = len(y)
     p = prob_flat.reshape(num_class, n)
-    return float(np.average(p.argmax(axis=0) != y.astype(int), weights=weight))
+    yi = y.astype(int)
+    if top_k <= 1:
+        wrong = p.argmax(axis=0) != yi
+    else:
+        # rank of the true class among the scores (ties count as within
+        # top_k like the reference's ">= threshold" comparison)
+        true_p = p[yi, np.arange(n)]
+        rank = np.sum(p > true_p[None, :], axis=0)
+        wrong = rank >= top_k
+    return float(np.average(wrong, weights=weight))
 
 
 def auc_mu(y, score_flat, weight=None, num_class=2, class_weights=None):

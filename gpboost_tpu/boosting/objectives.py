@@ -62,6 +62,16 @@ class RegressionL2(Objective):
     name = "regression"
     is_constant_hessian = True
 
+    def __init__(self, reg_sqrt=False):
+        # reg_sqrt (config.h:849): fit on sign(y)*sqrt(|y|), square
+        # predictions back (RegressionL2loss sqrt_ handling)
+        self.reg_sqrt = bool(reg_sqrt)
+
+    def init(self, label, weight, group=None):
+        super().init(label, weight, group)
+        if self.reg_sqrt and label is not None:
+            self.label = np.sign(label) * np.sqrt(np.abs(label))
+
     def boost_from_average(self):
         if self.weight is not None:
             return float(np.average(self.label, weights=self.weight))
@@ -69,6 +79,11 @@ class RegressionL2(Objective):
 
     def get_gradients(self, score):
         return self._apply_weight(score - self.label, np.ones_like(score))
+
+    def convert_output(self, score):
+        if self.reg_sqrt:
+            return np.sign(score) * score * score
+        return score
 
 
 class RegressionL1(Objective):
@@ -113,12 +128,18 @@ class Fair(Objective):
 class Poisson(Objective):
     name = "poisson"
 
+    def __init__(self, max_delta_step=0.7):
+        # poisson_max_delta_step (config.h:868): hessian safeguard
+        # exp(score + step) (poisson_objective.hpp GetGradients)
+        self.max_delta_step = float(max_delta_step)
+
     def boost_from_average(self):
         return float(np.log(np.maximum(np.mean(self.label), 1e-20)))
 
     def get_gradients(self, score):
         mu = np.exp(score)
-        return self._apply_weight(mu - self.label, mu)
+        return self._apply_weight(mu - self.label,
+                                  np.exp(score + self.max_delta_step))
 
     def convert_output(self, score):
         return np.exp(score)
@@ -229,9 +250,15 @@ class LambdaRank(Objective):
     (``rank_objective.hpp``). Host-side per-query pair loop."""
     name = "lambdarank"
 
-    def __init__(self, sigmoid=1.0, truncation_level=30):
+    def __init__(self, sigmoid=1.0, truncation_level=30, norm=True,
+                 label_gain=None):
         self.sigmoid = sigmoid
         self.truncation_level = truncation_level
+        # lambdarank_norm (config.h:891) and label_gain (config.h:895,
+        # default 2^i - 1) as in rank_objective.hpp
+        self.norm = bool(norm)
+        self.label_gain = (None if label_gain is None
+                           else np.asarray(label_gain, np.float64))
 
     def init(self, label, weight, group=None):
         super().init(label, weight, group)
@@ -239,9 +266,14 @@ class LambdaRank(Objective):
             raise ValueError("lambdarank requires query 'group' information")
         self.query_starts = np.concatenate([[0], np.cumsum(group)]).astype(int)
 
+    def _gain_of(self, rel):
+        if self.label_gain is not None:
+            return self.label_gain[np.asarray(rel, int)]
+        return 2.0 ** rel - 1.0
+
     def _inverse_max_dcg(self, rel, k):
         order = np.argsort(-rel)
-        gains = (2.0 ** rel[order[:k]] - 1.0)
+        gains = self._gain_of(rel[order[:k]])
         discounts = 1.0 / np.log2(np.arange(2, min(k, len(rel)) + 2))
         idcg = np.sum(gains * discounts[:len(gains)])
         return 1.0 / idcg if idcg > 0 else 0.0
@@ -263,7 +295,8 @@ class LambdaRank(Objective):
             rank = np.empty(nq, dtype=int)
             rank[np.argsort(-sc)] = np.arange(nq)
             disc = 1.0 / np.log2(rank + 2.0)
-            gain = 2.0 ** rel - 1.0
+            gain = self._gain_of(rel)
+            sum_lambdas = 0.0
             for i in range(nq):
                 for j in range(nq):
                     if rel[i] <= rel[j]:
@@ -280,6 +313,13 @@ class LambdaRank(Objective):
                     h = rho * (1 - rho) * d_ndcg * self.sigmoid ** 2
                     hess[a + i] += h
                     hess[a + j] += h
+                    sum_lambdas += 2.0 * lam
+            if self.norm and sum_lambdas > 0:
+                # lambdarank_norm: per-query normalization for unbiased
+                # treatment of different query sizes (rank_objective.hpp:188)
+                f = np.log2(1.0 + sum_lambdas) / sum_lambdas
+                grad[a:b] *= f
+                hess[a:b] *= f
         return grad, np.maximum(hess, 1e-10)
 
 
@@ -674,7 +714,7 @@ def create_objective(name: str, params: dict, gp_model=None) -> Objective:
             reuse_learning_rates_gp_model=params.get(
                 "reuse_learning_rates_gp_model", True))
     if name == "regression":
-        return RegressionL2()
+        return RegressionL2(reg_sqrt=bool(params.get("reg_sqrt", False)))
     if name == "regression_l1":
         return RegressionL1()
     if name == "huber":
@@ -682,7 +722,8 @@ def create_objective(name: str, params: dict, gp_model=None) -> Objective:
     if name == "fair":
         return Fair(c=params.get("fair_c", 1.0))
     if name == "poisson":
-        return Poisson()
+        return Poisson(max_delta_step=float(
+            params.get("poisson_max_delta_step", 0.7)))
     if name == "gamma":
         return Gamma()
     if name == "tweedie":
@@ -710,7 +751,9 @@ def create_objective(name: str, params: dict, gp_model=None) -> Objective:
     if name == "lambdarank":
         return LambdaRank(sigmoid=params.get("sigmoid", 1.0),
                           truncation_level=params.get(
-                              "lambdarank_truncation_level", 30))
+                              "lambdarank_truncation_level", 30),
+                          norm=bool(params.get("lambdarank_norm", True)),
+                          label_gain=params.get("label_gain"))
     if name == "rank_xendcg":
         return RankXENDCG(seed=params.get("objective_seed",
                                           params.get("seed", 0)))

@@ -100,7 +100,22 @@ def main(argv=None):
         out_result = params.pop("output_result", "GPBoost_predict_result.txt")
         X, _ = load_data(data_path, has_header, label_column)
         bst = gpb.Booster(model_file=model_path)
-        pred = bst.predict(X)
+        # prediction-task params (config.h:647-675)
+        num_it = int(params.pop("num_iteration_predict", -1))
+        start_it = int(params.pop("start_iteration_predict", 0))
+        kwargs = {}
+        if num_it > 0:
+            kwargs["num_iteration"] = num_it
+        if start_it > 0:
+            kwargs["start_iteration"] = start_it
+        if bool(params.pop("predict_leaf_index", False)):
+            pred = bst.predict(X, pred_leaf=True, **kwargs)
+        elif bool(params.pop("predict_contrib", False)):
+            pred = bst.predict(X, pred_contrib=True, **kwargs)
+        elif bool(params.pop("predict_raw_score", False)):
+            pred = bst.predict(X, raw_score=True, **kwargs)
+        else:
+            pred = bst.predict(X, **kwargs)
         np.savetxt(out_result, np.asarray(pred))
         print(f"Finished prediction. Results saved to {out_result}")
     elif task == "refit":

@@ -49,6 +49,7 @@ O = "Objective"  # noqa: E741
 P = "Prediction"
 GP = "GPBoost coupling"
 F = "GP model fitting (set_optim_params / fit params)"
+IO = "CLI / IO"
 
 PARAMS: Tuple[Param, ...] = (
     # ---- core boosting -------------------------------------------------
@@ -146,6 +147,9 @@ PARAMS: Tuple[Param, ...] = (
           "JSON tree of forced top splits"),
     Param("forcedsplits_filename", "", "str", B,
           "file with forced-splits JSON"),
+    Param("forcedbins_filename", "", "str", B,
+          "JSON file with forced bin upper bounds per feature "
+          "(config.h:596)"),
     Param("linear_tree", False, "bool", B,
           "ridge linear models in the leaves"),
     Param("linear_lambda", 0.0, "float", B, "linear-leaf ridge penalty",
@@ -187,6 +191,54 @@ PARAMS: Tuple[Param, ...] = (
           ("is_enable_bundle", "bundle")),
     Param("verbose", 1, "int", B, "verbosity (<0 silences warnings)",
           ("verbosity",)),
+    Param("early_stopping_round", 0, "int", B,
+          "stop when no validation-metric improvement in this many rounds "
+          "(0 = off; config.h:375)",
+          ("early_stopping_rounds", "early_stopping", "n_iter_no_change"),
+          _nonneg, ">= 0"),
+    Param("first_metric_only", False, "bool", B,
+          "early stopping considers only the first metric (config.h:380)"),
+    Param("metric_freq", 1, "int", B,
+          "evaluate metrics every k iterations (config.h:977)",
+          ("output_freq",), _pos, "> 0"),
+    Param("is_provide_training_metric", False, "bool", B,
+          "also evaluate metrics on the training data (config.h:981)",
+          ("training_metric", "is_training_metric", "train_metric")),
+    Param("max_delta_step", 0.0, "float", B,
+          "cap on absolute leaf output, <= 0 = unlimited (config.h:389)",
+          ("max_tree_output", "max_leaf_output")),
+    Param("bagging_seed", 3, "int", B, "bagging RNG seed (config.h:319)",
+          ("bagging_fraction_seed",)),
+    Param("feature_fraction_seed", 2, "int", B,
+          "feature-sampling RNG seed (config.h:355)"),
+    Param("extra_seed", 6, "int", B,
+          "extra_trees candidate-bin RNG seed (config.h:372)"),
+    Param("feature_contri", None, "list", B,
+          "per-feature split-gain multipliers (config.h:505)",
+          ("feature_contrib", "fc", "fp", "feature_penalty")),
+    Param("max_bin_by_feature", None, "list", B,
+          "per-feature max_bin override, 0/absent = global max_bin "
+          "(config.h:591)"),
+    Param("use_missing", True, "bool", B,
+          "disable to skip NaN handling: missing maps to the lowest bin "
+          "(config.h:611)"),
+    Param("zero_as_missing", False, "bool", B,
+          "treat zeros (and unshown sparse entries) as missing "
+          "(config.h:615)"),
+    Param("refit_decay_rate", 0.9, "float", B,
+          "old-leaf-value weight in task=refit / Booster.refit "
+          "(config.h:520)", (), lambda v: 0.0 <= v <= 1.0, "[0, 1]"),
+    Param("categorical_feature", None, "any", B,
+          "categorical feature indices or name:<names> (Dataset param "
+          "form; config.h:631)",
+          ("cat_feature", "categorical_column", "cat_column")),
+    Param("multi_error_top_k", 1, "int", B,
+          "multi_error counts a row correct if the true class is within "
+          "the top k scores (config.h:1002)", (), _pos, "> 0"),
+    Param("saved_feature_importance_type", 0, "int", B,
+          "importance type written to saved model files: 0 split counts, "
+          "1 gains (config.h:533)", (),
+          lambda v: v in (0, 1), "in {0, 1}"),
     # ---- DART ----------------------------------------------------------
     Param("drop_rate", 0.1, "float", D, "tree drop probability", (),
           _frac, "(0, 1]"),
@@ -231,6 +283,18 @@ PARAMS: Tuple[Param, ...] = (
           "is_unbalance)", (), _pos, "> 0"),
     Param("lambdarank_truncation_level", 30, "int", O,
           "lambdarank DCG truncation", (), _pos, "> 0"),
+    Param("lambdarank_norm", True, "bool", O,
+          "normalize lambdas for unbiased treatment of queries with "
+          "different sizes (config.h:891)"),
+    Param("label_gain", None, "list", O,
+          "relevance gain per integer label level; default 2^i - 1 "
+          "(config.h:895)"),
+    Param("reg_sqrt", False, "bool", O,
+          "fit on sqrt(label) and square predictions (regression; "
+          "config.h:849)"),
+    Param("poisson_max_delta_step", 0.7, "float", O,
+          "poisson hessian safeguard: hess = exp(score + this) "
+          "(config.h:868)", (), _pos, "> 0"),
     # ---- prediction ----------------------------------------------------
     Param("pred_early_stop", False, "bool", P,
           "row-wise prediction early stopping (binary/multiclass)"),
@@ -239,6 +303,65 @@ PARAMS: Tuple[Param, ...] = (
     Param("pred_early_stop_margin", 10.0, "float", P,
           "margin threshold (binary 2|raw|, multiclass top1-top2)", (),
           _pos, "> 0"),
+    Param("start_iteration_predict", 0, "int", P,
+          "CLI: first iteration used for prediction (config.h:647)", (),
+          _nonneg, ">= 0"),
+    Param("num_iteration_predict", -1, "int", P,
+          "CLI: number of iterations used for prediction, <= 0 = all "
+          "(config.h:651)"),
+    Param("predict_raw_score", False, "bool", P,
+          "CLI: output raw scores (config.h:656)",
+          ("is_predict_raw_score", "predict_rawscore", "raw_score")),
+    Param("predict_leaf_index", False, "bool", P,
+          "CLI: output leaf indices (config.h:661)",
+          ("is_predict_leaf_index", "leaf_index")),
+    Param("predict_contrib", False, "bool", P,
+          "CLI: output SHAP feature contributions (config.h:666)",
+          ("is_predict_contrib", "contrib")),
+    Param("predict_disable_shape_check", False, "bool", P,
+          "skip the feature-count check at prediction (config.h:675)"),
+    # ---- CLI / IO ------------------------------------------------------
+    Param("task", "train", "str", IO,
+          "CLI task: train, predict, refit, convert_model (config.h:98)",
+          ("task_type",)),
+    Param("config", "", "str", IO, "CLI config file path (config.h:93)",
+          ("config_file",)),
+    Param("data", "", "str", IO, "training data file (config.h:117)",
+          ("train", "train_data", "train_data_file", "data_filename")),
+    Param("valid", "", "str", IO,
+          "validation data file(s), comma separated (config.h:122)",
+          ("test", "valid_data", "valid_data_file", "test_data",
+           "test_data_file", "valid_filenames")),
+    Param("input_model", "", "str", IO,
+          "model file to load (predict / refit / continue training; "
+          "config.h:526)", ("model_input", "model_in")),
+    Param("output_result", "GPBoost_predict_result.txt", "str", IO,
+          "CLI prediction output file (config.h:601)",
+          ("predict_result", "prediction_result", "predict_name",
+           "pred_name", "name_pred")),
+    Param("convert_model", "gpboost_prediction.c", "str", IO,
+          "output file for task=convert_model (config.h:612)",
+          ("convert_model_file",)),
+    Param("convert_model_language", "cpp", "str", IO,
+          "convert_model target language (only cpp; config.h:607)"),
+    Param("header", False, "bool", IO,
+          "data files have a header line (config.h:631)",
+          ("has_header",)),
+    Param("label_column", "", "str", IO,
+          "label column index or name:<name> (config.h:640)", ("label",)),
+    Param("weight_column", "", "str", IO,
+          "weight column index or name:<name> (config.h:649)",
+          ("weight",)),
+    Param("group_column", "", "str", IO,
+          "query/group column index or name:<name> (config.h:658)",
+          ("group", "group_id", "query_column", "query", "query_id")),
+    Param("ignore_column", "", "str", IO,
+          "columns to drop at load: comma-separated indices or "
+          "name:<names> (config.h:667)",
+          ("ignore_feature", "blacklist")),
+    Param("save_binary", False, "bool", IO,
+          "save the Dataset to a binary file after loading "
+          "(config.h:686)", ("is_save_binary", "is_save_binary_file")),
     # ---- GPBoost coupling ----------------------------------------------
     Param("train_gp_model_cov_pars", True, "bool", GP,
           "re-optimize covariance parameters each boosting iteration"),
@@ -291,8 +414,62 @@ PARAMS: Tuple[Param, ...] = (
           "reuse probe vectors across iterations"),
     Param("seed_rand_vec_trace", 1, "int", F, "probe-vector seed"),
     Param("cg_preconditioner_type", None, "str", F,
-          "CG preconditioner variant"),
+          "CG preconditioner: vadu / Sigma_inv_plus_BtWB (default; "
+          "TPU-native diagonal of the same matrix) or pivoted_cholesky / "
+          "fitc / predictive_process_plus_diagonal / nystrom (randomized-"
+          "Nystrom low-rank+diagonal); unknown names raise"),
+    Param("piv_chol_rank", 50, "int", F,
+          "rank of the low-rank CG preconditioner (reference "
+          "piv_chol_rank)", (), _pos, "> 0"),
 )
+
+# ---------------------------------------------------------------------------
+# Reference parameters that are deliberately NOT applicable on TPU.
+# Every key documented in the reference's ``include/LightGBM/config.h`` must
+# be either registered above or listed here with the reason (the audit test
+# ``test_config_registry.py::test_reference_config_key_closure`` enforces
+# closure); passing one of these keys logs an informational no-op notice
+# instead of an unknown-parameter warning.
+NA_ON_TPU = {
+    "num_threads": "XLA manages host and device threading; there is no "
+                   "per-op thread-count knob",
+    "device_type": "the JAX backend (cpu/tpu) is selected via JAX_PLATFORMS"
+                   " / jax.config, not a training parameter",
+    "gpu_platform_id": "OpenCL platform selection; TPU devices are "
+                       "addressed via jax.devices() and the mesh",
+    "gpu_device_id": "OpenCL device selection; see gpu_platform_id",
+    "gpu_use_dp": "numeric precision is a global policy (x64 + "
+                  "float32-matmul set at import), not a per-run flag",
+    "num_gpu": "device counts come from the JAX mesh, not a parameter",
+    "num_machines": "the socket/MPI linker layer is replaced by "
+                    "jax.distributed.initialize + mesh collectives",
+    "machines": "see num_machines",
+    "machine_list_filename": "see num_machines",
+    "local_listen_port": "see num_machines",
+    "time_out": "see num_machines (socket handshake timeout)",
+    "force_col_wise": "host histogram memory-layout heuristic; the TPU "
+                      "histogram kernel layout is fixed at compile time",
+    "force_row_wise": "see force_col_wise",
+    "histogram_pool_size": "histograms are statically allocated on device; "
+                           "no host-side histogram pool exists",
+    "is_enable_sparse": "the dataset layout is dense-blocked (SURVEY §7); "
+                        "sparse bin containers do not exist",
+    "feature_pre_filter": "features are never pre-filtered at bin time; "
+                          "min_data_in_leaf is enforced exactly by the "
+                          "split finder",
+    "deterministic": "training is always deterministic: pure-functional "
+                     "JAX + explicitly seeded RNG",
+    "bin_construct_sample_cnt": "bin boundaries are computed on the full "
+                                "data, not a sample",
+    "data_random_seed": "no sampling happens during bin construction "
+                        "(see bin_construct_sample_cnt)",
+    "two_round": "file loading is one native parse; the two-round "
+                 "memory-saving strategy is not needed",
+    "pre_partition": "distributed rows are sharded by the mesh layout, "
+                     "not by pre-partitioned input files",
+    "objective_before_parse": "internal artifact of the reference's "
+                              "config parser",
+}
 
 _BY_NAME = {p.name: p for p in PARAMS}
 ALIAS_TABLE = {}
@@ -331,10 +508,28 @@ def _type_ok(p: Param, v) -> bool:
 def resolve_params(params: Optional[dict], validate: bool = True) -> dict:
     """Canonicalize a user parameter dict: resolve aliases to canonical
     names (canonical wins when both are present, like the reference's
-    ``Config::KeyAliasTransform``) and validate types/ranges."""
+    ``Config::KeyAliasTransform``) and validate types/ranges.
+
+    Keys that are neither registered nor in :data:`NA_ON_TPU` trigger an
+    'Unknown parameter' warning; NA-on-TPU keys log a documented no-op
+    notice — nothing is ever silently dropped."""
     out = {}
+    verbose = 1
+    for key in ("verbose", "verbosity"):
+        if params and key in params:
+            try:
+                verbose = int(params[key])
+            except (TypeError, ValueError):
+                pass
     for k, v in (params or {}).items():
         canon = ALIAS_TABLE.get(k, k)
+        if canon not in _BY_NAME and verbose >= 0:
+            from gpboost_tpu.utils.log import log_info, log_warning
+            if canon in NA_ON_TPU:
+                log_info(f"[gpboost_tpu] parameter '{k}' is not applicable "
+                         f"on TPU and is ignored: {NA_ON_TPU[canon]}")
+            else:
+                log_warning(f"Unknown parameter: {k}")
         if canon in out and canon != k:
             continue  # canonical name already present
         if canon != k and canon in (params or {}):
@@ -388,6 +583,20 @@ def generate_markdown() -> str:
                          f" | {p.check_desc} | {p.desc} |")
         lines.append("")
     lines += [
+        "## Reference parameters not applicable on TPU",
+        "",
+        "Every parameter documented in the reference's",
+        "`include/LightGBM/config.h` is either registered above or listed",
+        "here with the reason it does not exist in the TPU design. Passing",
+        "one of these keys logs an informational no-op notice.",
+        "",
+        "| parameter | why it is n/a |",
+        "|---|---|",
+    ]
+    for k in sorted(NA_ON_TPU):
+        lines.append(f"| `{k}` | {NA_ON_TPU[k]} |")
+    lines += [
+        "",
         "## GPModel constructor",
         "",
         "Model-structure arguments (not dict parameters): `group_data`,",

@@ -70,6 +70,18 @@ def fit(model, data: ModelData, fixed_effects: Optional[jnp.ndarray] = None):
             from gpboost_tpu.models import grouped
             if getattr(model, "matrix_inversion_method",
                        "cholesky") == "iterative":
+                # grouped-RE regime accepts the reference's names
+                # (ssor default / incomplete_cholesky, basic.py:5416);
+                # both sequential sweeps map to the TPU-native Jacobi
+                # diagonal of (SigmaI + Z'WZ); unknown names raise
+                pn = str(cfg.cg_preconditioner_type or "").lower()
+                if pn not in ("", "default", "ssor", "jacobi",
+                              "incomplete_cholesky"):
+                    raise ValueError(
+                        f"unsupported cg_preconditioner_type {pn!r} for "
+                        "grouped random effects; options: ssor (default) "
+                        "or incomplete_cholesky (both served by the "
+                        "TPU-native Jacobi diagonal)")
                 # Newton-CG mode finding + stochastic logdet (CG_utils.h:979)
                 v, (g_cov, g_aux, g_beta) = \
                     grouped.nll_laplace_iterative_value_and_grad(

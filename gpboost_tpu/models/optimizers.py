@@ -61,6 +61,7 @@ class OptimConfig:
     reuse_rand_vec_trace: bool = True
     seed_rand_vec_trace: int = 1
     cg_preconditioner_type: str = ""
+    piv_chol_rank: int = 50
     init_cov_pars: Optional[np.ndarray] = None
     init_coef: Optional[np.ndarray] = None
     std_dev: bool = False

@@ -223,11 +223,17 @@ def fit(model, data, fixed_effects: Optional[jnp.ndarray] = None):
             xb = data.X @ beta
             fp = xb if fp is None else fp + xb
         if use_iterative:
+            kw = {}
+            if hasattr(vec, "_latent_factors"):
+                kw = dict(preconditioner=cfg.cg_preconditioner_type,
+                          piv_chol_rank=cfg.piv_chol_rank)
             return vec.nll_laplace_iterative(
                 cov, y, aux, fp,
                 num_rand_vec_trace=max(cfg.num_rand_vec_trace, 200),
+                lanczos_steps=min(int(cfg.cg_max_num_it_tridiag), 100,
+                                  int(np.asarray(y).shape[0])),
                 cg_tol=cfg.cg_delta_conv, cg_max_iter=cfg.cg_max_num_it,
-                seed_rand_vec_trace=cfg.seed_rand_vec_trace)
+                seed_rand_vec_trace=cfg.seed_rand_vec_trace, **kw)
         return vec.nll_laplace(cov, y, aux, fp)
 
     vgrad = jax.jit(jax.value_and_grad(nll_fn))

@@ -23,6 +23,30 @@ from gpboost_tpu.ops.cov_fns import CovFunction
 
 LOG_2PI = math.log(2.0 * math.pi)
 
+# cg_preconditioner_type resolution (reference names, basic.py:5147-5159):
+# each maps to one of the two TPU-native preconditioner families
+_PRECOND_DIAG = ("", "default", "vadu", "sigma_inv_plus_btwb", "jacobi",
+                 "vecchia_approximation_with_diagonal_update")
+_PRECOND_LOW_RANK = ("pivoted_cholesky", "fitc", "nystrom",
+                     "predictive_process_plus_diagonal")
+
+
+def _resolve_precond_name(name) -> str:
+    """'diag' (the vadu-analog Jacobi on diag(Q)+W) or 'low_rank' (the
+    randomized-Nystrom replacement for pivoted-Cholesky/FITC). Unknown
+    names raise — a requested preconditioner is never silently ignored
+    (reference validates per regime, basic.py:5416-5447)."""
+    s = str(name or "").lower()
+    if s in _PRECOND_DIAG:
+        return "diag"
+    if s in _PRECOND_LOW_RANK:
+        return "low_rank"
+    raise ValueError(
+        f"unsupported cg_preconditioner_type {name!r} for the Vecchia "
+        f"approximation; TPU-native options: {_PRECOND_DIAG[2]} (default, "
+        f"diagonal of the vadu matrix) or one of {_PRECOND_LOW_RANK} "
+        "(randomized-Nystrom low-rank+diagonal)")
+
 
 @jax.jit
 def _precision_diag(a, neighbors, d):
@@ -841,7 +865,9 @@ class VecchiaGP:
                               lanczos_steps: int = 50,
                               cg_tol: float = 1e-3, cg_max_iter: int = 1000,
                               seed_rand_vec_trace: int = 1,
-                              variance_reduction: bool = False):
+                              variance_reduction: bool = False,
+                              preconditioner: str = "",
+                              piv_chol_rank: int = 50):
         """Laplace NLL with preconditioned CG + stochastic Lanczos logdet —
         the fork's iterative method (arXiv:2310.12000), O(n m) per matvec,
         no dense [n, n] matrices.
@@ -894,22 +920,54 @@ class VecchiaGP:
                 return vops.precision_matvec(a, nb, d, V) + w * V
             return q_mv(V) + w[:, None] * V
 
-        # Jacobi preconditioner on A: diag(Q) + W
+        # preconditioner selection (cg_preconditioner_type,
+        # reference basic.py:5147-5159): 'vadu'/'Sigma_inv_plus_BtWB' maps
+        # to the TPU-native diagonal of the same matrix (diag(Q) + W — the
+        # reference's B'(D^-1+W)B apply needs sequential sparse-triangular
+        # solves); 'pivoted_cholesky'/'fitc'/
+        # 'predictive_process_plus_diagonal' map to the randomized-Nystrom
+        # low-rank+diagonal (ops/cg.py nystrom_preconditioner)
+        pname = _resolve_precond_name(preconditioner)
+        if pname == "low_rank" and variance_reduction:
+            raise NotImplementedError(
+                "optimal-c variance reduction is implemented for the "
+                "'vadu' (diagonal) preconditioner only")
         diag_q = _precision_diag(a, nb, d)
         pre_diag = jax.lax.stop_gradient(jnp.maximum(diag_q + w, 1e-10))
-        pre = cgops.JacobiPreconditioner(pre_diag)
         key = jax.random.PRNGKey(seed_rand_vec_trace)
-        k1, k2 = jax.random.split(key)
-        # probes live on the REAL rows only (zero-padded below): the pad
-        # block of A is decoupled and cancels exactly in the logdet ratio,
-        # and the draw shape [n, k] keeps the sharded value identical to the
-        # unpadded single-device one
-        e = jax.random.normal(k1, (self.n, num_rand_vec_trace), self.dtype)
-        Z = jnp.sqrt(pre_diag[:self.n]) [:, None] * e
-        if n_tot != self.n:
-            Z = jnp.concatenate(
-                [Z, jnp.zeros((n_tot - self.n, num_rand_vec_trace),
-                              self.dtype)])
+        k1, k2, k3 = jax.random.split(key, 3)
+        if pname == "low_rank":
+            if use_shard:
+                raise NotImplementedError(
+                    "low-rank cg_preconditioner_type is not supported "
+                    "under a mesh; use 'vadu'")
+            a_sg = jax.lax.stop_gradient(a)
+            d_sg = jax.lax.stop_gradient(d)
+            w_sg = jax.lax.stop_gradient(w)
+
+            def a_mv_sg(V):
+                qv = jax.vmap(
+                    lambda col: vops.precision_matvec(a_sg, nb, d_sg, col),
+                    in_axes=1, out_axes=1)(V)
+                return qv + w_sg[:, None] * V
+
+            pre = cgops.nystrom_preconditioner(
+                a_mv_sg, n_tot, min(int(piv_chol_rank), self.n), k3,
+                self.dtype)
+            Z = pre.sample_probes(k1, num_rand_vec_trace)
+        else:
+            pre = cgops.JacobiPreconditioner(pre_diag)
+            # probes live on the REAL rows only (zero-padded below): the pad
+            # block of A is decoupled and cancels exactly in the logdet
+            # ratio, and the draw shape [n, k] keeps the sharded value
+            # identical to the unpadded single-device one
+            e = jax.random.normal(k1, (self.n, num_rand_vec_trace),
+                                  self.dtype)
+            Z = jnp.sqrt(pre_diag[:self.n])[:, None] * e
+            if n_tot != self.n:
+                Z = jnp.concatenate(
+                    [Z, jnp.zeros((n_tot - self.n, num_rand_vec_trace),
+                                  self.dtype)])
         if variance_reduction:
             # optimal-c control variate on the Jacobi preconditioner
             # (CalcOptimalCVectorized, CG_utils.h:413): P(theta) tracks
@@ -944,7 +1002,8 @@ class VecchiaGP:
                                    self.dtype)])
             # preconditioner logdet over real rows only (pads cancel in the
             # ratio below)
-            pre_logdet = jnp.sum(jnp.log(pre_diag) * row_w)
+            pre_logdet = (pre.logdet() if pname == "low_rank"
+                          else jnp.sum(jnp.log(pre_diag) * row_w))
             logdet_A = cgops.stochastic_logdet_grad(
                 a_mv, None, Z, lanczos_steps, pre.solve, pre_logdet,
                 cg_tol, cg_max_iter, probes_grad=Zg)

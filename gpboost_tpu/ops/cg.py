@@ -359,6 +359,41 @@ class LowRankDiagPreconditioner(NamedTuple):
         return self.U @ e_r + jnp.sqrt(self.d)[:, None] * e_n
 
 
+def nystrom_preconditioner(matvec: Callable, n: int, rank: int, key,
+                           dtype=jnp.float64,
+                           shift_floor: float = 1e-10):
+    """Randomized-Nystrom low-rank+diagonal preconditioner for an SPD A.
+
+    The TPU-native replacement for the reference's pivoted-Cholesky / FITC
+    preconditioners (``CG_utils.h:438`` PivotedCholsekyFactorizationMatrix is
+    inherently sequential; SURVEY §7 hard-part 5): ``rank`` batched matvecs
+    sketch A's dominant eigenspace (Frangella-Tropp-Udell randomized
+    Nystrom), giving P = delta*I + U diag(lam) U' with delta = lam_rank —
+    exactly the :class:`LowRankDiagPreconditioner` form, so Woodbury apply,
+    exact logdet, and N(0, P) probe sampling all come for free. CG on
+    P^-1 A then converges at the effective condition number with the top
+    ``rank`` eigenvalues deflated.
+    """
+    omega = jax.random.normal(key, (n, rank), dtype)
+    # orthonormalize the sketch for numerical stability
+    omega, _ = jnp.linalg.qr(omega)
+    Y = matvec(omega)
+    nu = jnp.sqrt(jnp.asarray(n, dtype)) * 1e-7 * jnp.linalg.norm(Y)
+    Yn = Y + nu * omega
+    C = jnp.linalg.cholesky(
+        0.5 * (omega.T @ Yn + (omega.T @ Yn).T)
+        + 1e-12 * jnp.eye(rank, dtype=dtype))
+    B = jax.scipy.linalg.solve_triangular(C, Yn.T, lower=True).T
+    Ub, s, _ = jnp.linalg.svd(B, full_matrices=False)
+    lam = jnp.maximum(s * s - nu, 0.0)
+    delta = jnp.maximum(lam[-1], shift_floor)
+    # P's spectrum: max(lam_i, delta) on the sketched directions, delta on
+    # the complement — i.e. P = delta*I + U diag(lam - delta)_+ U'
+    U_s = Ub * jnp.sqrt(jnp.maximum(lam - delta, 0.0))[None, :]
+    return LowRankDiagPreconditioner.create(
+        U_s, jnp.full((n,), delta, dtype))
+
+
 class JacobiPreconditioner(NamedTuple):
     d: jnp.ndarray
 

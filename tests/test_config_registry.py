@@ -39,9 +39,67 @@ def test_validation_rejects_bad_values():
         cfg.resolve_params({"num_leaves": "many"})
 
 
-def test_unknown_params_pass_through():
-    out = cfg.resolve_params({"my_custom_key": 7})
+def test_unknown_params_warn_and_pass_through():
+    with pytest.warns(UserWarning, match="Unknown parameter: my_custom_key"):
+        out = cfg.resolve_params({"my_custom_key": 7})
     assert out == {"my_custom_key": 7}
+
+
+def test_na_on_tpu_keys_logged_not_warned(capsys):
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        out = cfg.resolve_params({"num_threads": 8, "device_type": "gpu"})
+    assert out == {"num_threads": 8, "device_type": "gpu"}
+    captured = capsys.readouterr()
+    assert "not applicable on TPU" in captured.out
+
+
+def test_verbose_negative_silences_unknown_warning():
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        cfg.resolve_params({"my_custom_key": 7, "verbose": -1})
+
+
+_REF_CONFIG_H = "/root/reference/include/LightGBM/config.h"
+
+
+@pytest.mark.skipif(not os.path.exists(_REF_CONFIG_H),
+                    reason="reference tree not present")
+def test_reference_config_key_closure():
+    """Every parameter documented in the reference's config.h is either
+    registered (canonical or alias) or in the NA_ON_TPU table — nothing is
+    silently unknown (VERDICT r3 item 6)."""
+    import re
+    params, cur_alias, cur_desc, in_doc = {}, [], [], False
+    with open(_REF_CONFIG_H) as fh:
+        for line in fh:
+            s = line.strip()
+            if s.startswith("//"):
+                m = re.match(r"//\s*alias\s*=\s*(.*)", s)
+                if m:
+                    cur_alias += [a.strip() for a in m.group(1).split(",")]
+                    in_doc = True
+                    continue
+                if re.match(r"//\s*desc\s*=", s):
+                    cur_desc.append(s)
+                    in_doc = True
+                continue
+            m = re.match(r"(?:int|double|bool|std::string|"
+                         r"std::vector<[^>]+>|size_t|data_size_t)"
+                         r"\s+(\w+)\s*[=;]", s)
+            if m:
+                if in_doc or cur_desc or cur_alias:
+                    params[m.group(1)] = cur_alias
+                cur_alias, cur_desc, in_doc = [], [], False
+    assert len(params) > 120  # sanity: the parse found the config surface
+    known = set(cfg._BY_NAME) | set(cfg.ALIAS_TABLE)
+    missing = sorted(name for name in params
+                     if name not in known and name not in cfg.NA_ON_TPU)
+    assert missing == [], (
+        f"reference config.h keys neither registered nor in NA_ON_TPU: "
+        f"{missing}")
 
 
 def test_booster_uses_registry():
