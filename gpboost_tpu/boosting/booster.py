@@ -59,10 +59,11 @@ class Booster:
                  gp_model=None):
         if model_file is not None:
             with open(model_file) as f:
-                self._load_dict(json.load(f))
+                content = f.read()
+            self._load_model_content(content)
             return
         if model_str is not None:
-            self._load_dict(json.loads(model_str))
+            self._load_model_content(model_str)
             return
         assert train_set is not None
         self.params = _parse_params(params)
@@ -1356,7 +1357,13 @@ class Booster:
                                initial=0)) for t in self.trees)) + 1
 
     # ------------------------------------------------------------------
-    def model_to_string(self):
+    def model_to_string(self, num_iteration=None, format: str = "json"):
+        """Serialize the model: ``format='json'`` (our native format) or
+        ``format='text'`` (the reference's ``.txt`` model format —
+        round-trips with reference GPBoost/LightGBM)."""
+        if format == "text":
+            from gpboost_tpu.boosting.model_text import booster_to_text
+            return booster_to_text(self, num_iteration)
         return json.dumps(self._to_dict())
 
     def model_to_c(self, num_iteration=None):
@@ -1365,9 +1372,18 @@ class Booster:
         from gpboost_tpu.boosting.convert import booster_to_c
         return booster_to_c(self, num_iteration)
 
-    def save_model(self, filename, num_iteration=None, start_iteration=0):
+    def save_model(self, filename, num_iteration=None, start_iteration=0,
+                   format: Optional[str] = None):
+        """Save the model. ``format=None`` chooses by extension: ``.txt``
+        writes the reference's text model format (loadable by reference
+        GPBoost/LightGBM), anything else our JSON format."""
+        if format is None:
+            format = "text" if str(filename).endswith(".txt") else "json"
         with open(filename, "w") as f:
-            json.dump(self._to_dict(), f)
+            if format == "text":
+                f.write(self.model_to_string(num_iteration, format="text"))
+            else:
+                json.dump(self._to_dict(), f)
         return self
 
     def _to_dict(self):
@@ -1399,6 +1415,15 @@ class Booster:
             d["train_score"] = np.asarray(
                 self._score[:self.train_set.num_data]).tolist()
         return d
+
+    def _load_model_content(self, content: str):
+        """Load either our JSON model format or the reference's text model
+        format (``gbdt_model_text.cpp`` SaveModelToString), auto-detected."""
+        from gpboost_tpu.boosting import model_text
+        if model_text.looks_like_model_text(content):
+            self._load_dict(model_text.parse_model_text(content))
+        else:
+            self._load_dict(json.loads(content))
 
     def _load_dict(self, d):
         self.params = d.get("params", {})
