@@ -164,23 +164,31 @@ predict.GPModel <- function(object, y = NULL, group_data_pred = NULL,
   lapply(reticulate::py_to_r(res), function(v) v)
 }
 
-neg_log_likelihood <- function(gp_model, cov_pars, y, aux_pars = NULL,
+neg_log_likelihood <- function(gp_model, ...) UseMethod("neg_log_likelihood")
+
+neg_log_likelihood.GPModel <- function(gp_model, cov_pars, y, aux_pars = NULL,
                                fixed_effects = NULL) {
   gp_model$py$neg_log_likelihood(cov_pars = cov_pars, y = .as_np(y),
                                  aux_pars = aux_pars,
                                  fixed_effects = .as_np(fixed_effects))
 }
 
-get_cov_pars <- function(gp_model, std_err = FALSE) {
+get_cov_pars <- function(gp_model, ...) UseMethod("get_cov_pars")
+
+get_cov_pars.GPModel <- function(gp_model, std_err = FALSE) {
   out <- reticulate::py_to_r(gp_model$py$get_cov_pars(std_err = std_err))
   out
 }
 
-get_coef <- function(gp_model, std_err = FALSE) {
+get_coef <- function(gp_model, ...) UseMethod("get_coef")
+
+get_coef.GPModel <- function(gp_model, std_err = FALSE) {
   reticulate::py_to_r(gp_model$py$get_coef(std_err = std_err))
 }
 
-get_aux_pars <- function(gp_model) {
+get_aux_pars <- function(gp_model, ...) UseMethod("get_aux_pars")
+
+get_aux_pars.GPModel <- function(gp_model) {
   reticulate::py_to_r(gp_model$py$get_aux_pars())
 }
 
@@ -188,12 +196,16 @@ get_num_optim_iter <- function(gp_model) {
   as.integer(gp_model$py$get_num_optim_iter())
 }
 
-set_optim_params <- function(gp_model, params = list()) {
+set_optim_params <- function(gp_model, ...) UseMethod("set_optim_params")
+
+set_optim_params.GPModel <- function(gp_model, params = list()) {
   gp_model$py$set_optim_params(params = .params_py(params))
   invisible(gp_model)
 }
 
-set_prediction_data <- function(gp_model, vecchia_pred_type = NULL,
+set_prediction_data <- function(gp_model, ...) UseMethod("set_prediction_data")
+
+set_prediction_data.GPModel <- function(gp_model, vecchia_pred_type = NULL,
                                 num_neighbors_pred = NULL,
                                 nsim_var_pred = NULL,
                                 cg_delta_conv_pred = NULL,
@@ -217,7 +229,9 @@ set_prediction_data <- function(gp_model, vecchia_pred_type = NULL,
   invisible(gp_model)
 }
 
-predict_training_data_random_effects <- function(gp_model,
+predict_training_data_random_effects <- function(gp_model, ...) UseMethod("predict_training_data_random_effects")
+
+predict_training_data_random_effects.GPModel <- function(gp_model,
                                                  predict_var = FALSE) {
   reticulate::py_to_r(
     gp_model$py$predict_training_data_random_effects(
@@ -538,4 +552,88 @@ gpb.convert_with_rules <- function(data, rules = NULL) {
     }
   }
   list(data = data, rules = rules)
+}
+
+# ---------------------------------------------------------------------------
+# Dataset surface completion (reference gpb.Dataset.R): save / categorical /
+# reference setters, getinfo/setinfo/slice S3 generics, dim/dimnames
+
+#' Save a gpb.Dataset to a binary file (reference gpb.Dataset.save)
+gpb.Dataset.save <- function(dataset, fname) {
+  dataset$py$save_binary(fname)
+  invisible(dataset)
+}
+
+#' Set categorical features (reference gpb.Dataset.set.categorical;
+#' 1-based R indices convert to 0-based)
+gpb.Dataset.set.categorical <- function(dataset, categorical_feature) {
+  cf <- categorical_feature
+  if (is.numeric(cf)) cf <- as.integer(cf - 1L)
+  dataset$py$set_categorical_feature(cf)
+  invisible(dataset)
+}
+
+#' Align a validation Dataset's binning with its training Dataset
+#' (reference gpb.Dataset.set.reference)
+gpb.Dataset.set.reference <- function(dataset, reference) {
+  dataset$py$set_reference(reference$py)
+  invisible(dataset)
+}
+
+getinfo <- function(dataset, ...) UseMethod("getinfo")
+
+#' Get a Dataset information field: label / weight / group / init_score
+getinfo.gpb.Dataset <- function(dataset, name, ...) {
+  out <- dataset$py$get_field(name)
+  if (is.null(out)) NULL else as.numeric(out)
+}
+
+setinfo <- function(dataset, ...) UseMethod("setinfo")
+
+#' Set a Dataset information field
+setinfo.gpb.Dataset <- function(dataset, name, info, ...) {
+  dataset$py$set_field(name, .as_np(info))
+  invisible(dataset)
+}
+
+slice <- function(dataset, ...) UseMethod("slice")
+
+#' Row subset of a Dataset (reference slice.gpb.Dataset; 1-based indices)
+slice.gpb.Dataset <- function(dataset, idxset, ...) {
+  py <- dataset$py$subset(as.integer(idxset - 1L))
+  structure(list(py = py), class = "gpb.Dataset")
+}
+
+dim.gpb.Dataset <- function(x) {
+  c(as.integer(x$py$num_data), as.integer(x$py$num_features))
+}
+
+dimnames.gpb.Dataset <- function(x) {
+  list(NULL, as.character(x$py$feature_name))
+}
+
+`dimnames<-.gpb.Dataset` <- function(x, value) {
+  x$py$set_feature_name(as.list(as.character(value[[2L]])))
+  x
+}
+
+#' Dump a Booster to a JSON string (reference gpb.dump)
+gpb.dump <- function(booster, num_iteration = NULL) {
+  booster$py$model_to_string()
+}
+
+#' Nested grouping levels helper (reference get_nested_categories)
+get_nested_categories <- function(outer_var, inner_var) {
+  .gpb()$get_nested_categories(.as_np(outer_var), .as_np(inner_var))
+}
+
+#' 2-D interaction partial dependence plot
+#' (reference gpb.plot.part.dep.interact)
+gpb.plot.part.dep.interact <- function(model, data, variables,
+                                       n.pt.per.var = 20L, ...) {
+  vars <- variables
+  if (is.numeric(vars)) vars <- as.integer(vars - 1L)
+  .gpb()$plotting$partial_dependence_plot_2d(
+    model$py, .as_np(.as_matrix(data)), as.list(vars),
+    num_points = as.integer(n.pt.per.var))
 }

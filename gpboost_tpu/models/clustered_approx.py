@@ -35,10 +35,117 @@ class ClusteredApprox:
         self.num_clusters = int(codes.max()) + 1
         self.idx = [np.flatnonzero(codes == c)
                     for c in range(self.num_clusters)]
-        self.subs = [make_sub(np.asarray(coords)[ix]) for ix in self.idx]
+        from gpboost_tpu import parallel as par
+        mesh = par.active_mesh()
+        # sub-models must not row-shard themselves — the cluster axis is
+        # the sharding axis here (SURVEY §2.5-8: embarrassing parallelism
+        # over cluster_ids)
+        if mesh is not None:
+            with par.use_mesh(None):
+                self.subs = [make_sub(np.asarray(coords)[ix])
+                             for ix in self.idx]
+        else:
+            self.subs = [make_sub(np.asarray(coords)[ix])
+                         for ix in self.idx]
         self.mesh = None
+        self._batched = None
         self._vg_gaussian = jax.jit(jax.value_and_grad(
             lambda th, y, fp: self.nll_gaussian(jnp.exp(th), y, fp)))
+        if mesh is not None and likelihood == "gaussian":
+            self.shard_over(mesh)
+
+    def shard_over(self, mesh, axis=None):
+        """Shard the independent clusters over a device mesh.
+
+        The reference loops its per-cluster ``std::map`` entries serially
+        (``re_model_template.h:5020-5144``); here the per-cluster NLL
+        graphs become ONE vmapped computation over a padded [C, n_max]
+        cluster batch whose leading axis is sharded over the mesh — XLA
+        inserts the cross-device sum (GSPMD), so the Gaussian fit runs
+        SPMD with each device owning a slab of clusters. Supported for
+        uniform FITC / full-scale-tapering sub-models."""
+        from gpboost_tpu import parallel as par
+        from gpboost_tpu.models.fitc_model import FITCGP
+        subs = self.subs
+        if not subs or not all(isinstance(s, FITCGP) for s in subs):
+            raise NotImplementedError(
+                "cluster-axis mesh sharding requires FITC/FSA sub-models")
+        kinds = {s.gp_approx for s in subs}
+        ks = {int(s.ind_points.shape[0]) for s in subs}
+        if len(kinds) != 1 or len(ks) != 1 or kinds == {"full_scale_vecchia"}:
+            raise NotImplementedError(
+                "cluster-axis mesh sharding requires uniform fitc or "
+                "full_scale_tapering sub-models with equal inducing-point "
+                "counts")
+        self.mesh = mesh
+        self._mesh_axis = axis
+        kind = kinds.pop()
+        ndev = int(np.prod(mesh.devices.shape))
+        C = self.num_clusters
+        C_pad = ((C + ndev - 1) // ndev) * ndev
+        n_max = max(len(ix) for ix in self.idx)
+        d = int(subs[0].coords.shape[1])
+        k = ks.pop()
+        coords_b = np.zeros((C_pad, n_max, d))
+        ind_b = np.zeros((C_pad, k, d))
+        w_b = np.zeros((C_pad, n_max))
+        idx_b = np.zeros((C_pad, n_max), np.int32)
+        n_b = np.zeros(C_pad)
+        for c, (sub, ix) in enumerate(zip(subs, self.idx)):
+            m = len(ix)
+            coords_b[c, :m] = np.asarray(sub.coords)
+            coords_b[c, m:] = coords_b[c, :1]    # benign pad coordinates
+            ind_b[c] = np.asarray(sub.ind_points)
+            w_b[c, :m] = 1.0
+            idx_b[c, :m] = ix
+            n_b[c] = m
+        for c in range(C, C_pad):                # dummy pad clusters: NLL 0
+            coords_b[c] = coords_b[0]
+            ind_b[c] = ind_b[0]
+        shard = lambda a: par.shard_rows(  # noqa: E731
+            jnp.asarray(a, self.dtype), mesh, axis)
+        self._b_kind = kind
+        self._b_coords = shard(coords_b)
+        self._b_ind = shard(ind_b)
+        self._b_w = shard(w_b)
+        self._b_idx = par.shard_rows(jnp.asarray(idx_b), mesh, axis)
+        self._b_n = shard(n_b)
+        self._batched = True
+        self._vg_gaussian = jax.jit(jax.value_and_grad(
+            lambda th, y, fp: self.nll_gaussian(jnp.exp(th), y, fp)))
+        return self
+
+    def _nll_gaussian_batched(self, cov_pars, y, fixed_part=None):
+        from gpboost_tpu.ops import fitc as fops
+        import math
+        r = y if fixed_part is None else y - fixed_part
+        r_b = jnp.where(self._b_w > 0, r[self._b_idx], 0.0)
+        sub0 = self.subs[0]
+        if self._b_kind == "fitc":
+            nll_c = jax.vmap(
+                lambda c, ip, rr, w, nn: fops.fitc_nll(
+                    sub0.cov_fn, cov_pars, c, ip, rr, row_w=w,
+                    num_data=nn))(self._b_coords, self._b_ind, r_b,
+                                  self._b_w, self._b_n)
+        else:  # full_scale_tapering: dense per-cluster Psi, pads -> I
+            LOG_2PI = math.log(2.0 * math.pi)
+
+            def one(c, ip, rr, w, nn):
+                psi = fops.fsa_psi(sub0.cov_fn, sub0.taper_range,
+                                   sub0.taper_shape, sub0.taper_mu,
+                                   cov_pars, c, ip)
+                psi = (psi * (w[:, None] * w[None, :])
+                       + jnp.diag(1.0 - w))
+                chol = jnp.linalg.cholesky(psi)
+                alpha = jax.scipy.linalg.solve_triangular(chol, rr,
+                                                          lower=True)
+                return 0.5 * (jnp.dot(alpha, alpha)
+                              + 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
+                              + nn * LOG_2PI)
+
+            nll_c = jax.vmap(one)(self._b_coords, self._b_ind, r_b,
+                                  self._b_w, self._b_n)
+        return jnp.sum(nll_c)
 
     def sync_iter_cfg(self, cfg):
         for sub in self.subs:
@@ -50,6 +157,8 @@ class ClusteredApprox:
 
     # -- Gaussian ------------------------------------------------------
     def nll_gaussian(self, cov_pars, y, fixed_part=None):
+        if self._batched:
+            return self._nll_gaussian_batched(cov_pars, y, fixed_part)
         ys = self._parts(y)
         fs = self._parts(fixed_part)
         tot = jnp.zeros((), self.dtype)

@@ -83,6 +83,43 @@ def partial_dependence_plot(booster, data, feature, num_points=50,
     return ax
 
 
+def partial_dependence_plot_2d(booster, data, features, num_points=20,
+                               ax=None, **predict_kwargs):
+    """2-D partial dependence of the ensemble on a feature pair
+    (reference ``gpb.plot.part.dep.interact``,
+    R-package/R/gpb.plot.partial.dependence.R): filled-contour of the mean
+    prediction over the two features' value grid."""
+    plt = _get_plt()
+    data = np.asarray(data, dtype=np.float64)
+
+    def fidx(feature):
+        return (feature if isinstance(feature, int)
+                else booster.train_set.feature_name.index(feature))
+
+    f1, f2 = fidx(features[0]), fidx(features[1])
+    g1 = np.linspace(np.nanmin(data[:, f1]), np.nanmax(data[:, f1]),
+                     num_points)
+    g2 = np.linspace(np.nanmin(data[:, f2]), np.nanmax(data[:, f2]),
+                     num_points)
+    Z = np.zeros((num_points, num_points))
+    for i, a in enumerate(g1):
+        for j, b in enumerate(g2):
+            d = data.copy()
+            d[:, f1] = a
+            d[:, f2] = b
+            p = booster.predict(d, **predict_kwargs)
+            if isinstance(p, dict):
+                p = p["fixed_effect"]
+            Z[j, i] = float(np.mean(p))
+    if ax is None:
+        _, ax = plt.subplots()
+    cs = ax.contourf(g1, g2, Z)
+    plt.colorbar(cs, ax=ax)
+    ax.set_xlabel(f"feature {features[0]}")
+    ax.set_ylabel(f"feature {features[1]}")
+    return ax
+
+
 def _tree_dot_source(tree, tree_index, feature_names, precision=3):
     """Graphviz DOT source for one tree (reference ``_to_graphviz``,
     ``plotting.py:468``). Dependency-free: the DOT text is built directly."""

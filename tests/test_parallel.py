@@ -439,3 +439,46 @@ def test_mesh_fitc_fit_matches_single_device(mesh):
     assert abs(g2.current_nll_ - g1.current_nll_) < 1e-8
     np.testing.assert_allclose(p2["mu"], p1["mu"], atol=1e-9)
     np.testing.assert_allclose(p2["var"], p1["var"], atol=1e-9)
+
+
+def test_mesh_clustered_approx_fit_matches_single_device(mesh):
+    """cluster_ids + fitc / full_scale_tapering under `use_mesh`: the
+    independent clusters shard over the CLUSTER axis as one vmapped padded
+    batch (VERDICT round-3 item 9 — the reference loops its per-cluster
+    maps serially, re_model_template.h:5020-5144)."""
+    import gpboost_tpu as gpb
+    rng = np.random.default_rng(41)
+    n_c, C = 40, 5                      # 5 clusters -> uneven over 8 devices
+    sizes = [40, 37, 40, 33, 40]
+    coords_list, y_list, cid_list = [], [], []
+    for c, m in enumerate(sizes):
+        cc = rng.uniform(size=(m, 2))
+        D = np.sqrt(((cc[:, None] - cc[None]) ** 2).sum(-1))
+        L = np.linalg.cholesky(1.2 * np.exp(-D / 0.25) + 0.07 * np.eye(m))
+        coords_list.append(cc)
+        y_list.append(L @ rng.standard_normal(m))
+        cid_list.append(np.full(m, c))
+    coords = np.concatenate(coords_list)
+    y = np.concatenate(y_list)
+    cid = np.concatenate(cid_list)
+
+    def run(approx):
+        kw = dict(gp_coords=coords, cov_function="exponential",
+                  gp_approx=approx, num_ind_points=12, cluster_ids=cid)
+        if approx == "full_scale_tapering":
+            kw["cov_fct_taper_range"] = 0.6
+        gp = gpb.GPModel(**kw)
+        gp.fit(y=y, params={"maxit": 10, "trace": False})
+        return gp
+
+    for approx in ("fitc", "full_scale_tapering"):
+        g1 = run(approx)
+        with gpb.use_mesh(mesh):
+            g2 = run(approx)
+            assert g2._approx._batched, approx
+            devs = {s.device
+                    for s in g2._approx._b_coords.addressable_shards}
+            assert len(devs) == 8
+        np.testing.assert_allclose(g2.cov_pars_, g1.cov_pars_, rtol=1e-9,
+                                   err_msg=approx)
+        assert abs(g2.current_nll_ - g1.current_nll_) < 1e-8, approx
