@@ -265,6 +265,40 @@ def main():
             northstar["gpboost_cov_pars"] = [
                 round(float(x), 4) for x in np.asarray(gp.cov_pars_)]
 
+            # histogram-build throughput: the Pallas one-hot-matmul kernel
+            # vs the XLA scatter-add (the product path routes to the kernel
+            # on TPU; ops/kernels/histogram.py)
+            from gpboost_tpu.boosting.tree import (_build_histogram_xla,
+                                                   build_histogram)
+            hb = jnp.asarray(ds.binned)
+            hg_ = jnp.asarray(np.asarray(yb), jnp.float32)
+            hh_ = jnp.ones(n, jnp.float32)
+            hmask = jnp.ones(n, bool)
+            HB = int(ds.max_num_bins)
+
+            def hist_loop(fn):
+                @jax.jit
+                def run(g0):
+                    def body(i, acc):
+                        hg2, _, _ = fn(hb, g0 + 1e-38 * acc[0, 0], hh_,
+                                       hmask, HB)
+                        return acc + hg2
+                    return jax.lax.fori_loop(
+                        0, 50, body,
+                        jnp.zeros((hb.shape[1], HB), jnp.float32))
+                run(hg_).block_until_ready()
+                best = 0.0
+                for _ in range(2):
+                    t1 = time.time()
+                    run(hg_).block_until_ready()
+                    best = max(best, 50 / (time.time() - t1))
+                return best
+
+            northstar["hist_builds_per_s_pallas"] = round(
+                hist_loop(build_histogram), 1)
+            northstar["hist_builds_per_s_xla"] = round(
+                hist_loop(_build_histogram_xla), 1)
+
     # baseline: reference GPBoost multicore-CPU Vecchia NLL evals/s at the
     # same n, m. Measured via the reference python package if available, else
     # the recorded value from a prior measurement on this machine class.

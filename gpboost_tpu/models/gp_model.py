@@ -612,6 +612,30 @@ class GPModel:
             "trace": "trace", "std_dev": "std_dev",
             "estimate_aux_pars": "estimate_aux_pars",
         }
+        # reference optimizer-name aliases (re_model_template.h:718-750,
+        # :948-952): *_constant_change / _increase_lr / _reset_lr remap to
+        # their base optimizer (the reference's own dispatch re-maps BEFORE
+        # checking the special flags, so in v1.6.5 they behave as the base
+        # optimizer); lbfgs_not_profile_out_nugget = lbfgs with the nugget
+        # in the gradient, which is exactly our lbfgs (we never profile the
+        # nugget out of the L-BFGS parametrization); bfgs_optim_lib is "no
+        # longer supported" in the reference (:5194) and raises there too.
+        _OPT_ALIASES = {
+            "gradient_descent_constant_change": "gradient_descent",
+            "gradient_descent_increase_lr": "gradient_descent",
+            "gradient_descent_reset_lr": "gradient_descent",
+            "newton_constant_change": "newton",
+            "newt_constant_change": "newton",
+            "fisher_scoring_constant_change": "fisher_scoring",
+            "lbfgs_not_profile_out_nugget": "lbfgs",
+        }
+        if params.get("optimizer_cov") == "bfgs_optim_lib":
+            raise ValueError(
+                "optimizer_cov='bfgs_optim_lib' is no longer supported "
+                "(reference re_model_template.h:5194); use 'lbfgs'")
+        for key in ("optimizer_cov", "optimizer_coef"):
+            if params.get(key) in _OPT_ALIASES:
+                params[key] = _OPT_ALIASES[params[key]]
         for k, v in params.items():
             if k in mapping:
                 setattr(cfg, mapping[k], v)
