@@ -591,7 +591,15 @@ class Booster:
             else:
                 tree.add_shrinkage(self.learning_rate)
             self.trees.append(tree)
-            vals = self._tree_train_pred(tree)
+            if (row_mask is None and not self.linear_tree
+                    and row_leaf is not None):
+                # the grower's final row->leaf assignment IS the training
+                # prediction (shrinkage/Newton updates edit leaf_value in
+                # place before this point): a host gather replaces a full
+                # device tree-traversal dispatch per tree
+                vals = tree.leaf_value[np.asarray(row_leaf)[:n]]
+            else:
+                vals = self._tree_train_pred(tree)
             if self.boosting_type == "rf":
                 t = self.current_iteration()
                 if not hasattr(self, "_rf_tree_sum"):

@@ -604,6 +604,14 @@ class GPBoostObjective(Objective):
             resid = self.label - score
             if self.train_gp_model_cov_pars:
                 self._optim_cov_pars_gaussian(resid)
+                # the whole-fit-on-device driver can fuse Psi^-1 resid at
+                # the final parameters into the fit dispatch itself
+                # (optimizers.lbfgs_device final_fn) — reuse it instead of
+                # paying another tunnel round trip
+                res = getattr(gp, "_fit_result", None)
+                aux = getattr(res, "aux", None) if res is not None else None
+                if aux is not None and aux.shape == resid.shape:
+                    return -np.asarray(aux, np.float64), np.ones_like(score)
             grad = self._gaussian_psi_inv_resid(resid)
             return -grad, np.ones_like(score)
         # non-Gaussian (LaGaBoost)

@@ -80,6 +80,8 @@ class OptimResult:
     history: list = field(default_factory=list)
     final_lr: Optional[float] = None  # GD learning rate at exit (lr reuse)
     lr_after_first: Optional[float] = None  # GD lr after the 1st iteration
+    aux: Optional[np.ndarray] = None  # extra output of the device fit
+    #   (lbfgs_device final_fn — e.g. Psi^-1 r fused into the fit dispatch)
 
 
 def nesterov_mu(it: int, acc_rate: float, offset: int) -> float:
@@ -353,7 +355,8 @@ def lbfgs(value_and_grad_fn: Callable, theta0: np.ndarray,
 
 
 def lbfgs_device(vg_fn: Callable, theta0: np.ndarray,
-                 cfg: OptimConfig, dtype=None, *op_args) -> OptimResult:
+                 cfg: OptimConfig, dtype=None, *op_args,
+                 final_fn: Optional[Callable] = None) -> OptimResult:
     """L-BFGS with the ENTIRE optimization loop compiled on device.
 
     ``vg_fn(theta, *op_args) -> (value, grad)`` must be a pure jax function
@@ -373,26 +376,32 @@ def lbfgs_device(vg_fn: Callable, theta0: np.ndarray,
     dt = dtype or jnp.float64
     maxit = int(cfg.maxit)
     ftol = float(cfg.delta_rel_conv)
-    run = _device_lbfgs_runner(vg_fn, maxit, ftol, dt)
+    run = _device_lbfgs_runner(vg_fn, maxit, ftol, dt, final_fn)
     t0 = jnp.asarray(np.asarray(theta0, np.float64), dt)
-    t_fin, v_fin, n_it = run(t0, *op_args)
+    t_fin, v_fin, n_it, extra = run(t0, *op_args)
     return OptimResult(params=np.exp(np.asarray(t_fin, np.float64)),
                        nll=float(v_fin), num_it=int(n_it),
                        converged=bool(int(n_it) < maxit),
-                       history=[float(v_fin)])
+                       history=[float(v_fin)],
+                       aux=None if final_fn is None else np.asarray(extra))
 
 
 _DEVICE_LBFGS_RUNNERS: dict = {}
 
 
-def _device_lbfgs_runner(vg_fn, maxit: int, ftol: float, dt):
+def _device_lbfgs_runner(vg_fn, maxit: int, ftol: float, dt,
+                         final_fn=None):
     """Compiled whole-fit L-BFGS driver, cached per (objective, settings) so
     repeated fits (per-boosting-iteration covariance refits) reuse the
-    executable instead of recompiling."""
-    key = (id(vg_fn), maxit, ftol, dt)
+    executable instead of recompiling. ``final_fn(theta, *ops)`` is an
+    optional extra output evaluated at the FINAL parameters inside the same
+    compiled program (one dispatch carries the fit AND e.g. the GPBoost
+    pseudo-gradient solve Psi^-1 r — saves a tunnel round trip per
+    boosting iteration)."""
+    key = (id(vg_fn), maxit, ftol, dt, id(final_fn))
     hit = _DEVICE_LBFGS_RUNNERS.get(key)
     if hit is not None:
-        return hit[1]
+        return hit[-1]
 
     import jax
     import jax.numpy as jnp
@@ -500,10 +509,12 @@ def _device_lbfgs_runner(vg_fn, maxit: int, ftol: float, dt):
                 jnp.asarray(jnp.inf, dt), jnp.asarray(False))
         t, v, *_rest = jax.lax.while_loop(cond, body, init)
         k = _rest[4]
-        return t, v, k
+        extra = (jnp.zeros((), dt) if final_fn is None
+                 else final_fn(t, *ops))
+        return t, v, k, extra
 
-    # hold a strong reference to vg_fn so the id() key stays valid
-    _DEVICE_LBFGS_RUNNERS[key] = (vg_fn, run)
+    # hold strong references so the id() keys stay valid
+    _DEVICE_LBFGS_RUNNERS[key] = (vg_fn, final_fn, run)
     return run
 
 

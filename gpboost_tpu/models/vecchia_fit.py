@@ -89,6 +89,11 @@ def fit(model, data, fixed_effects: Optional[jnp.ndarray] = None):
                        and cfg.optimizer_cov in (
                            "lbfgs", "lbfgs_linesearch_nocedal_wright"))
         if device_loop:
+            # no coefficients: fuse the GPBoost pseudo-gradient solve
+            # Psi^-1 r (at the final parameters) into the SAME dispatch
+            final_fn = (None if has_coef
+                        else getattr(vec, "_fit_psi_inv", None))
+
             def run_device(theta):
                 fp = fixed_part()
                 r = y if fp is None else y - fp
@@ -97,7 +102,8 @@ def fit(model, data, fixed_effects: Optional[jnp.ndarray] = None):
                 # and across per-boosting-iteration refits
                 return optimizers.lbfgs_device(
                     vec._vg_pallas_jit, theta, cfg, jnp.float32,
-                    jnp.asarray(r, jnp.float32), vec.neighbors)
+                    jnp.asarray(r, jnp.float32), vec.neighbors,
+                    final_fn=final_fn)
 
             if has_coef:
                 theta = theta0

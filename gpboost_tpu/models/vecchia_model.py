@@ -267,6 +267,24 @@ class VecchiaGP:
 
             self._vg_pallas_jit = jax.jit(_vg_pallas)
 
+            inv_perm = jnp.asarray(self.inv_perm)
+
+            def _fit_psi_inv(th, r, nb):
+                # GPBoost pseudo-gradient solve Psi^-1 r at the FINAL fit
+                # parameters, fused into the whole-fit-on-device dispatch
+                # (optimizers.lbfgs_device final_fn): the boosting
+                # objective's gradient then costs no extra tunnel round
+                # trip (regression_objective.hpp:153-171 role)
+                cp = jnp.exp(jnp.asarray(th, jnp.float32))
+                a, d_c = vecchia_factors_pallas(cp[1:], self.coords_perm,
+                                                nb, cp[0], True, shape_code,
+                                                ard=is_ard)
+                out = vops.precision_matvec(
+                    a, nb, d_c, jnp.asarray(r, jnp.float32)[perm])
+                return out[inv_perm]
+
+            self._fit_psi_inv = _fit_psi_inv
+
         from gpboost_tpu import parallel as par
         if par.active_mesh() is not None:
             self.shard_over(par.active_mesh())

@@ -14,6 +14,17 @@ Sharding layout (SURVEY §2.5 "TPU-native equivalents"):
 - CG / NLL inner products and histogram accumulations reduce with ``psum``
   over ICI (the reference's ``Network::Allreduce`` of histograms,
   ``data_parallel_tree_learner.cpp:131-175``).
+
+Memory envelope of the replicated tables (deliberate design choice): the
+sharded per-row structure dominates — each chip holds n/D rows of
+[m] neighbor indices + [m, d] gathered neighbor coordinates (the halo,
+pre-gathered at shard build) ≈ n/D * m * (d+1) * 4 B — while the
+replicated global tables cost n * (d + 1) * 4 B per chip (coords + y):
+at n = 10^8, d = 2, that is 1.2 GB per chip against ~100 GB HBM on a v5p
+part, so replication is not the binding constraint below ~10^9 rows.
+Past that, shard the coordinate table too and all_gather per-block halos
+inside the factor-build loop (ICI-bandwidth-bound; not implemented — no
+workload within 10x of the limit exists in the reference's scope).
 """
 from __future__ import annotations
 
