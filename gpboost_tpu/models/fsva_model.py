@@ -400,7 +400,9 @@ class FSVAGP:
                               num_rand_vec_trace: int = 50,
                               lanczos_steps: int = 50,
                               cg_tol: float = 1e-3, cg_max_iter: int = 1000,
-                              seed_rand_vec_trace: int = 1):
+                              seed_rand_vec_trace: int = 1,
+                              preconditioner: str = "",
+                              piv_chol_rank: int = 50):
         """Laplace NLL with matrix-free Newton-CG + preconditioned Lanczos
         stochastic logdet — the TPU answer to the reference's CGVIF iterative
         path for the full-scale Vecchia approximation
@@ -414,6 +416,20 @@ class FSVAGP:
         """
         from gpboost_tpu import likelihoods as lk
         from gpboost_tpu.ops import cg as cgops
+        # FSVA regime names (reference default 'fitc', alternative 'vifdu',
+        # basic.py:5421-5447): the logdet split below already handles the
+        # inducing-point low-rank block EXACTLY (the k x k correction term),
+        # which is precisely the work the reference's fitc preconditioner
+        # approximates — so both names map to this scheme; anything else
+        # raises rather than being silently ignored
+        pn = str(preconditioner or "").lower()
+        if pn not in ("", "default", "fitc", "vifdu",
+                      "predictive_process_plus_diagonal"):
+            raise ValueError(
+                f"unsupported cg_preconditioner_type {preconditioner!r} for "
+                "full_scale_vecchia; options: fitc (default) or vifdu "
+                "(both served by the exact low-rank logdet split + Jacobi "
+                "residual preconditioner)")
         fam = lk.get_family(self.likelihood)
         yp = y[self.perm]
         Fp = (jnp.zeros(self.n, self.dtype) if fixed_part is None

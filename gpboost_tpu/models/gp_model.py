@@ -689,10 +689,8 @@ class GPModel:
             if (self.matrix_inversion_method == "iterative"
                     and hasattr(self._approx, "nll_laplace_iterative")):
                 cfg = self.optim_cfg
-                kw = {}
-                if hasattr(self._approx, "_latent_factors"):
-                    kw = dict(preconditioner=cfg.cg_preconditioner_type,
-                              piv_chol_rank=cfg.piv_chol_rank)
+                kw = dict(preconditioner=cfg.cg_preconditioner_type,
+                          piv_chol_rank=cfg.piv_chol_rank)
                 return float(self._approx.nll_laplace_iterative(
                     cov_pars, y_arr, ap, fe,
                     num_rand_vec_trace=cfg.num_rand_vec_trace,

@@ -229,10 +229,8 @@ def fit(model, data, fixed_effects: Optional[jnp.ndarray] = None):
             xb = data.X @ beta
             fp = xb if fp is None else fp + xb
         if use_iterative:
-            kw = {}
-            if hasattr(vec, "_latent_factors"):
-                kw = dict(preconditioner=cfg.cg_preconditioner_type,
-                          piv_chol_rank=cfg.piv_chol_rank)
+            kw = dict(preconditioner=cfg.cg_preconditioner_type,
+                      piv_chol_rank=cfg.piv_chol_rank)
             return vec.nll_laplace_iterative(
                 cov, y, aux, fp,
                 num_rand_vec_trace=max(cfg.num_rand_vec_trace, 200),

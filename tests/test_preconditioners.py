@@ -109,6 +109,32 @@ def test_unknown_preconditioner_raises():
         gp.neg_log_likelihood(cov_pars=[1.0, 0.3], y=y)
 
 
+def test_fsva_preconditioner_names():
+    """FSVA regime accepts fitc (default) / vifdu and rejects others
+    (reference basic.py:5421-5447)."""
+    rng = np.random.default_rng(5)
+    n = 200
+    coords = rng.uniform(size=(n, 2))
+    f = np.sin(4 * coords[:, 0])
+    y = (rng.uniform(size=n) < 1.0 / (1.0 + np.exp(-f))).astype(float)
+
+    def make(pre):
+        gp = gpb.GPModel(gp_coords=coords, cov_function="exponential",
+                         gp_approx="full_scale_vecchia", num_neighbors=10,
+                         num_ind_points=15, likelihood="bernoulli_logit",
+                         matrix_inversion_method="iterative")
+        gp.set_optim_params({"maxit": 2, "init_cov_pars": [1.0, 0.3],
+                             "cg_preconditioner_type": pre})
+        return gp
+
+    gp = make("fitc")
+    gp.fit(y=y)
+    assert gp.cov_pars_ is not None
+    gp_bad = make("pivoted_cholesky")
+    with pytest.raises(ValueError, match="full_scale_vecchia"):
+        gp_bad.fit(y=y)
+
+
 def test_grouped_unknown_preconditioner_raises():
     rng = np.random.default_rng(0)
     n = 200
