@@ -94,3 +94,26 @@ def test_device_gd_matches_host_gd():
     assert abs(res_dev.nll - res_host.nll) < 1e-6
     np.testing.assert_allclose(res_dev.params, res_host.params, rtol=1e-5)
     assert res_dev.num_it == res_host.num_it
+
+
+def test_device_lbfgs_final_fn_fused_output():
+    """final_fn output is evaluated at the FINAL parameters inside the same
+    compiled program (the fused GPBoost pseudo-gradient solve)."""
+    from gpboost_tpu.models.optimizers import OptimConfig, lbfgs_device
+    rng = np.random.default_rng(3)
+    A = jnp.asarray(rng.standard_normal((6, 4)))
+    b = jnp.asarray(rng.standard_normal(6))
+
+    def final(t, A_, b_):
+        return A_ @ t - b_          # residual at the optimum
+
+    cfg = OptimConfig(maxit=200, delta_rel_conv=1e-14)
+    res = lbfgs_device(_quad_vg, np.zeros(4), cfg, jnp.float64, A, b,
+                       final_fn=final)
+    assert res.aux is not None and res.aux.shape == (6,)
+    t_fin = jnp.log(jnp.asarray(res.params))
+    np.testing.assert_allclose(res.aux, np.asarray(A @ t_fin - b),
+                               rtol=1e-8, atol=1e-10)
+    # without final_fn, aux stays None
+    res2 = lbfgs_device(_quad_vg, np.zeros(4), cfg, jnp.float64, A, b)
+    assert res2.aux is None
