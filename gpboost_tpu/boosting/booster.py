@@ -12,6 +12,7 @@ predict/save, ``gp_model`` attachment and combined prediction
 from __future__ import annotations
 
 import json
+import os
 from typing import Dict, List, Optional
 
 import jax
@@ -518,20 +519,18 @@ class Booster:
                         axis=ds._shard_axis)
                     self._voting_key = key
                 voting_ctx = self._voting_ctx
-            # single-dispatch jitted grower on accelerators for the common
-            # case; the host-driven grower handles categorical / monotone /
-            # CEGB / forced splits / voting (and stays the CPU default)
-            use_fast = (jax.default_backend() != "cpu"
-                        and cat_mask_arr is None
+            # single-dispatch jitted grower on accelerators (covers
+            # categoricals, extra_trees, path_smooth, max_delta_step,
+            # feature_fraction_bynode, interaction constraints); the
+            # host-driven grower handles monotone / CEGB / forced splits /
+            # voting (and stays the CPU default)
+            force_fast = os.environ.get(
+                "GPBOOST_TPU_FORCE_FAST_GROWER") == "1"
+            use_fast = ((jax.default_backend() != "cpu" or force_fast)
                         and self._monotone is None
                         and getattr(self, "_forced_splits", None) is None
                         and self._cegb is None
-                        and voting_ctx is None
-                        and self._interaction_constraints is None
-                        and not self.grower.extra_trees
-                        and self.grower.feature_fraction_bynode >= 1.0
-                        and self.grower.path_smooth <= 0.0
-                        and self.grower.max_delta_step <= 0.0)
+                        and voting_ctx is None)
             nan_mask = ds.has_nan if bool(np.any(ds.has_nan)) else None
             if nan_mask is not None and len(nan_mask) != n_feat_grower:
                 nan_mask = np.concatenate(
@@ -546,7 +545,13 @@ class Booster:
                     jnp.asarray(g, dtype=jnp.float32),
                     jnp.asarray(h, dtype=jnp.float32), ds.max_num_bins,
                     self.grower, row_mask=row_mask, nan_mask=nan_mask,
-                    efb=getattr(ds, "efb", None))
+                    efb=getattr(ds, "efb", None),
+                    categorical_mask=cat_mask_arr,
+                    max_cat_threshold=int(
+                        self.params.get("max_cat_threshold", 32)),
+                    interaction_constraints=self._interaction_constraints,
+                    rng=(self._extra_rng if self.grower.extra_trees
+                         else self._rng))
             else:
                 tree, row_leaf = grow_tree(
                     ds.binned, jnp.asarray(num_bins), jnp.asarray(g),

@@ -1002,12 +1002,24 @@ def grow_tree(binned: jnp.ndarray, num_bins_per_feat: jnp.ndarray,
     return tree, row_leaf
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6, 15))
+@partial(jax.jit, static_argnums=(4, 5, 6, 15),
+         static_argnames=("use_smoothing", "use_bounds", "use_extra",
+                          "ffb_k", "max_cat_threshold", "cat_l2",
+                          "cat_smooth", "min_data_per_group",
+                          "max_cat_to_onehot"))
 def _grow_tree_jit(binned, num_bins_per_feat, grad, hess,
                    max_num_bins: int, num_leaves: int, max_depth: int,
                    row_mask, l1, l2, min_data, min_hess, min_gain,
                    nan_mask=None, efb_maps=None, hist_B: int = 0,
-                   hist_binned=None, gain_mult=None):
+                   hist_binned=None, gain_mult=None,
+                   path_smooth=0.0, use_smoothing: bool = False,
+                   mds=0.0, use_bounds: bool = False,
+                   rng_key=None, use_extra: bool = False, ffb_k: int = 0,
+                   ic_groups=None, cat_feature_mask=None,
+                   max_cat_threshold: int = 32, cat_l2: float = 10.0,
+                   cat_smooth: float = 10.0,
+                   min_data_per_group: float = 100.0,
+                   max_cat_to_onehot: int = 4):
     """Whole-tree leaf-wise growth in ONE jitted program.
 
     The host-driven grower above dispatches ~15 device calls (with blocking
@@ -1015,30 +1027,109 @@ def _grow_tree_jit(binned, num_bins_per_feat, grad, hess,
     milliseconds over the TPU tunnel, making boosting dispatch-bound. This
     fast path runs the full best-first loop as a lax.while_loop: histogram,
     subtraction trick, split scoring, and partition all stay on device; one
-    dispatch + one fetch per TREE. Covers the common case (numeric splits,
-    no monotone constraints / CEGB / forced splits); the host grower remains
-    for the rest. Same split math as :func:`find_best_split`.
+    dispatch + one fetch per TREE. Same split math as
+    :func:`find_best_split` / :func:`find_best_split_categorical`.
+
+    Beyond the numeric core it covers, all inside the while_loop (gated by
+    STATIC flags so the common case compiles the same program as before):
+
+    - categorical sorted-subset splits (``cat_feature_mask`` [F]): the
+      per-leaf candidate keeps a [B] left-set mask, partition routes rows
+      through it (feature_histogram.hpp FindBestThresholdCategoricalInner);
+    - ``path_smooth``/``use_smoothing``: per-node outputs tracked in
+      ``pout`` so children smooth toward their parent (config.h:550);
+    - ``mds``/``use_bounds``: ±max_delta_step output clamps in gains and
+      leaf values (config.h:389);
+    - ``use_extra`` (extra_trees) and ``ffb_k`` (feature_fraction_bynode):
+      per-leaf-evaluation draws from ``rng_key`` folded with an evaluation
+      counter — replaces the host grower's numpy RNG calls;
+    - ``ic_groups`` [G, F]: interaction constraints as per-node used-feature
+      masks (serial_tree_learner.cpp GetAllowedFeatures role) — masking,
+      not host dicts.
+
+    Monotone constraints / CEGB / forced splits / the voting learner stay on
+    the host grower.
     """
     n, F = binned.shape
     M = 2 * num_leaves - 1
     dtype = grad.dtype
+    has_cat = cat_feature_mask is not None
+    need_rng = use_extra or ffb_k > 0
     # EFB (see dataset.py EFBInfo): histograms build over bundle columns,
     # expanded to per-feature [F, B] only inside eval_leaf
     if hist_binned is None:
         hist_binned = binned
         hist_B = max_num_bins
     HC = hist_binned.shape[1]
+    if has_cat:
+        num_bins_numeric = jnp.where(cat_feature_mask, 0, num_bins_per_feat)
+    else:
+        num_bins_numeric = num_bins_per_feat
 
-    def eval_leaf(hist):
+    def allowed_mask(used_vec, ctr):
+        """Per-leaf-evaluation feature restrictions (None = all allowed)."""
+        allowed = None
+        if ic_groups is not None:
+            # usable groups: those containing every feature already used on
+            # the branch; allowed = union of usable groups
+            sub = jnp.all(ic_groups | ~used_vec[None, :], axis=1)
+            allowed = jnp.any(ic_groups & sub[:, None], axis=0)
+        if ffb_k > 0:
+            kf = jax.random.fold_in(rng_key, 2 * ctr + 1)
+            u = jax.random.uniform(kf, (F,))
+            samp = u <= jnp.sort(u)[ffb_k - 1]
+            allowed = samp if allowed is None else allowed & samp
+        return allowed
+
+    def eval_leaf(hist, pout_leaf, used_vec, ctr):
+        """Best candidate split for one leaf: (f, bin/k, gain, ok,
+        default_left, is_cat, cat_left_mask[B])."""
         hg, hh, hc = hist
         if efb_maps is not None:
             hg, hh, hc = expand_bundle_hist(hg, hh, hc, *efb_maps)
-        return find_best_split(hg, hh, hc, num_bins_per_feat, l1, l2,
-                               min_data, min_hess, min_gain,
-                               nan_mask=nan_mask, gain_mult=gain_mult)
+        allowed = allowed_mask(used_vec, ctr)
+        nb_num = num_bins_numeric
+        if allowed is not None:
+            nb_num = jnp.where(allowed, nb_num, 0)
+        extra_bins = None
+        if use_extra:
+            ke = jax.random.fold_in(rng_key, 2 * ctr)
+            extra_bins = jax.random.randint(
+                ke, (F,), 0,
+                jnp.maximum(num_bins_per_feat - 1, 1)).astype(jnp.int32)
+        kwargs = {}
+        if use_smoothing:
+            kwargs.update(path_smooth=path_smooth,
+                          parent_output=pout_leaf, use_smoothing=True)
+        if use_bounds:
+            kwargs.update(mono_lo=-mds, mono_hi=mds, use_bounds=True)
+        f, b, gain, ok, _, _, _, dl = find_best_split(
+            hg, hh, hc, nb_num, l1, l2, min_data, min_hess, min_gain,
+            nan_mask=nan_mask, extra_bins=extra_bins, gain_mult=gain_mult,
+            **kwargs)
+        if not has_cat:
+            return f, b, gain, ok, dl, jnp.zeros((), bool), None
+        nb_cat = num_bins_per_feat
+        if allowed is not None:
+            nb_cat = jnp.where(allowed, nb_cat, 0)
+        fc, kc, gc, okc, order, _, _, _ = find_best_split_categorical(
+            hg, hh, hc, nb_cat, cat_feature_mask, l1, l2, min_data,
+            min_hess, min_gain, max_cat_threshold, cat_l2=cat_l2,
+            cat_smooth=cat_smooth, min_data_per_group=min_data_per_group,
+            max_cat_to_onehot=max_cat_to_onehot)
+        cat_sel = okc & (~ok | (gc > gain))
+        B = order.shape[1]
+        catm = jnp.zeros(max_num_bins, bool).at[order[fc]].set(
+            jnp.arange(B) <= kc)
+        catm &= cat_sel
+        return (jnp.where(cat_sel, fc, f), jnp.where(cat_sel, kc, b),
+                jnp.where(cat_sel, gc, gain), jnp.where(cat_sel, okc, ok),
+                cat_sel | dl, cat_sel, catm)
 
+    used0 = jnp.zeros(F, bool) if ic_groups is not None else None
     hist0 = build_histogram(hist_binned, grad, hess, row_mask, hist_B)
-    f0, b0, gain0, ok0, gl0, hl0, cl0, dl0 = eval_leaf(hist0)
+    f0, b0, gain0, ok0, dl0, ic0, catm0 = eval_leaf(
+        hist0, jnp.zeros((), dtype), used0, 0)
 
     z_f = jnp.zeros(M, dtype)
     z_i = jnp.zeros(M, jnp.int32)
@@ -1061,6 +1152,18 @@ def _grow_tree_jit(binned, num_bins_per_feat, grad, hess,
         num_leaves=jnp.asarray(1, jnp.int32),
         next_node=jnp.asarray(1, jnp.int32),
         go=jnp.asarray(True))
+    if use_smoothing:
+        state["pout"] = z_f            # node outputs (path_smooth chain);
+        # root candidates smooth toward 0.0, like the host grower
+    if ic_groups is not None:
+        state["used"] = jnp.zeros((M, F), bool)
+    if need_rng:
+        state["ectr"] = jnp.asarray(1, jnp.int32)   # root used ctr 0
+    if has_cat:
+        state["biscat"] = jnp.zeros(M, bool).at[0].set(ic0)
+        state["bcat"] = jnp.zeros((M, max_num_bins), bool).at[0].set(catm0)
+        state["iscat"] = jnp.zeros(M, bool)
+        state["catmask"] = jnp.zeros((M, max_num_bins), bool)
 
     def cand_gains(s):
         ok = s["is_leaf"] & s["bok"]
@@ -1086,16 +1189,43 @@ def _grow_tree_jit(binned, num_bins_per_feat, grad, hess,
         if nan_mask is not None:
             miss_right = nan_mask[f_b] & ~dl_b
             go_left &= ~(miss_right & (bvals == 0))
+        if has_cat:
+            go_left = jnp.where(s["biscat"][leaf],
+                                s["bcat"][leaf][bvals], go_left)
         new_row_leaf = jnp.where(
             sel, jnp.where(go_left, lid, rid), s["row_leaf"])
         hist_l = jnp.stack(build_histogram(
             hist_binned, grad, hess, (new_row_leaf == lid) & row_mask,
             hist_B))
         hist_r = s["hist"][leaf] - hist_l
-        fl, bl, gl_, okl, _, _, _, dll = eval_leaf(
-            (hist_l[0], hist_l[1], hist_l[2]))
-        fr, br, gr_, okr, _, _, _, dlr = eval_leaf(
-            (hist_r[0], hist_r[1], hist_r[2]))
+        gs_l = jnp.sum(hist_l[0]) / HC
+        hs_l = jnp.sum(hist_l[1]) / HC
+        c_l = jnp.sum(hist_l[2]) / HC
+        gs_r = jnp.sum(hist_r[0]) / HC
+        hs_r = jnp.sum(hist_r[1]) / HC
+        c_r = jnp.sum(hist_r[2]) / HC
+        if use_smoothing:
+            def node_out(g, h, c):
+                o = -_threshold_l1(g, l1) / (h + l2 + 1e-15)
+                w = c / (c + path_smooth)
+                o = o * w + (1.0 - w) * s["pout"][leaf]
+                if use_bounds:
+                    o = jnp.clip(o, -mds, mds)
+                return o
+
+            po_l = node_out(gs_l, hs_l, c_l)
+            po_r = node_out(gs_r, hs_r, c_r)
+        else:
+            po_l = po_r = jnp.zeros((), dtype)
+        if ic_groups is not None:
+            uc = s["used"][leaf].at[f_b].set(True)
+        else:
+            uc = None
+        ctr = s["ectr"] if need_rng else 0
+        fl, bl, gl_, okl, dll, icl, cml = eval_leaf(
+            (hist_l[0], hist_l[1], hist_l[2]), po_l, uc, ctr)
+        fr, br, gr_, okr, dlr, icr, cmr = eval_leaf(
+            (hist_r[0], hist_r[1], hist_r[2]), po_r, uc, ctr + 1)
 
         def upd(arr, vals):
             return arr.at[jnp.stack([lid, rid])].set(jnp.stack(vals))
@@ -1117,15 +1247,24 @@ def _grow_tree_jit(binned, num_bins_per_feat, grad, hess,
             bdl=upd(s["bdl"], [dll, dlr]),
             bgain=upd(s["bgain"], [gl_, gr_]),
             bok=upd(s["bok"], [okl, okr]),
-            gsum=upd(s["gsum"], [jnp.sum(hist_l[0]) / HC,
-                                 jnp.sum(hist_r[0]) / HC]),
-            hsum=upd(s["hsum"], [jnp.sum(hist_l[1]) / HC,
-                                 jnp.sum(hist_r[1]) / HC]),
-            cnt=upd(s["cnt"], [jnp.sum(hist_l[2]) / HC,
-                               jnp.sum(hist_r[2]) / HC]),
+            gsum=upd(s["gsum"], [gs_l, gs_r]),
+            hsum=upd(s["hsum"], [hs_l, hs_r]),
+            cnt=upd(s["cnt"], [c_l, c_r]),
             num_leaves=s["num_leaves"] + 1,
             next_node=s["next_node"] + 2,
             go=proceed)
+        if use_smoothing:
+            new["pout"] = upd(s["pout"], [po_l, po_r])
+        if ic_groups is not None:
+            new["used"] = s["used"].at[jnp.stack([lid, rid])].set(
+                jnp.stack([uc, uc]))
+        if need_rng:
+            new["ectr"] = s["ectr"] + 2
+        if has_cat:
+            new["biscat"] = upd(s["biscat"], [icl, icr])
+            new["bcat"] = upd(s["bcat"], [cml, cmr])
+            new["iscat"] = s["iscat"].at[leaf].set(s["biscat"][leaf])
+            new["catmask"] = s["catmask"].at[leaf].set(s["bcat"][leaf])
         # no split left: keep the old state, stop (go must ALWAYS take the
         # new value or the loop would never terminate)
         merged = jax.tree_util.tree_map(
@@ -1134,19 +1273,38 @@ def _grow_tree_jit(binned, num_bins_per_feat, grad, hess,
         return merged
 
     s = jax.lax.while_loop(cond, body, state)
-    leaf_value = jnp.where(
-        s["is_leaf"],
-        -_threshold_l1(s["gsum"], l1) / (s["hsum"] + l2 + 1e-15), 0.0)
+    raw = -_threshold_l1(s["gsum"], l1) / (s["hsum"] + l2 + 1e-15)
+    if use_smoothing:
+        # non-root leaves take the output computed at creation (the host
+        # grower's parent_out[leaf]); an unsplit root smooths toward 0
+        leaf_value = jnp.where(s["is_leaf"], s["pout"], 0.0)
+        w0 = s["cnt"][0] / (s["cnt"][0] + path_smooth)
+        r0 = raw[0] * w0
+        if use_bounds:
+            r0 = jnp.clip(r0, -mds, mds)
+        leaf_value = leaf_value.at[0].set(
+            jnp.where(s["is_leaf"][0], r0, 0.0))
+    elif use_bounds:
+        leaf_value = jnp.where(s["is_leaf"], jnp.clip(raw, -mds, mds), 0.0)
+    else:
+        leaf_value = jnp.where(s["is_leaf"], raw, 0.0)
+    iscat = s["iscat"] if has_cat else jnp.zeros(M, bool)
+    catmask = (s["catmask"] if has_cat
+               else jnp.zeros((M, max_num_bins), bool))
     return (s["feature"], s["thresh"], s["left"], s["right"], leaf_value,
             s["is_leaf"], s["cnt"], s["depth"], s["num_leaves"],
-            s["dleft"], s["sgain"], s["row_leaf"])
+            s["dleft"], s["sgain"], iscat, catmask, s["row_leaf"])
 
 
 def grow_tree_fast(binned, num_bins_per_feat, grad, hess, max_num_bins,
                    params: GrowerParams, row_mask=None, nan_mask=None,
-                   efb=None):
+                   efb=None, categorical_mask=None, max_cat_threshold=32,
+                   interaction_constraints=None, rng=None):
     """Host wrapper for the jitted grower: returns (Tree, row_leaf) like
-    :func:`grow_tree` (numeric-splits-only fast path)."""
+    :func:`grow_tree`. Covers numeric + categorical splits, path_smooth,
+    max_delta_step, extra_trees, feature_fraction_bynode, and interaction
+    constraints; monotone/CEGB/forced-splits/voting stay on the host
+    grower."""
     n, F = binned.shape
     if row_mask is None:
         row_mask = jnp.ones(n, dtype=bool)
@@ -1154,6 +1312,29 @@ def grow_tree_fast(binned, num_bins_per_feat, grad, hess, max_num_bins,
         nan_mask = None
     efb_maps = (None if efb is None else
                 (efb.src_col, efb.src_bin, efb.default_bin, efb.fix_mask))
+    use_smoothing = params.path_smooth > 0.0
+    mds = float(params.max_delta_step)
+    use_bounds = mds > 0.0
+    use_extra = bool(params.extra_trees)
+    ffb_k = 0
+    if params.feature_fraction_bynode < 1.0:
+        k = max(1, int(np.ceil(params.feature_fraction_bynode * F)))
+        ffb_k = k if k < F else 0
+    rng_key = None
+    if use_extra or ffb_k > 0:
+        if rng is None:
+            rng = np.random.default_rng(0)
+        rng_key = jax.random.PRNGKey(int(rng.integers(2 ** 31 - 1)))
+    ic_groups = None
+    if interaction_constraints:
+        g_np = np.zeros((len(interaction_constraints), F), bool)
+        for i, g in enumerate(interaction_constraints):
+            for f in g:
+                if int(f) < F:
+                    g_np[i, int(f)] = True
+        ic_groups = jnp.asarray(g_np)
+    has_cat = (categorical_mask is not None
+               and bool(np.any(categorical_mask)))
     out = _grow_tree_jit(
         binned, num_bins_per_feat, grad, hess, int(max_num_bins),
         int(params.num_leaves), int(params.max_depth), row_mask,
@@ -1165,12 +1346,22 @@ def grow_tree_fast(binned, num_bins_per_feat, grad, hess, max_num_bins,
         hist_B=0 if efb is None else int(efb.max_bins_hist),
         hist_binned=None if efb is None else efb.binned_hist,
         gain_mult=(None if params.feature_contri is None
-                   else jnp.asarray(params.feature_contri)))
+                   else jnp.asarray(params.feature_contri)),
+        path_smooth=params.path_smooth, use_smoothing=use_smoothing,
+        mds=mds, use_bounds=use_bounds,
+        rng_key=rng_key, use_extra=use_extra, ffb_k=ffb_k,
+        ic_groups=ic_groups,
+        cat_feature_mask=(jnp.asarray(categorical_mask, bool)
+                          if has_cat else None),
+        max_cat_threshold=int(max_cat_threshold),
+        cat_l2=float(params.cat_l2), cat_smooth=float(params.cat_smooth),
+        min_data_per_group=float(params.min_data_per_group),
+        max_cat_to_onehot=int(params.max_cat_to_onehot))
     row_leaf = out[-1]
     # ONE device->host transfer for all tree arrays (separate np.asarray
     # fetches each cost a full round trip over the TPU tunnel)
     (feature, thresh, left, right, leaf_value, is_leaf, cnt, depth,
-     num_leaves, dleft, sgain) = jax.device_get(out[:-1])
+     num_leaves, dleft, sgain, iscat, catmask) = jax.device_get(out[:-1])
     max_nodes = 2 * params.num_leaves - 1
     tree = Tree(split_feature=np.asarray(feature),
                 threshold=np.zeros(max_nodes),
@@ -1179,8 +1370,8 @@ def grow_tree_fast(binned, num_bins_per_feat, grad, hess, max_num_bins,
                 leaf_value=np.asarray(leaf_value, np.float64),
                 is_leaf=np.asarray(is_leaf),
                 node_count=np.asarray(cnt, np.float64),
-                is_categorical=np.zeros(max_nodes, bool),
-                cat_mask=np.zeros((max_nodes, max_num_bins), bool),
+                is_categorical=np.asarray(iscat),
+                cat_mask=np.asarray(catmask),
                 split_gain=np.asarray(sgain, np.float64),
                 default_left=np.asarray(dleft),
                 num_leaves=int(num_leaves),
