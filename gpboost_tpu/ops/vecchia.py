@@ -380,7 +380,8 @@ _TRANSPOSED_MIN_ROWS = 20_000
 def build_factors(cov_fn: CovFunction, cov_pars: jnp.ndarray,
                   coords: jnp.ndarray, neighbors: jnp.ndarray,
                   nugget: Optional[jnp.ndarray], include_nugget: bool,
-                  row_coords: Optional[jnp.ndarray] = None):
+                  row_coords: Optional[jnp.ndarray] = None,
+                  nb_coords: Optional[jnp.ndarray] = None):
     """Batched Vecchia factors.
 
     A [n, m]: conditioning weights; D [n]: conditional variances, for the
@@ -391,23 +392,35 @@ def build_factors(cov_fn: CovFunction, cov_pars: jnp.ndarray,
     ``neighbors`` matrix refers to — pass a shard of rows with the full
     replicated ``coords`` for mesh-sharded builds (neighbor gathers need the
     global coordinate table).
+
+    ``nb_coords`` [n, m, d]: PRE-GATHERED neighbor coordinates (the halo
+    layout). When given, ``coords`` is never indexed (may be None) — every
+    input is row-local, so shards need no replicated global table (see
+    ``parallel/mesh.py sharded_vecchia_nll_halo_fn``).
     """
     if row_coords is None:
         row_coords = coords
     scaled = not cov_fn.is_isotropic and cov_fn.has_coord_scaling
     if scaled:
         # ARD / space-time: isotropic with unit range in scaled coordinates
-        coords = cov_fn.scale_coords(coords, cov_pars)
+        if coords is not None:
+            coords = cov_fn.scale_coords(coords, cov_pars)
         row_coords = cov_fn.scale_coords(row_coords, cov_pars)
+        if nb_coords is not None:
+            nm, mm, dd = nb_coords.shape
+            nb_coords = cov_fn.scale_coords(
+                nb_coords.reshape(nm * mm, dd), cov_pars).reshape(nm, mm, -1)
     n, m = neighbors.shape
     nonstat = cov_fn.cov_fct_type in ("linear", "hurst")
-    if n >= _TRANSPOSED_MIN_ROWS and m <= 64 and not nonstat:
+    if (nb_coords is None and n >= _TRANSPOSED_MIN_ROWS and m <= 64
+            and not nonstat):
         return _build_factors_transposed(cov_fn, cov_pars, coords, neighbors,
                                          nugget, include_nugget, row_coords,
                                          scaled)
     mask = neighbors >= 0
     idx = jnp.maximum(neighbors, 0)
-    nb_coords = coords[idx]                     # [n, m, d]
+    if nb_coords is None:
+        nb_coords = coords[idx]                 # [n, m, d]
     if cov_fn.cov_fct_type == "linear":
         # inner-product kernel sigma2 * x x' (non-stationary: the variance
         # is per-point, cov_fcts.h "linear")
@@ -443,14 +456,14 @@ def build_factors(cov_fn: CovFunction, cov_pars: jnp.ndarray,
         else:
             c_nn = cov_fn.cov_matrix(cov_pars, dist=d_nn)
             c_in = cov_fn.cov_matrix(cov_pars, dist=d_in[:, None, :])[:, 0, :]
-        var_ii = cov_pars[0] * jnp.ones(n, dtype=coords.dtype)
+        var_ii = cov_pars[0] * jnp.ones(n, dtype=row_coords.dtype)
     if include_nugget and nugget is not None:
-        eye = jnp.eye(m, dtype=coords.dtype)
+        eye = jnp.eye(m, dtype=row_coords.dtype)
         c_nn = c_nn + nugget * eye[None]
         var_ii = var_ii + nugget
     # mask padding: identity rows/cols so the solve yields 0 weights there
     pair_mask = mask[:, :, None] & mask[:, None, :]
-    eye = jnp.eye(m, dtype=coords.dtype)
+    eye = jnp.eye(m, dtype=row_coords.dtype)
     c_nn = jnp.where(pair_mask, c_nn, eye[None])
     c_in = jnp.where(mask, c_in, 0.0)
 

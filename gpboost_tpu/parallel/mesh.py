@@ -22,9 +22,11 @@ pre-gathered at shard build) ≈ n/D * m * (d+1) * 4 B — while the
 replicated global tables cost n * (d + 1) * 4 B per chip (coords + y):
 at n = 10^8, d = 2, that is 1.2 GB per chip against ~100 GB HBM on a v5p
 part, so replication is not the binding constraint below ~10^9 rows.
-Past that, shard the coordinate table too and all_gather per-block halos
-inside the factor-build loop (ICI-bandwidth-bound; not implemented — no
-workload within 10x of the limit exists in the reference's scope).
+Past that envelope :func:`sharded_vecchia_nll_halo_fn` drops the
+replicated tables entirely: neighbor coordinates AND neighbor y values are
+pre-gathered once into row-sharded halo arrays, so per-chip memory is
+n/D * m * (d+1) — smaller than replication whenever the mesh is wider
+than ~m+1 devices, and O(1/D) in every input.
 """
 from __future__ import annotations
 
@@ -72,6 +74,52 @@ def sharded_vecchia_nll_fn(cov_fn: CovFunction, mesh: Mesh,
 
     def nll(cov_pars, coords, neighbors, y):
         return _nll(cov_pars, coords, neighbors, y, coords, y)
+
+    return nll
+
+
+def gather_vecchia_halo(coords, neighbors, y):
+    """Pre-gather the per-row neighbor halo for the no-replication layout:
+    returns (nb_coords [n, m, d], y_nb [n, m]) — everything a row's factor
+    build and B-apply need, row-local. Run ONCE at shard build (host or
+    device), then shard all arrays on the row axis."""
+    idx = jnp.maximum(neighbors, 0)
+    return coords[idx], y[idx]
+
+
+def sharded_vecchia_nll_halo_fn(cov_fn: CovFunction, mesh: Mesh,
+                                axis: str = "data"):
+    """No-replication ("halo") variant of :func:`sharded_vecchia_nll_fn`.
+
+    Every input is sharded on the row axis — there is NO replicated global
+    coordinate or y table, so per-chip memory is O(n/D): the fallback past
+    the replication envelope documented in the module docstring (the
+    reference's distributed scope has no analog; its Vecchia path is
+    single-process, ``Vecchia_utils.cpp``).
+
+    Inputs: cov_pars [p] (replicated); neighbors [n, m], nb_coords
+    [n, m, d], y_nb [n, m] (from :func:`gather_vecchia_halo`), row_coords
+    [n, d], y [n] — all row-sharded. Matches the replicated builder to
+    float round-off (same factor math, no gathers).
+    """
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(), P(axis, None), P(axis, None, None),
+                       P(axis, None), P(axis, None), P(axis)),
+             out_specs=P())
+    def _nll(cov_pars, neighbors, nb_coords, y_nb, row_coords, y_shard):
+        a, d = vops.build_factors(cov_fn, cov_pars[1:], None, neighbors,
+                                  cov_pars[0], True, row_coords=row_coords,
+                                  nb_coords=nb_coords)
+        mask = neighbors >= 0
+        br = y_shard - jnp.sum(a * jnp.where(mask, y_nb, 0.0), axis=1)
+        local = 0.5 * (jnp.sum(jnp.log(d)) + jnp.sum(br * br / d))
+        return jax.lax.psum(local, axis)
+
+    def nll(cov_pars, neighbors, nb_coords, y_nb, row_coords, y):
+        n = y.shape[0]
+        return (_nll(cov_pars, neighbors, nb_coords, y_nb, row_coords, y)
+                + 0.5 * n * jnp.log(2.0 * jnp.pi))
 
     return nll
 
