@@ -1,0 +1,312 @@
+"""Whole-training-loop-on-device GPBoost.
+
+The regular ``gpb.train`` loop pays several blocking host<->device round
+trips per boosting iteration — covariance-refit dispatch, tree-grower
+dispatch + fetch, score bookkeeping — ~1 s/round over a tunneled TPU where
+the actual device compute is tens of milliseconds. This driver compiles the
+ENTIRE GPBoost iteration into one ``lax.fori_loop`` over boosting rounds:
+
+    resid = y - F
+    theta, nll, aux = L-BFGS covariance refit (optimizers.lbfgs_loop)
+                      with the pseudo-gradient solve Psi^-1 resid fused
+    tree = whole-tree jitted grower (tree._grow_tree_jit) on g = -aux
+    F    = F + lr * leaf_value[row_leaf]
+
+— a SINGLE dispatch for the whole training run, with one device->host fetch
+of all per-round tree arrays at the end. Reference flow being replaced:
+``gbdt.cpp:404`` TrainOneIter + the per-iteration
+``REModel::OptimLinRegrCoefCovPar`` refits (``regression_objective.hpp:153``).
+
+The round sequence matches the host loop exactly: the host runs fit@F0,
+tree0, fit@F1 (end-of-iteration refit, reused as round 1's gradient), ...,
+fit@FR — this loop runs fits at F0..F_{R-1} in-device and the trailing
+fit@FR through the normal ``objective.get_gradients`` host path so all
+GPModel state (data, NLL, fit result) is materialized exactly as the host
+loop leaves it.
+
+Engages automatically from ``engine.train`` when the configuration matches
+the common GPBoost case (``eligible``); the host loop serves everything
+else. ``GPBOOST_TPU_NO_DEVICE_LOOP=1`` disables it;
+``GPBOOST_TPU_FORCE_DEVICE_LOOP=1`` enables it on CPU (tests), where a
+generic ``build_factors`` objective replaces the Pallas kernels.
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpboost_tpu.utils.log import log_info
+
+
+def _vg_psi_for(vec, dtype):
+    """(value+grad fn, Psi^-1-solve fn, kernel dtype) for a VecchiaGP —
+    the fused Pallas pair when present (TPU), else generic builders over
+    the permuted layout (any backend; used by the CPU tests)."""
+    vg = getattr(vec, "_vg_pallas_jit", None)
+    psi = getattr(vec, "_fit_psi_inv", None)
+    if vg is not None and psi is not None:
+        return vg, psi, jnp.float32
+    from gpboost_tpu.ops import vecchia as vops
+    perm = jnp.asarray(vec.perm)
+    inv_perm = jnp.asarray(vec.inv_perm)
+    coords = vec.coords_perm
+    cov_fn = vec.cov_fn
+
+    def _factors(th, nb):
+        cp = jnp.exp(th)
+        return vops.build_factors(cov_fn, cp[1:], coords, nb, cp[0], True)
+
+    def _nll(th, rp, nb):
+        a, d = _factors(th, nb)
+        return vops.vecchia_nll(a, d, nb, rp)
+
+    def vg_fn(th, r, nb):
+        rp = jnp.asarray(r, dtype)[perm]
+        return jax.value_and_grad(_nll)(th, rp, nb)
+
+    def psi_fn(th, r, nb):
+        a, d = _factors(th, nb)
+        return vops.precision_matvec(
+            a, nb, d, jnp.asarray(r, dtype)[perm])[inv_perm]
+
+    return vg_fn, psi_fn, dtype
+
+
+def eligible(booster, fobj=None, callbacks=None) -> bool:
+    """True when the whole training loop can run as one device program.
+
+    Conservative: anything host-interactive (bagging RNG, per-iteration
+    callbacks/metrics, Newton leaf re-solve, line search, Nesterov lag
+    bookkeeping, voting/feature-parallel learners, mesh-padded data) keeps
+    the host loop.
+    """
+    if os.environ.get("GPBOOST_TPU_NO_DEVICE_LOOP") == "1":
+        return False
+    force = os.environ.get("GPBOOST_TPU_FORCE_DEVICE_LOOP") == "1"
+    if jax.default_backend() == "cpu" and not force:
+        return False
+    from gpboost_tpu.boosting.objectives import GPBoostObjective
+    obj = booster.objective
+    if fobj is not None or callbacks:
+        return False
+    if booster.valid_sets:
+        return False
+    if not isinstance(obj, GPBoostObjective):
+        return False
+    gp = booster.gp_model
+    if gp is None or not gp.spec.is_gaussian:
+        return False
+    if not obj.train_gp_model_cov_pars:
+        return False
+    if booster.num_models != 1 or booster.trees:
+        return False
+    if booster.boosting_type != "gbdt" or booster.use_nesterov_acc:
+        return False
+    if (booster.linear_tree or booster.leaves_newton_update
+            or booster.line_search_step_length):
+        return False
+    if (booster._monotone is not None
+            or getattr(booster, "_forced_splits", None)
+            or booster._cegb is not None
+            or booster._interaction_constraints):
+        return False
+    g = booster.grower
+    if (g.extra_trees or g.feature_fraction_bynode < 1.0):
+        return False        # per-leaf host-RNG draws
+    if booster.feature_fraction < 1.0:
+        return False        # per-tree host-RNG feature sampling
+    if booster.bagging_freq > 0 and (
+            booster.bagging_fraction < 1.0
+            or booster.pos_bagging_fraction < 1.0
+            or booster.neg_bagging_fraction < 1.0):
+        return False
+    ds = booster.train_set
+    if int(ds.binned.shape[0]) != ds.num_data:
+        return False        # mesh-padded layout
+    if getattr(ds, "_shard_mesh", None) is not None:
+        return False
+    if getattr(ds, "tree_learner", "serial") in ("voting", "feature"):
+        return False
+    # GP side: plain Gaussian Vecchia, isotropic kernel (no mid-fit
+    # neighbor re-determination), whole-fit-on-device-capable optimizer
+    vec = gp._approx
+    if vec is None or not hasattr(vec, "neighbors"):
+        return False
+    if type(vec).__name__ != "VecchiaGP":
+        return False
+    if getattr(vec, "z", None) is not None:
+        return False
+    if getattr(vec, "mesh", None) is not None or gp._mesh is not None:
+        return False
+    if not vec.cov_fn.is_isotropic:
+        return False
+    cfg = gp.optim_cfg
+    if cfg.optimizer_cov not in ("lbfgs", "lbfgs_linesearch_nocedal_wright"):
+        return False
+    if cfg.estimate_cov_par_index is not None or cfg.std_dev:
+        return False
+    if jax.default_backend() == "tpu" and \
+            getattr(vec, "_vg_pallas_jit", None) is None:
+        return False
+    return True
+
+
+def train_device(booster, num_boost_round: int) -> None:
+    """Run ``num_boost_round`` GPBoost iterations as ONE device program and
+    materialize the resulting trees / scores / GP state on the booster.
+
+    Only mutates the booster after the fused program and its single fetch
+    complete, so a failure leaves the booster untrainable-state-free (the
+    caller can fall back to the host loop).
+    """
+    from gpboost_tpu.boosting.tree import Tree, _grow_tree_jit
+    from gpboost_tpu.models.optimizers import lbfgs_loop
+
+    ds = booster.train_set
+    gp = booster.gp_model
+    vec = gp._approx
+    obj = booster.objective
+    grower = booster.grower
+    n = ds.num_data
+    R = int(num_boost_round)
+    lr = float(booster.learning_rate)
+    M = 2 * grower.num_leaves - 1
+    B = int(ds.max_num_bins)
+
+    vg_fn, psi_fn, kdt = _vg_psi_for(vec, gp.dtype)
+    cfg = gp.optim_cfg
+    y64 = np.asarray(ds.label, np.float64)
+    resid0 = y64 - booster._score[:n]
+    if gp.cov_pars_ is not None:
+        init = np.asarray(gp.cov_pars_, np.float64)
+    elif cfg.init_cov_pars is not None:
+        init = np.asarray(cfg.init_cov_pars, np.float64)
+    else:
+        init = np.asarray(gp._default_init_cov_pars(resid0), np.float64)
+    theta0 = jnp.asarray(np.log(np.maximum(init, 1e-300)), kdt)
+    maxit, ftol = int(cfg.maxit), float(cfg.delta_rel_conv)
+
+    binned = ds.binned
+    neighbors = vec.neighbors
+    num_bins_np = np.asarray(getattr(ds, "num_bins_grower", ds.num_bins))
+    num_bins = jnp.asarray(num_bins_np)
+    efb = getattr(ds, "efb", None)
+    efb_maps = (None if efb is None else
+                (efb.src_col, efb.src_bin, efb.default_bin, efb.fix_mask))
+    hist_B = 0 if efb is None else int(efb.max_bins_hist)
+    hist_binned = None if efb is None else efb.binned_hist
+    nan_mask = ds.has_nan if bool(np.any(ds.has_nan)) else None
+    nan_mask_j = None if nan_mask is None else jnp.asarray(nan_mask)
+    has_cat = bool(ds.categorical_feature)
+    cat_mask_j = None
+    if has_cat:
+        cm = np.zeros(int(binned.shape[1]), bool)
+        cm[list(ds.categorical_feature)] = True
+        cat_mask_j = jnp.asarray(cm)
+    gain_mult = (None if grower.feature_contri is None
+                 else jnp.asarray(grower.feature_contri))
+    row_mask = jnp.ones(n, bool)
+    ones_h = jnp.ones(n, jnp.float32)
+    grow_kwargs = dict(
+        nan_mask=nan_mask_j, efb_maps=efb_maps, hist_B=hist_B,
+        hist_binned=hist_binned, gain_mult=gain_mult,
+        path_smooth=grower.path_smooth,
+        use_smoothing=grower.path_smooth > 0.0,
+        mds=float(grower.max_delta_step),
+        use_bounds=grower.max_delta_step > 0.0,
+        cat_feature_mask=cat_mask_j,
+        max_cat_threshold=int(booster.params.get("max_cat_threshold", 32)),
+        cat_l2=float(grower.cat_l2), cat_smooth=float(grower.cat_smooth),
+        min_data_per_group=float(grower.min_data_per_group),
+        max_cat_to_onehot=int(grower.max_cat_to_onehot))
+
+    def one_round(i, carry):
+        F, th, st = carry
+        resid = (jnp.asarray(y64) - F).astype(kdt)
+        th, v, k, aux = lbfgs_loop(vg_fn, maxit, ftol, kdt, psi_fn,
+                                   th, resid, neighbors)
+        g = (-aux).astype(jnp.float32)
+        out = _grow_tree_jit(
+            binned, num_bins, g, ones_h, B, int(grower.num_leaves),
+            int(grower.max_depth), row_mask, grower.lambda_l1,
+            grower.lambda_l2, float(grower.min_data_in_leaf),
+            grower.min_sum_hessian_in_leaf, grower.min_gain_to_split,
+            **grow_kwargs)
+        (feature, thresh, left, right, leaf_value, is_leaf, cnt, depth,
+         num_leaves, dleft, sgain, iscat, catmask, row_leaf) = out
+        F = F + (lr * leaf_value)[row_leaf].astype(F.dtype)
+        st = dict(
+            feature=st["feature"].at[i].set(feature),
+            thresh=st["thresh"].at[i].set(thresh),
+            left=st["left"].at[i].set(left),
+            right=st["right"].at[i].set(right),
+            leaf=st["leaf"].at[i].set(leaf_value),
+            is_leaf=st["is_leaf"].at[i].set(is_leaf),
+            cnt=st["cnt"].at[i].set(cnt),
+            dleft=st["dleft"].at[i].set(dleft),
+            sgain=st["sgain"].at[i].set(sgain),
+            nl=st["nl"].at[i].set(num_leaves),
+            md=st["md"].at[i].set(jnp.max(depth)),
+            iscat=st["iscat"].at[i].set(iscat),
+            catmask=st["catmask"].at[i].set(catmask),
+            nll=st["nll"].at[i].set(v.astype(jnp.float64)))
+        return F, th, st
+
+    @jax.jit
+    def run(F0, th0):
+        zi = jnp.zeros((R, M), jnp.int32)
+        zf = jnp.zeros((R, M), jnp.float32)
+        st = dict(feature=zi, thresh=zi, left=zi, right=zi,
+                  leaf=zf, sgain=zf, cnt=zf,
+                  is_leaf=jnp.zeros((R, M), bool),
+                  dleft=jnp.zeros((R, M), bool),
+                  nl=jnp.zeros(R, jnp.int32), md=jnp.zeros(R, jnp.int32),
+                  iscat=jnp.zeros((R, M), bool),
+                  catmask=jnp.zeros((R, M, B), bool),
+                  nll=jnp.zeros(R, jnp.float64))
+        F, th, st = jax.lax.fori_loop(0, R, one_round, (F0, th0, st))
+        return F, th, st
+
+    F0 = jnp.asarray(booster._score[:n], jnp.float64)
+    F_dev, th_dev, st_dev = run(F0, theta0)
+    # ONE fetch for the whole training run
+    F, theta, st = jax.device_get((F_dev, th_dev, st_dev))
+
+    trees = []
+    for r in range(R):
+        tree = Tree(
+            split_feature=np.asarray(st["feature"][r]),
+            threshold=np.zeros(M),
+            threshold_bin=np.asarray(st["thresh"][r]),
+            left=np.asarray(st["left"][r]),
+            right=np.asarray(st["right"][r]),
+            leaf_value=np.asarray(st["leaf"][r], np.float64),
+            is_leaf=np.asarray(st["is_leaf"][r]),
+            node_count=np.asarray(st["cnt"][r], np.float64),
+            is_categorical=np.asarray(st["iscat"][r]),
+            cat_mask=np.asarray(st["catmask"][r]),
+            split_gain=np.asarray(st["sgain"][r], np.float64),
+            default_left=np.asarray(st["dleft"][r]),
+            num_leaves=int(st["nl"][r]),
+            max_depth_used=int(max(st["md"][r], 1)))
+        for node in tree.internal_nodes():
+            if tree.is_categorical[node]:
+                continue
+            tree.threshold[node] = ds.threshold_value(
+                int(tree.split_feature[node]),
+                int(tree.threshold_bin[node]))
+        tree.add_shrinkage(lr)
+        trees.append(tree)
+
+    booster.trees = trees
+    booster._score[:n] = F
+    # trailing end-of-iteration refit at the final score through the normal
+    # host path (gbdt.cpp:536-542): materializes gp.data / current_nll_ /
+    # _fit_result and primes the objective's gradient cache, exactly as the
+    # host loop leaves them
+    gp.cov_pars_ = np.exp(np.asarray(theta, np.float64))
+    obj.get_gradients(booster._score)
+    log_info(f"[device_loop] {R} GPBoost rounds in one device dispatch")

@@ -69,6 +69,25 @@ def train(params: dict, train_set: Dataset, num_boost_round: int = 100,
     snapshot_freq = int(params.get("snapshot_freq", -1))
     output_model = params.get("output_model", "gpboost_tpu_model.json")
 
+    # whole-training-loop-on-device driver (device_loop.py): compiles every
+    # GPBoost iteration — covariance refit, pseudo-gradient solve, tree
+    # growth, score update — into ONE dispatch when the config allows it
+    from gpboost_tpu.boosting import device_loop
+    if (num_boost_round > 0 and snapshot_freq <= 0 and not cbs
+            and evals_result is None and learning_rates is None
+            and not getattr(booster, "_eval_train_metric", False)
+            and device_loop.eligible(booster, fobj, cbs)):
+        try:
+            device_loop.train_device(booster, num_boost_round)
+            return booster
+        except Exception as e:
+            if booster.trees:       # booster already mutated: don't retrain
+                raise
+            # fall back to the host loop with untouched state
+            from gpboost_tpu.utils.log import log_warning
+            log_warning(f"device training loop failed ({e!r}); "
+                        "falling back to the host loop")
+
     try:
         for it in range(num_boost_round):
             booster.update(fobj=fobj)

@@ -1357,11 +1357,12 @@ def grow_tree_fast(binned, num_bins_per_feat, grad, hess, max_num_bins,
         cat_l2=float(params.cat_l2), cat_smooth=float(params.cat_smooth),
         min_data_per_group=float(params.min_data_per_group),
         max_cat_to_onehot=int(params.max_cat_to_onehot))
-    row_leaf = out[-1]
-    # ONE device->host transfer for all tree arrays (separate np.asarray
-    # fetches each cost a full round trip over the TPU tunnel)
+    # ONE device->host transfer for all outputs INCLUDING row_leaf
+    # (separate np.asarray fetches each cost a full round trip over the
+    # TPU tunnel; callers only ever consume row_leaf on the host)
     (feature, thresh, left, right, leaf_value, is_leaf, cnt, depth,
-     num_leaves, dleft, sgain, iscat, catmask) = jax.device_get(out[:-1])
+     num_leaves, dleft, sgain, iscat, catmask, row_leaf) = \
+        jax.device_get(out)
     max_nodes = 2 * params.num_leaves - 1
     tree = Tree(split_feature=np.asarray(feature),
                 threshold=np.zeros(max_nodes),

@@ -389,20 +389,16 @@ def lbfgs_device(vg_fn: Callable, theta0: np.ndarray,
 _DEVICE_LBFGS_RUNNERS: dict = {}
 
 
-def _device_lbfgs_runner(vg_fn, maxit: int, ftol: float, dt,
-                         final_fn=None):
-    """Compiled whole-fit L-BFGS driver, cached per (objective, settings) so
-    repeated fits (per-boosting-iteration covariance refits) reuse the
-    executable instead of recompiling. ``final_fn(theta, *ops)`` is an
-    optional extra output evaluated at the FINAL parameters inside the same
-    compiled program (one dispatch carries the fit AND e.g. the GPBoost
-    pseudo-gradient solve Psi^-1 r — saves a tunnel round trip per
-    boosting iteration)."""
-    key = (id(vg_fn), maxit, ftol, dt, id(final_fn))
-    hit = _DEVICE_LBFGS_RUNNERS.get(key)
-    if hit is not None:
-        return hit[-1]
+def lbfgs_loop(vg_fn, maxit: int, ftol: float, dt, final_fn, t0, *ops):
+    """TRACEABLE whole-fit L-BFGS loop (the body of the compiled driver).
 
+    Pure function of ``(t0, *ops)`` — call it inside a larger jitted
+    program to fuse covariance refits into an outer loop (the
+    device-resident GPBoost trainer, ``boosting/device_loop.py``), or via
+    :func:`_device_lbfgs_runner` for the standalone one-dispatch fit.
+    Returns ``(theta, value, iters, extra)`` with ``extra = final_fn(theta,
+    *ops)`` (0.0 when final_fn is None).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -417,8 +413,7 @@ def _device_lbfgs_runner(vg_fn, maxit: int, ftol: float, dt,
     C1 = 1e-4
     MAX_HALVINGS = 30
 
-    @jax.jit
-    def run(t0, *ops):
+    if True:
         p = t0.shape[0]
         v0, g0 = vg_fn(t0, *ops)
         v0 = jnp.asarray(v0, dt)
@@ -512,6 +507,27 @@ def _device_lbfgs_runner(vg_fn, maxit: int, ftol: float, dt,
         extra = (jnp.zeros((), dt) if final_fn is None
                  else final_fn(t, *ops))
         return t, v, k, extra
+
+
+def _device_lbfgs_runner(vg_fn, maxit: int, ftol: float, dt,
+                         final_fn=None):
+    """Compiled whole-fit L-BFGS driver, cached per (objective, settings) so
+    repeated fits (per-boosting-iteration covariance refits) reuse the
+    executable instead of recompiling. ``final_fn(theta, *ops)`` is an
+    optional extra output evaluated at the FINAL parameters inside the same
+    compiled program (one dispatch carries the fit AND e.g. the GPBoost
+    pseudo-gradient solve Psi^-1 r — saves a tunnel round trip per
+    boosting iteration). The loop itself is :func:`lbfgs_loop`."""
+    key = (id(vg_fn), maxit, ftol, dt, id(final_fn))
+    hit = _DEVICE_LBFGS_RUNNERS.get(key)
+    if hit is not None:
+        return hit[-1]
+
+    import jax
+
+    @jax.jit
+    def run(t0, *ops):
+        return lbfgs_loop(vg_fn, maxit, ftol, dt, final_fn, t0, *ops)
 
     # hold strong references so the id() keys stay valid
     _DEVICE_LBFGS_RUNNERS[key] = (vg_fn, final_fn, run)
