@@ -264,6 +264,14 @@ def main():
             northstar["gpboost_30r_100k_s"] = round(time.time() - t0, 3)
             northstar["gpboost_cov_pars"] = [
                 round(float(x), 4) for x in np.asarray(gp.cov_pars_)]
+            # steady-state: retraining the same model/data in a live
+            # process reuses the compiled whole-training-loop-on-device
+            # program (boosting/device_loop.py _FUSED_RUNNERS) — the
+            # serving/retraining pattern; first call pays trace+compile
+            t0 = time.time()
+            gpb.train(params, ds, gp_model=gp, num_boost_round=30)
+            northstar["gpboost_30r_100k_steady_s"] = round(
+                time.time() - t0, 3)
 
             # histogram-build throughput: the Pallas one-hot-matmul kernel
             # vs the XLA scatter-add (the product path routes to the kernel
@@ -327,6 +335,11 @@ def main():
         northstar["gpboost_30r_speedup_vs_baseline"] = round(
             ns_base["gpboost_30r_100k_s"]
             / northstar["gpboost_30r_100k_s"], 3)
+    if northstar.get("gpboost_30r_100k_steady_s") and ns_base.get(
+            "gpboost_30r_100k_s"):
+        northstar["gpboost_30r_steady_speedup_vs_baseline"] = round(
+            ns_base["gpboost_30r_100k_s"]
+            / northstar["gpboost_30r_100k_steady_s"], 3)
 
     print(json.dumps({
         "metric": f"vecchia_gp_nll_evals_per_s_n{n}_m{m}",

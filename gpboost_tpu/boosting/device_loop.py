@@ -154,6 +154,14 @@ def eligible(booster, fobj=None, callbacks=None) -> bool:
     return True
 
 
+# compiled fused runners, keyed by (objective identities, data identity,
+# round count, grower statics): repeated trainings on the same model/data
+# in one process reuse the executable — the serving/retraining pattern.
+# First use per process pays trace + compile(-cache-load); steady state is
+# the pure device time (~1.8 s for 30 rounds @ 100k on a v5 chip).
+_FUSED_RUNNERS: dict = {}
+
+
 def train_device(booster, num_boost_round: int) -> None:
     """Run ``num_boost_round`` GPBoost iterations as ONE device program and
     materialize the resulting trees / scores / GP state on the booster.
@@ -224,8 +232,8 @@ def train_device(booster, num_boost_round: int) -> None:
         max_cat_to_onehot=int(grower.max_cat_to_onehot))
 
     def one_round(i, carry):
-        F, th, st = carry
-        resid = (jnp.asarray(y64) - F).astype(kdt)
+        F, th, y, st = carry
+        resid = (y - F).astype(kdt)
         th, v, k, aux = lbfgs_loop(vg_fn, maxit, ftol, kdt, psi_fn,
                                    th, resid, neighbors)
         g = (-aux).astype(jnp.float32)
@@ -252,26 +260,53 @@ def train_device(booster, num_boost_round: int) -> None:
             md=st["md"].at[i].set(jnp.max(depth)),
             iscat=st["iscat"].at[i].set(iscat),
             catmask=st["catmask"].at[i].set(catmask),
-            nll=st["nll"].at[i].set(v.astype(jnp.float64)))
-        return F, th, st
+            nll=st["nll"].at[i].set(v.astype(jnp.float64)),
+            its=st["its"].at[i].set(k))
+        return F, th, y, st
 
-    @jax.jit
-    def run(F0, th0):
-        zi = jnp.zeros((R, M), jnp.int32)
-        zf = jnp.zeros((R, M), jnp.float32)
-        st = dict(feature=zi, thresh=zi, left=zi, right=zi,
-                  leaf=zf, sgain=zf, cnt=zf,
-                  is_leaf=jnp.zeros((R, M), bool),
-                  dleft=jnp.zeros((R, M), bool),
-                  nl=jnp.zeros(R, jnp.int32), md=jnp.zeros(R, jnp.int32),
-                  iscat=jnp.zeros((R, M), bool),
-                  catmask=jnp.zeros((R, M, B), bool),
-                  nll=jnp.zeros(R, jnp.float64))
-        F, th, st = jax.lax.fori_loop(0, R, one_round, (F0, th0, st))
-        return F, th, st
+    # compiled-runner reuse across train calls on the same model + data
+    # (id(vg_fn) pins the VecchiaGP instance, id(binned) the Dataset)
+    key = (id(vg_fn), id(psi_fn), id(binned), R, M, B, n, lr, maxit, ftol,
+           str(kdt), grower.num_leaves, grower.max_depth, grower.lambda_l1,
+           grower.lambda_l2, grower.min_data_in_leaf,
+           grower.min_sum_hessian_in_leaf, grower.min_gain_to_split,
+           grower.path_smooth, grower.max_delta_step, has_cat,
+           efb is not None, nan_mask is not None,
+           grower.cat_l2, grower.cat_smooth, grower.min_data_per_group,
+           grower.max_cat_to_onehot,
+           int(booster.params.get("max_cat_threshold", 32)),
+           None if grower.feature_contri is None
+           else tuple(np.asarray(grower.feature_contri).tolist()))
+    hit = _FUSED_RUNNERS.get(key)
+    if hit is not None:
+        run = hit[-1]
+    else:
+        @jax.jit
+        def run(F0, th0, y):
+            zi = jnp.zeros((R, M), jnp.int32)
+            zf = jnp.zeros((R, M), jnp.float32)
+            st = dict(feature=zi, thresh=zi, left=zi, right=zi,
+                      leaf=zf, sgain=zf, cnt=zf,
+                      is_leaf=jnp.zeros((R, M), bool),
+                      dleft=jnp.zeros((R, M), bool),
+                      nl=jnp.zeros(R, jnp.int32), md=jnp.zeros(R, jnp.int32),
+                      iscat=jnp.zeros((R, M), bool),
+                      catmask=jnp.zeros((R, M, B), bool),
+                      nll=jnp.zeros(R, jnp.float64),
+                      its=jnp.zeros(R, jnp.int32))
+            F, th, y, st = jax.lax.fori_loop(0, R, one_round,
+                                             (F0, th0, y, st))
+            return F, th, st
 
+        # strong refs keep the id() keys valid
+        _FUSED_RUNNERS[key] = (vg_fn, psi_fn, binned, run)
+
+    import time as _time
     F0 = jnp.asarray(booster._score[:n], jnp.float64)
-    F_dev, th_dev, st_dev = run(F0, theta0)
+    t0 = _time.time()
+    F_dev, th_dev, st_dev = run(F0, theta0, jnp.asarray(y64))
+    jax.block_until_ready(F_dev)
+    t_run = _time.time() - t0
     # ONE fetch for the whole training run
     F, theta, st = jax.device_get((F_dev, th_dev, st_dev))
 
@@ -309,4 +344,6 @@ def train_device(booster, num_boost_round: int) -> None:
     # host loop leaves them
     gp.cov_pars_ = np.exp(np.asarray(theta, np.float64))
     obj.get_gradients(booster._score)
-    log_info(f"[device_loop] {R} GPBoost rounds in one device dispatch")
+    log_info(f"[device_loop] {R} GPBoost rounds in one device dispatch "
+             f"({t_run:.2f}s on device, "
+             f"{int(np.sum(st['its']))} refit iterations)")
