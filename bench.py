@@ -264,12 +264,19 @@ def main():
             northstar["gpboost_30r_100k_s"] = round(time.time() - t0, 3)
             northstar["gpboost_cov_pars"] = [
                 round(float(x), 4) for x in np.asarray(gp.cov_pars_)]
-            # steady-state: retraining the same model/data in a live
-            # process reuses the compiled whole-training-loop-on-device
-            # program (boosting/device_loop.py _FUSED_RUNNERS) — the
-            # serving/retraining pattern; first call pays trace+compile
+            # whole-training-loop-on-device (boosting/device_loop.py,
+            # device_resident_boosting=true): first call pays the one-time
+            # trace+compile (cached on disk AND in-process), the steady
+            # state is the pure fused-program time — the serving /
+            # retraining / CV pattern. The headline 30r number above stays
+            # the product's auto behavior at 30 rounds (host loop).
+            params_dev = dict(params, device_resident_boosting="true")
             t0 = time.time()
-            gpb.train(params, ds, gp_model=gp, num_boost_round=30)
+            gpb.train(params_dev, ds, gp_model=gp, num_boost_round=30)
+            northstar["gpboost_30r_100k_device_first_s"] = round(
+                time.time() - t0, 3)
+            t0 = time.time()
+            gpb.train(params_dev, ds, gp_model=gp, num_boost_round=30)
             northstar["gpboost_30r_100k_steady_s"] = round(
                 time.time() - t0, 3)
 

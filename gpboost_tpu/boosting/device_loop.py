@@ -49,6 +49,9 @@ def _vg_psi_for(vec, dtype):
     psi = getattr(vec, "_fit_psi_inv", None)
     if vg is not None and psi is not None:
         return vg, psi, jnp.float32
+    cached = getattr(vec, "_device_loop_vg_psi", None)
+    if cached is not None:
+        return cached
     from gpboost_tpu.ops import vecchia as vops
     perm = jnp.asarray(vec.perm)
     inv_perm = jnp.asarray(vec.inv_perm)
@@ -72,21 +75,34 @@ def _vg_psi_for(vec, dtype):
         return vops.precision_matvec(
             a, nb, d, jnp.asarray(r, dtype)[perm])[inv_perm]
 
+    vec._device_loop_vg_psi = (vg_fn, psi_fn, dtype)  # stable ids for the
+    # runner cache (repeated train calls reuse the compiled program)
     return vg_fn, psi_fn, dtype
 
 
-def eligible(booster, fobj=None, callbacks=None) -> bool:
+def eligible(booster, num_boost_round=0, fobj=None, callbacks=None) -> bool:
     """True when the whole training loop can run as one device program.
 
     Conservative: anything host-interactive (bagging RNG, per-iteration
     callbacks/metrics, Newton leaf re-solve, line search, Nesterov lag
     bookkeeping, voting/feature-parallel learners, mesh-padded data) keeps
     the host loop.
+
+    Engagement policy (``device_resident_boosting`` param, a gpboost-tpu
+    extension): ``false`` never; ``true`` whenever the hard constraints
+    allow; ``auto`` (default) when the compiled runner is already cached in
+    this process (retraining/CV/tuning — the fused program then runs in
+    ~2 s for 30 rounds @ 100k vs ~1 s/round on the host loop) or when the
+    round count is large enough (>= 100 rounds at >= 10k rows) that the
+    one-time trace+compile amortizes within a single call.
     """
     if os.environ.get("GPBOOST_TPU_NO_DEVICE_LOOP") == "1":
         return False
     force = os.environ.get("GPBOOST_TPU_FORCE_DEVICE_LOOP") == "1"
     if jax.default_backend() == "cpu" and not force:
+        return False
+    mode = booster.params.get("device_resident_boosting", "auto")
+    if mode in (False, "false", "False", 0):
         return False
     from gpboost_tpu.boosting.objectives import GPBoostObjective
     obj = booster.objective
@@ -151,7 +167,14 @@ def eligible(booster, fobj=None, callbacks=None) -> bool:
     if jax.default_backend() == "tpu" and \
             getattr(vec, "_vg_pallas_jit", None) is None:
         return False
-    return True
+    if mode in (True, "true", "True", 1) or force:
+        return True
+    # auto: engage when the one-time trace+compile is already paid (a
+    # cached runner exists for this model/data/settings) or amortizes
+    # within this call
+    if _runner_key(booster, int(num_boost_round)) in _FUSED_RUNNERS:
+        return True
+    return int(num_boost_round) >= 100 and ds.num_data >= 10_000
 
 
 # compiled fused runners, keyed by (objective identities, data identity,
@@ -160,6 +183,29 @@ def eligible(booster, fobj=None, callbacks=None) -> bool:
 # First use per process pays trace + compile(-cache-load); steady state is
 # the pure device time (~1.8 s for 30 rounds @ 100k on a v5 chip).
 _FUSED_RUNNERS: dict = {}
+
+
+def _runner_key(booster, R: int):
+    ds = booster.train_set
+    gp = booster.gp_model
+    grower = booster.grower
+    cfg = gp.optim_cfg
+    vg_fn, psi_fn, kdt = _vg_psi_for(gp._approx, gp.dtype)
+    efb = getattr(ds, "efb", None)
+    return (id(vg_fn), id(psi_fn), id(ds.binned), R,
+            2 * grower.num_leaves - 1, int(ds.max_num_bins), ds.num_data,
+            float(booster.learning_rate), int(cfg.maxit),
+            float(cfg.delta_rel_conv), str(kdt), grower.num_leaves,
+            grower.max_depth, grower.lambda_l1, grower.lambda_l2,
+            grower.min_data_in_leaf, grower.min_sum_hessian_in_leaf,
+            grower.min_gain_to_split, grower.path_smooth,
+            grower.max_delta_step, bool(ds.categorical_feature),
+            efb is not None, bool(np.any(ds.has_nan)),
+            grower.cat_l2, grower.cat_smooth, grower.min_data_per_group,
+            grower.max_cat_to_onehot,
+            int(booster.params.get("max_cat_threshold", 32)),
+            None if grower.feature_contri is None
+            else tuple(np.asarray(grower.feature_contri).tolist()))
 
 
 def train_device(booster, num_boost_round: int) -> None:
@@ -266,17 +312,7 @@ def train_device(booster, num_boost_round: int) -> None:
 
     # compiled-runner reuse across train calls on the same model + data
     # (id(vg_fn) pins the VecchiaGP instance, id(binned) the Dataset)
-    key = (id(vg_fn), id(psi_fn), id(binned), R, M, B, n, lr, maxit, ftol,
-           str(kdt), grower.num_leaves, grower.max_depth, grower.lambda_l1,
-           grower.lambda_l2, grower.min_data_in_leaf,
-           grower.min_sum_hessian_in_leaf, grower.min_gain_to_split,
-           grower.path_smooth, grower.max_delta_step, has_cat,
-           efb is not None, nan_mask is not None,
-           grower.cat_l2, grower.cat_smooth, grower.min_data_per_group,
-           grower.max_cat_to_onehot,
-           int(booster.params.get("max_cat_threshold", 32)),
-           None if grower.feature_contri is None
-           else tuple(np.asarray(grower.feature_contri).tolist()))
+    key = _runner_key(booster, R)
     hit = _FUSED_RUNNERS.get(key)
     if hit is not None:
         run = hit[-1]

@@ -76,7 +76,7 @@ def train(params: dict, train_set: Dataset, num_boost_round: int = 100,
     if (num_boost_round > 0 and snapshot_freq <= 0 and not cbs
             and evals_result is None and learning_rates is None
             and not getattr(booster, "_eval_train_metric", False)
-            and device_loop.eligible(booster, fobj, cbs)):
+            and device_loop.eligible(booster, num_boost_round, fobj, cbs)):
         try:
             device_loop.train_device(booster, num_boost_round)
             return booster

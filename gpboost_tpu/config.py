@@ -170,6 +170,10 @@ PARAMS: Tuple[Param, ...] = (
           "flat C x C loss-weight matrix for auc_mu"),
     Param("snapshot_freq", -1, "int", B,
           "save the model every k iterations during training (<= 0 = off)"),
+    Param("device_resident_boosting", "auto", "str", B,
+          "gpboost-tpu extension: compile the whole GPBoost training loop "
+          "into one device program (auto / true / false; auto engages when "
+          "the compiled runner is cached or >= 100 rounds at >= 10k rows)"),
     Param("output_model", "gpboost_tpu_model.json", "str", B,
           "filename stem for snapshots / CLI model output",
           ("model_output", "model_out")),
