@@ -380,6 +380,13 @@ def train_device(booster, num_boost_round: int) -> None:
     # host loop leaves them
     gp.cov_pars_ = np.exp(np.asarray(theta, np.float64))
     obj.get_gradients(booster._score)
+    # per-round observability (the host loop's per-iteration logs/metrics
+    # don't exist inside the fused program): covariance NLL after each
+    # round's refit + the L-BFGS iteration counts
+    booster.device_training_info_ = {
+        "cov_nll": np.asarray(st["nll"], np.float64),
+        "refit_iterations": np.asarray(st["its"], np.int64),
+        "device_seconds": float(t_run)}
     log_info(f"[device_loop] {R} GPBoost rounds in one device dispatch "
              f"({t_run:.2f}s on device, "
              f"{int(np.sum(st['its']))} refit iterations)")

@@ -123,6 +123,12 @@ def test_device_loop_quality_and_predict(data, monkeypatch):
     base = float(np.std(y))
     assert rmse < 0.9 * base, (rmse, base)   # actually learned something
     assert np.all(np.asarray(gp.cov_pars_) > 0)
+    info = bst.device_training_info_
+    assert info["cov_nll"].shape == (10,)
+    assert np.all(np.isfinite(info["cov_nll"]))
+    # refits warm-start from the previous round: NLL mostly decreasing
+    assert info["cov_nll"][-1] < info["cov_nll"][0]
+    assert np.all(info["refit_iterations"] >= 0)
     # save/load round trip keeps the fused-trained trees usable
     s = bst.model_to_string()
     bst2 = gpb.Booster(model_str=s)
