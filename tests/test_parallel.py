@@ -230,15 +230,23 @@ def test_mesh_gpboost_train_matches_single_device(mesh):
     np.testing.assert_allclose(g2.cov_pars_, g1.cov_pars_, rtol=1e-9)
 
 
-def test_mesh_grouped_fallback_raises(mesh):
+def test_mesh_unsupported_family_raises(mesh):
     """use_mesh on an unsupported model family raises rather than silently
-    running single-device."""
+    running single-device; grouped-RE models (supported since round 3)
+    accept the mesh."""
     import gpboost_tpu as gpb
     rng = np.random.default_rng(9)
-    group = np.arange(64) % 8
-    gp = gpb.GPModel(group_data=group, likelihood="gaussian")
+    # dense exact GP: no sharded path
+    coords = rng.uniform(size=(64, 2))
+    gp = gpb.GPModel(gp_coords=coords, cov_function="exponential",
+                     gp_approx="none")
     with pytest.raises(NotImplementedError):
         gp.use_mesh(mesh)
+    # grouped REs shard (round-3 addition: padded row-sharded layout)
+    group = np.arange(64) % 8
+    gp2 = gpb.GPModel(group_data=group, likelihood="gaussian")
+    assert gp2.use_mesh(mesh) is gp2
+    assert gp2._mesh is mesh
 
 
 def test_sharded_cluster_nll_matches_batched(mesh):
