@@ -919,6 +919,14 @@ class Booster:
             out.extend(self._eval(vset, name, score))
         return out
 
+    def _default_eval_at(self):
+        """``eval_at`` positions (config.h:968; DCGCalculator::DefaultEvalAt
+        = 1..5)."""
+        at = self.params.get("eval_at", None)
+        if at is None:
+            return [1, 2, 3, 4, 5]
+        return list(at) if isinstance(at, (list, tuple)) else [int(at)]
+
     def _eval(self, dset: Dataset, name: str, score: np.ndarray):
         res = []
         pred = None
@@ -927,35 +935,39 @@ class Booster:
                 val = self._eval_gp_metric(metric, dset, score)
                 res.append((name, metric, val, False))
                 continue
-            if metric == "auc_mu":
-                # uses RAW scores (linear discriminants, not softmax output)
-                val = metrics_mod.auc_mu(
-                    dset.label, score, dset.weight,
-                    num_class=self.num_class,
-                    class_weights=self.params.get("auc_mu_weights"))
-                res.append((name, metric, val, True))
+            base, ks = metrics_mod.resolve_metric_name(metric)
+            spec = metrics_mod.METRICS[base]
+            if spec.kind == "raw":
+                # e.g. auc_mu: RAW scores (linear discriminants, not softmax)
+                kwargs = {}
+                if base == "auc_mu":
+                    kwargs = dict(num_class=self.num_class,
+                                  class_weights=self.params.get(
+                                      "auc_mu_weights"))
+                val = spec.fn(dset.label, score, dset.weight, **kwargs)
+                res.append((name, base, val, spec.higher_better))
                 continue
-            if metric == "ndcg" or metric.startswith("ndcg@"):
-                k = int(metric.split("@")[1]) if "@" in metric else int(
-                    self.params.get("eval_at", [5])[0]
-                    if isinstance(self.params.get("eval_at", 5), (list, tuple))
-                    else self.params.get("eval_at", 5))
-                val = metrics_mod.ndcg_at_k(dset.label,
-                                            score[:dset.num_data],
-                                            dset.group, k)
-                res.append((name, metric, val, True))
+            if spec.kind == "rank":
+                if ks is None:
+                    ks = self._default_eval_at()
+                kwargs = {}
+                if base == "ndcg":
+                    kwargs["label_gain"] = self.params.get("label_gain")
+                vals = spec.fn(dset.label, score[:dset.num_data],
+                               dset.group, ks, **kwargs)
+                for k, v in zip(ks, vals):
+                    res.append((name, f"{base}@{k}", v, spec.higher_better))
                 continue
             if pred is None:
                 pred = self._convert_for_metric(dset, score)
-            fn, higher_better = metrics_mod.METRICS[metric]
             kwargs = {}
-            if metric in ("multi_logloss", "multi_error"):
+            if base in ("multi_logloss", "multi_error"):
                 kwargs["num_class"] = self.num_class
-            if metric == "multi_error":
+            if base == "multi_error":
                 kwargs["top_k"] = int(
                     self.params.get("multi_error_top_k", 1))
-            val = fn(dset.label, pred, dset.weight, **kwargs)
-            res.append((name, metric, val, higher_better))
+            val = spec.fn(dset.label, pred, dset.weight, **kwargs)
+            res.append((name, base, val, spec.higher_better))
         return res
 
     def _residual_variance(self) -> float:

@@ -124,7 +124,9 @@ _OBJECTIVE_STRINGS = {
     "huber": "huber", "fair": "fair", "poisson": "poisson",
     "gamma": "gamma", "tweedie": "tweedie", "quantile": "quantile",
     "mape": "mape", "binary": "binary sigmoid:1",
-    "cross_entropy": "cross_entropy", "lambdarank": "lambdarank",
+    "cross_entropy": "cross_entropy",
+    "cross_entropy_lambda": "cross_entropy_lambda",
+    "lambdarank": "lambdarank",
     "rank_xendcg": "rank_xendcg",
 }
 
@@ -301,6 +303,8 @@ _OBJECTIVE_PARSE = {
     "poisson": "poisson", "gamma": "gamma", "tweedie": "tweedie",
     "quantile": "quantile", "mape": "mape", "binary": "binary",
     "cross_entropy": "cross_entropy", "xentropy": "cross_entropy",
+    "cross_entropy_lambda": "cross_entropy_lambda",
+    "xentlambda": "cross_entropy_lambda",
     "multiclass": "multiclass", "softmax": "multiclass",
     "multiclassova": "multiclassova", "lambdarank": "lambdarank",
     "rank_xendcg": "rank_xendcg", "custom": "regression",

@@ -418,12 +418,75 @@ class Binary(Objective):
 class CrossEntropy(Objective):
     name = "cross_entropy"
 
+    def init(self, label, weight, group=None):
+        super().init(label, weight, group)
+        if np.any(label < 0) or np.any(label > 1):
+            raise ValueError("cross_entropy labels must lie in [0, 1]")
+
+    def boost_from_average(self):
+        if self.weight is not None:
+            p = float(np.average(self.label, weights=self.weight))
+        else:
+            p = float(np.mean(self.label))
+        p = np.clip(p, 1e-12, 1 - 1e-12)
+        return float(np.log(p / (1 - p)))
+
     def get_gradients(self, score):
         p = _sigmoid(score)
         return self._apply_weight(p - self.label, p * (1 - p))
 
     def convert_output(self, score):
         return _sigmoid(score)
+
+
+class CrossEntropyLambda(Objective):
+    """Alternative ("intensity-weighted") parameterization of cross-entropy
+    (``CrossEntropyLambda``, ``xentropy_objective.hpp:153``): with sample
+    weight w, prob = 1 - (1 - sigmoid(f))^w = 1 - exp(-w * hhat) where
+    hhat = log(1 + exp(f)). ConvertOutput returns hhat (the "normalized
+    exponential parameter" lambda), NOT a probability — matching the
+    reference's explicit warning."""
+    name = "cross_entropy_lambda"
+
+    def init(self, label, weight, group=None):
+        super().init(label, weight, group)
+        if np.any(label < 0) or np.any(label > 1):
+            raise ValueError("cross_entropy_lambda labels must lie in [0, 1]")
+        if weight is not None and np.any(weight <= 0):
+            raise ValueError("cross_entropy_lambda requires strictly "
+                             "positive weights")
+
+    def boost_from_average(self):
+        # BoostFromScore: havg = weighted mean label; f0 = log(e^havg - 1)
+        # (xentropy_objective.hpp:246-266)
+        if self.weight is not None:
+            havg = float(np.average(self.label, weights=self.weight))
+        else:
+            havg = float(np.mean(self.label))
+        return float(np.log(np.expm1(max(havg, 1e-12))))
+
+    def get_gradients(self, score):
+        if self.weight is None:
+            # unit weights: identical to plain CrossEntropy
+            z = _sigmoid(score)
+            return z - self.label, z * (1.0 - z)
+        w = self.weight
+        y = self.label
+        f = np.clip(score, -500.0, 500.0)
+        epf = np.exp(f)
+        hhat = np.log1p(epf)
+        z = -np.expm1(-w * hhat)  # 1 - exp(-w*hhat)
+        sig = 1.0 / (1.0 + np.exp(-f))
+        grad = (1.0 - y / z) * w * sig
+        c = 1.0 / (1.0 - z)  # = exp(w*hhat)
+        a = w * sig * (1.0 - sig)
+        d = c - 1.0
+        b = (c / (d * d)) * (1.0 + w * epf - c)
+        hess = a * (1.0 + y * b)
+        return grad, hess
+
+    def convert_output(self, score):
+        return np.log1p(np.exp(np.minimum(score, 500.0)))
 
 
 class Multiclass(Objective):
@@ -701,6 +764,7 @@ _ALIASES = {
     "softmax": "multiclass", "ova": "multiclassova",
     "multiclass_ova": "multiclassova",
     "xentropy": "cross_entropy",
+    "xentlambda": "cross_entropy_lambda",
     "xendcg": "rank_xendcg", "xe_ndcg": "rank_xendcg",
     "xe_ndcg_mart": "rank_xendcg", "xendcg_mart": "rank_xendcg",
 }
@@ -751,6 +815,8 @@ def create_objective(name: str, params: dict, gp_model=None) -> Objective:
                           params.get("scale_pos_weight", 1.0)))
     if name == "cross_entropy":
         return CrossEntropy()
+    if name == "cross_entropy_lambda":
+        return CrossEntropyLambda()
     if name == "mean_scale_regression":
         return MeanScaleRegression()
     if name == "tobit":

@@ -55,9 +55,9 @@ PARAMS: Tuple[Param, ...] = (
     # ---- core boosting -------------------------------------------------
     Param("objective", "regression", "str", B,
           "regression, regression_l1, huber, fair, poisson, gamma, tweedie, "
-          "quantile, mape, binary, cross_entropy, multiclass, multiclassova, "
-          "tobit, mean_scale_regression, lambdarank, rank_xendcg",
-          ("application", "loss")),
+          "quantile, mape, binary, cross_entropy, cross_entropy_lambda, "
+          "multiclass, multiclassova, tobit, mean_scale_regression, "
+          "lambdarank, rank_xendcg", ("application", "loss")),
     Param("boosting", "gbdt", "str", B, "gbdt, dart, goss, rf",
           ("boosting_type",)),
     Param("num_iterations", 100, "int", B, "boosting rounds",
@@ -135,7 +135,8 @@ PARAMS: Tuple[Param, ...] = (
     Param("metric", None, "any", B,
           "l2, rmse, l1, mape, quantile, huber, poisson, gamma, "
           "gamma_deviance, tweedie, binary_logloss, binary_error, auc, "
-          "auc_mu, multi_logloss, multi_error, ndcg, neg_log_likelihood, "
+          "auc_mu, multi_logloss, multi_error, ndcg, map, cross_entropy, "
+          "cross_entropy_lambda, kullback_leibler, neg_log_likelihood, "
           "approx_neg_marginal_log_likelihood, test_neg_log_likelihood, "
           "crps_gaussian", ("metrics", "metric_types")),
     Param("num_class", 1, "int", B, "number of classes (multiclass)", (),
@@ -164,8 +165,10 @@ PARAMS: Tuple[Param, ...] = (
     Param("momentum_schedule_version", 1, "int", B,
           "0 = constant rate, 1 = 1 - 3/(6 + iter)", (),
           lambda v: v in (0, 1), "in {0, 1}"),
-    Param("eval_at", 5, "any", B, "ndcg truncation level(s)",
-          ("ndcg_eval_at", "ndcg_at")),
+    Param("eval_at", None, "any", B,
+          "ndcg / map truncation level(s); default 1,2,3,4,5 "
+          "(config.h:968, DCGCalculator::DefaultEvalAt)",
+          ("ndcg_eval_at", "ndcg_at", "map_eval_at", "map_at")),
     Param("auc_mu_weights", None, "list", B,
           "flat C x C loss-weight matrix for auc_mu"),
     Param("snapshot_freq", -1, "int", B,
@@ -173,7 +176,9 @@ PARAMS: Tuple[Param, ...] = (
     Param("device_resident_boosting", "auto", "str", B,
           "gpboost-tpu extension: compile the whole GPBoost training loop "
           "into one device program (auto / true / false; auto engages when "
-          "the compiled runner is cached or >= 100 rounds at >= 10k rows)"),
+          "the compiled runner is cached or >= 100 rounds at >= 10k rows)",
+          (), lambda v: str(v).lower() in ("auto", "true", "false"),
+          "auto / true / false"),
     Param("output_model", "gpboost_tpu_model.json", "str", B,
           "filename stem for snapshots / CLI model output",
           ("model_output", "model_out")),

@@ -30,7 +30,8 @@ def test_rank_xendcg_trains_and_improves_ndcg():
                     valid_sets=[Dataset(X, label=rel, group=group,
                                         reference=ds)],
                     evals_result=evals, verbose_eval=False)
-    curve = evals["valid_0"]["ndcg"]
+    # ndcg reports every eval_at position (reference rank_metric.hpp)
+    curve = evals["valid_0"]["ndcg@5"]
     assert curve[-1] > curve[0]
     # distinct from lambdarank (different lambdas)
     bst2 = gpb.train({"objective": "lambdarank", "min_data_in_leaf": 5,
