@@ -102,7 +102,12 @@ def eligible(booster, num_boost_round=0, fobj=None, callbacks=None) -> bool:
     if jax.default_backend() == "cpu" and not force:
         return False
     mode = booster.params.get("device_resident_boosting", "auto")
-    if mode in (False, "false", "False", 0):
+    mode = str(mode).lower()
+    if mode not in ("auto", "true", "false"):
+        raise ValueError(
+            "device_resident_boosting must be 'auto', 'true' or 'false', "
+            f"got {booster.params.get('device_resident_boosting')!r}")
+    if mode == "false":
         return False
     from gpboost_tpu.boosting.objectives import GPBoostObjective
     obj = booster.objective
@@ -167,7 +172,7 @@ def eligible(booster, num_boost_round=0, fobj=None, callbacks=None) -> bool:
     if jax.default_backend() == "tpu" and \
             getattr(vec, "_vg_pallas_jit", None) is None:
         return False
-    if mode in (True, "true", "True", 1) or force:
+    if mode == "true" or force:
         return True
     # auto: engage when the one-time trace+compile is already paid (a
     # cached runner exists for this model/data/settings) or amortizes
@@ -182,7 +187,13 @@ def eligible(booster, num_boost_round=0, fobj=None, callbacks=None) -> bool:
 # in one process reuse the executable — the serving/retraining pattern.
 # First use per process pays trace + compile(-cache-load); steady state is
 # the pure device time (~1.8 s for 30 rounds @ 100k on a v5 chip).
-_FUSED_RUNNERS: dict = {}
+# Bounded LRU: each entry pins the Dataset's [n, F] binned matrix and the
+# VecchiaGP closures, so a CV/tuning sweep over many folds must not retain
+# them all for the process lifetime.
+from collections import OrderedDict
+
+_FUSED_RUNNERS: "OrderedDict" = OrderedDict()
+_FUSED_RUNNERS_MAX = 8
 
 
 def _runner_key(booster, R: int):
@@ -280,6 +291,14 @@ def train_device(booster, num_boost_round: int) -> None:
     def one_round(i, carry):
         F, th, y, st = carry
         resid = (y - F).astype(kdt)
+        # NOTE: each per-round refit restarts L-BFGS curvature memory,
+        # matching the TPU product path (lbfgs_device is also memory-less).
+        # The host CPU loop with reuse_learning_rates_gp_model keeps (s, y)
+        # memory across refits (lbfgs_host + cfg.lbfgs_reuse_mem), so a
+        # CPU-forced fused run follows a slightly different refit trajectory
+        # than the host loop — a documented divergence (ADVICE r4 #3); both
+        # converge to the same optima and the parity tests compare the fused
+        # loop against stepwise execution of the same primitives.
         th, v, k, aux = lbfgs_loop(vg_fn, maxit, ftol, kdt, psi_fn,
                                    th, resid, neighbors)
         g = (-aux).astype(jnp.float32)
@@ -316,6 +335,7 @@ def train_device(booster, num_boost_round: int) -> None:
     hit = _FUSED_RUNNERS.get(key)
     if hit is not None:
         run = hit[-1]
+        _FUSED_RUNNERS.move_to_end(key)
     else:
         @jax.jit
         def run(F0, th0, y):
@@ -336,6 +356,8 @@ def train_device(booster, num_boost_round: int) -> None:
 
         # strong refs keep the id() keys valid
         _FUSED_RUNNERS[key] = (vg_fn, psi_fn, binned, run)
+        while len(_FUSED_RUNNERS) > _FUSED_RUNNERS_MAX:
+            _FUSED_RUNNERS.popitem(last=False)
 
     import time as _time
     F0 = jnp.asarray(booster._score[:n], jnp.float64)
@@ -343,6 +365,10 @@ def train_device(booster, num_boost_round: int) -> None:
     F_dev, th_dev, st_dev = run(F0, theta0, jnp.asarray(y64))
     jax.block_until_ready(F_dev)
     t_run = _time.time() - t0
+    # a cache-missed first call spends most of t_run on trace + compile
+    # (-cache-load), not device execution — label it so observability
+    # doesn't claim compile time as device time
+    includes_compile = hit is None
     # ONE fetch for the whole training run
     F, theta, st = jax.device_get((F_dev, th_dev, st_dev))
 
@@ -386,7 +412,9 @@ def train_device(booster, num_boost_round: int) -> None:
     booster.device_training_info_ = {
         "cov_nll": np.asarray(st["nll"], np.float64),
         "refit_iterations": np.asarray(st["its"], np.int64),
-        "device_seconds": float(t_run)}
+        "device_seconds": float(t_run),
+        "includes_compile": includes_compile}
+    timing = (f"{t_run:.2f}s incl. trace+compile" if includes_compile
+              else f"{t_run:.2f}s on device")
     log_info(f"[device_loop] {R} GPBoost rounds in one device dispatch "
-             f"({t_run:.2f}s on device, "
-             f"{int(np.sum(st['its']))} refit iterations)")
+             f"({timing}, {int(np.sum(st['its']))} refit iterations)")
