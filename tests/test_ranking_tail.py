@@ -175,3 +175,76 @@ def test_metric_registry_uniform_resolution():
     assert base == "map" and ks is None
     base, ks = metrics_mod.resolve_metric_name("kldiv")
     assert base == "kullback_leibler"
+
+
+# ---------------------------------------------------------------------------
+# Reference parity (goldens generated from GPBoost v1.6.5 via /tmp/refpkg;
+# generator pattern in CLAUDE.md). Data is reproduced with the same
+# numpy default_rng seeds used at generation time.
+import json
+import os
+
+_GOLDEN = os.path.join(os.path.dirname(__file__), "data",
+                       "ranking_goldens.json")
+
+
+def _goldens():
+    with open(_GOLDEN) as f:
+        return json.load(f)
+
+
+def test_rank_metrics_match_reference_exactly():
+    G = _goldens()
+    rng2 = np.random.default_rng(7)
+    nq, qs = 12, 10
+    rng2.normal(0, 1, (nq * qs, 3))  # keep the stream aligned with gen
+    rel = rng2.integers(0, 3, nq * qs).astype(float)
+    group = [qs] * nq
+    score = np.array(G["rank_score"])
+    nd = metrics_mod.ndcg_at_ks(rel, score, group, [1, 3, 5])
+    mp = metrics_mod.map_at_ks(rel, score, group, [1, 3, 5])
+    for i, k in enumerate([1, 3, 5]):
+        assert nd[i] == pytest.approx(G[f"rank_ndcg@{k}"][-1], abs=1e-12)
+        assert mp[i] == pytest.approx(G[f"rank_map@{k}"][-1], abs=1e-12)
+
+
+def _xent_data():
+    rng = np.random.default_rng(42)
+    n = 300
+    X = rng.normal(0, 1, (n, 4))
+    p = 1 / (1 + np.exp(-(X[:, 0] - 0.5 * X[:, 1])))
+    y = rng.binomial(1, p).astype(float)
+    w = rng.uniform(0.5, 2.0, n)
+    return X, y, w
+
+
+def test_xentlambda_reference_model_conversion_and_metric_exact():
+    # load the REFERENCE-trained xentlambda model through text interop:
+    # pins ConvertOutput (softplus -> lambda) and the metric at 1e-10
+    G = _goldens()
+    X, y, w = _xent_data()
+    bst = gpb.Booster(model_str=G["xentlambda_model_txt"])
+    pred = bst.predict(X)
+    np.testing.assert_allclose(pred[:10], np.array(G["xentlambda_pred_head"]),
+                               rtol=1e-10)
+    val = metrics_mod.cross_entropy_lambda(y, pred, w)
+    assert val == pytest.approx(G["xentlambda_curve"][-1], abs=1e-10)
+
+
+def test_xentlambda_training_trajectory_close_to_reference():
+    # from-scratch training parity: LightGBM accumulates float32
+    # gradient/hessian histograms, so trajectories drift ~5e-3 (same class
+    # of divergence as the GD-trajectory tests); guard the envelope
+    G = _goldens()
+    X, y, w = _xent_data()
+    params = {"objective": "xentlambda", "metric": "xentlambda",
+              "min_data_in_leaf": 5, "num_leaves": 7, "learning_rate": 0.1,
+              "verbose": -1, "min_sum_hessian_in_leaf": 1e-3}
+    ds = Dataset(X, label=y, weight=w)
+    evals = {}
+    gpb.train(params, ds, num_boost_round=10,
+              valid_sets=[Dataset(X, label=y, weight=w, reference=ds)],
+              evals_result=evals, verbose_eval=False)
+    ours = np.array(evals["valid_0"]["cross_entropy_lambda"])
+    ref = np.array(G["xentlambda_curve"])
+    assert np.max(np.abs(ours - ref)) < 1e-2
