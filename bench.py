@@ -314,6 +314,92 @@ def main():
             northstar["hist_builds_per_s_xla"] = round(
                 hist_loop(_build_histogram_xla), 1)
 
+        # ---- non-Gaussian (LaGaBoost) + prediction benches: the second
+        # flagship algorithm (Laplace mode finding, likelihoods.h:1843,
+        # driven from regression_objective.hpp:173-186) and the 100k
+        # mean+var prediction path. Data streams replicate
+        # /tmp/ref_ng_baseline.py exactly (bench_baseline.json north_star
+        # source) so the comparison is apples-to-apples. ----
+        if os.environ.get("BENCH_NG", "1") != "0":
+            import gpboost_tpu as gpb
+            rng_ng = np.random.default_rng(0)
+            coords_ng = rng_ng.uniform(size=(n, 2)).astype(np.float64)
+            f_lat = np.sin(6 * coords_ng[:, 0]) + np.cos(4 * coords_ng[:, 1])
+            p_ng = 1.0 / (1.0 + np.exp(-f_lat))
+            yb_ng = rng_ng.binomial(1, p_ng).astype(np.float64)
+
+            mdl_ng = gpb.GPModel(
+                gp_coords=coords_ng, cov_function="exponential",
+                gp_approx="vecchia", num_neighbors=m,
+                likelihood="bernoulli_logit",
+                matrix_inversion_method="iterative", dtype=jnp.float32)
+            cp_ng = np.array([1.0, 0.1])
+            mdl_ng.neg_log_likelihood(cov_pars=cp_ng, y=yb_ng)  # compile
+            t0 = time.time()
+            v_ng = mdl_ng.neg_log_likelihood(cov_pars=cp_ng, y=yb_ng)
+            northstar["ng_nll_eval_s"] = round(time.time() - t0, 4)
+            northstar["ng_nll_value"] = float(v_ng)
+
+            mdl_ng.set_optim_params({"optimizer_cov": "lbfgs", "maxit": 50,
+                                     "init_cov_pars": cp_ng})
+            t0 = time.time()
+            mdl_ng.fit(y=yb_ng)
+            northstar["ng_fit_100k_first_s"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            mdl_ng.fit(y=yb_ng)
+            northstar["ng_fit_100k_s"] = round(time.time() - t0, 3)
+            northstar["ng_fit_cov_pars"] = [
+                round(float(x), 4) for x in np.asarray(mdl_ng.cov_pars_)]
+
+            # 30-round LaGaBoost @ 100k (binary response + latent GP)
+            rngb2 = np.random.default_rng(1)
+            Xn = rngb2.uniform(size=(n, 5))
+            Fb = 2.0 * np.sin(5 * Xn[:, 0]) + Xn[:, 1] ** 2 + Xn[:, 2]
+            Fb = Fb - Fb.mean()
+            pb = 1.0 / (1.0 + np.exp(-(Fb + f_lat)))
+            ybb = rng_ng.binomial(1, pb).astype(np.float64)
+            gp_ng = gpb.GPModel(
+                gp_coords=coords_ng, cov_function="exponential",
+                gp_approx="vecchia", num_neighbors=m,
+                likelihood="bernoulli_logit",
+                matrix_inversion_method="iterative", dtype=jnp.float32)
+            gp_ng.set_optim_params({"optimizer_cov": "lbfgs",
+                                    "init_cov_pars": cp_ng})
+            params_ng = {"objective": "binary", "num_leaves": 31,
+                         "learning_rate": 0.1, "min_data_in_leaf": 20,
+                         "verbose": -1}
+            ds_ng = gpb.Dataset(Xn, label=ybb)
+            t0 = time.time()
+            gpb.train(params_ng, ds_ng, gp_model=gp_ng, num_boost_round=30)
+            northstar["lagaboost_30r_100k_s"] = round(time.time() - t0, 3)
+            params_ng_dev = dict(params_ng, device_resident_boosting="true")
+            t0 = time.time()
+            gpb.train(params_ng_dev, ds_ng, gp_model=gp_ng,
+                      num_boost_round=30)
+            northstar["lagaboost_30r_100k_device_first_s"] = round(
+                time.time() - t0, 3)
+            t0 = time.time()
+            gpb.train(params_ng_dev, ds_ng, gp_model=gp_ng,
+                      num_boost_round=30)
+            northstar["lagaboost_30r_100k_steady_s"] = round(
+                time.time() - t0, 3)
+
+            # gaussian Vecchia 100k -> 100k prediction (mean + var, warm)
+            y_g = f_lat + 0.5 * rng_ng.standard_normal(n)
+            rngp = np.random.default_rng(2)
+            coords_p = rngp.uniform(size=(n, 2)).astype(np.float64)
+            mg = gpb.GPModel(gp_coords=coords_ng,
+                             cov_function="exponential",
+                             gp_approx="vecchia", num_neighbors=m,
+                             dtype=jnp.float32)
+            cp_g = np.array([0.25, 1.0, 0.1])
+            mg.predict(y=y_g, gp_coords_pred=coords_p, cov_pars=cp_g,
+                       predict_var=True, predict_response=False)  # compile
+            t0 = time.time()
+            pr = mg.predict(y=y_g, gp_coords_pred=coords_p, cov_pars=cp_g,
+                            predict_var=True, predict_response=False)
+            northstar["pred_100k_mean_var_s"] = round(time.time() - t0, 3)
+
     # baseline: reference GPBoost multicore-CPU Vecchia NLL evals/s at the
     # same n, m. Measured via the reference python package if available, else
     # the recorded value from a prior measurement on this machine class.
@@ -347,6 +433,19 @@ def main():
         northstar["gpboost_30r_steady_speedup_vs_baseline"] = round(
             ns_base["gpboost_30r_100k_s"]
             / northstar["gpboost_30r_100k_steady_s"], 3)
+    # non-Gaussian + prediction ratios (ref measured via /tmp/ref_ng_baseline)
+    for ours, base in (("ng_nll_eval_s", "ng_nll_eval_s"),
+                       ("ng_fit_100k_s", "ng_fit_100k_s"),
+                       ("lagaboost_30r_100k_s", "lagaboost_30r_100k_s"),
+                       ("pred_100k_mean_var_s", "pred_100k_mean_var_s")):
+        if northstar.get(ours) and ns_base.get(base):
+            northstar[ours.replace("_s", "") + "_speedup_vs_baseline"] = \
+                round(ns_base[base] / northstar[ours], 3)
+    if (northstar.get("lagaboost_30r_100k_steady_s")
+            and ns_base.get("lagaboost_30r_100k_s")):
+        northstar["lagaboost_30r_steady_speedup_vs_baseline"] = round(
+            ns_base["lagaboost_30r_100k_s"]
+            / northstar["lagaboost_30r_100k_steady_s"], 3)
 
     print(json.dumps({
         "metric": f"vecchia_gp_nll_evals_per_s_n{n}_m{m}",

@@ -80,6 +80,29 @@ def _vg_psi_for(vec, dtype):
     return vg_fn, psi_fn, dtype
 
 
+def _ng_fused_ok(gp, ds) -> bool:
+    """Extra constraints for the fused NON-GAUSSIAN (LaGaBoost) loop: the
+    Laplace refit must be servable by the matrix-free iterative objective
+    (``vecchia_fit.ng_device_vg``) with the whole theta = log cov_pars —
+    no estimated aux parameters, no heteroscedastic stacking."""
+    if gp.likelihood == "gaussian_heteroscedastic":
+        return False
+    from gpboost_tpu import likelihoods as lk
+    fam = lk.get_family(gp.likelihood)
+    ia = fam.default_aux_pars(getattr(gp, "likelihood_additional_param",
+                                      None))
+    cfg = gp.optim_cfg
+    if ia is not None and len(ia) and cfg.estimate_aux_pars:
+        return False
+    use_iter = (getattr(gp, "matrix_inversion_method", "cholesky")
+                == "iterative" or ds.num_data > 8192)
+    if not use_iter:
+        return False
+    from gpboost_tpu.models import vecchia_fit
+    return vecchia_fit.ng_device_fit_eligible(
+        gp, cfg, is_het=False, has_coef=False, use_iterative=True)
+
+
 def eligible(booster, num_boost_round=0, fobj=None, callbacks=None) -> bool:
     """True when the whole training loop can run as one device program.
 
@@ -118,9 +141,12 @@ def eligible(booster, num_boost_round=0, fobj=None, callbacks=None) -> bool:
     if not isinstance(obj, GPBoostObjective):
         return False
     gp = booster.gp_model
-    if gp is None or not gp.spec.is_gaussian:
+    if gp is None:
         return False
     if not obj.train_gp_model_cov_pars:
+        return False
+    is_gaussian = gp.spec.is_gaussian
+    if not is_gaussian and not _ng_fused_ok(gp, booster.train_set):
         return False
     if booster.num_models != 1 or booster.trees:
         return False
@@ -169,8 +195,8 @@ def eligible(booster, num_boost_round=0, fobj=None, callbacks=None) -> bool:
         return False
     if cfg.estimate_cov_par_index is not None or cfg.std_dev:
         return False
-    if jax.default_backend() == "tpu" and \
-            getattr(vec, "_vg_pallas_jit", None) is None:
+    if (is_gaussian and jax.default_backend() == "tpu"
+            and getattr(vec, "_vg_pallas_jit", None) is None):
         return False
     if mode == "true" or force:
         return True
@@ -196,12 +222,37 @@ _FUSED_RUNNERS: "OrderedDict" = OrderedDict()
 _FUSED_RUNNERS_MAX = 8
 
 
+def _fns_for(booster):
+    """(vg_fn, aux_fn, kernel dtype) for the fused loop's per-round refit:
+    Gaussian = (Pallas/XLA value+grad, Psi^-1-solve); non-Gaussian =
+    (iterative Laplace value+grad, dNLL/dF) from ``vecchia_fit.ng_device_vg``
+    — both cached on the VecchiaGP so ids are stable for the runner cache."""
+    gp = booster.gp_model
+    if gp.spec.is_gaussian:
+        return _vg_psi_for(gp._approx, gp.dtype)
+    from gpboost_tpu import likelihoods as lk
+    from gpboost_tpu.models import vecchia_fit
+    fam = lk.get_family(gp.likelihood)
+    init_cov = (gp.cov_pars_ if gp.cov_pars_ is not None
+                else gp.optim_cfg.init_cov_pars)
+    if init_cov is None:
+        init_cov = gp._default_init_cov_pars(
+            np.asarray(booster.train_set.label, np.float64))
+    n_cov = len(init_cov)
+    aux_fixed = getattr(gp, "aux_pars_", None)
+    if aux_fixed is None:
+        aux_fixed = fam.default_aux_pars(
+            getattr(gp, "likelihood_additional_param", None))
+    vg, grad_F = vecchia_fit.ng_device_vg(gp, n_cov, 0, aux_fixed, fam)
+    return vg, grad_F, gp.dtype
+
+
 def _runner_key(booster, R: int):
     ds = booster.train_set
     gp = booster.gp_model
     grower = booster.grower
     cfg = gp.optim_cfg
-    vg_fn, psi_fn, kdt = _vg_psi_for(gp._approx, gp.dtype)
+    vg_fn, psi_fn, kdt = _fns_for(booster)
     efb = getattr(ds, "efb", None)
     return (id(vg_fn), id(psi_fn), id(ds.binned), R,
             2 * grower.num_leaves - 1, int(ds.max_num_bins), ds.num_data,
@@ -241,7 +292,8 @@ def train_device(booster, num_boost_round: int) -> None:
     M = 2 * grower.num_leaves - 1
     B = int(ds.max_num_bins)
 
-    vg_fn, psi_fn, kdt = _vg_psi_for(vec, gp.dtype)
+    is_gaussian = gp.spec.is_gaussian
+    vg_fn, aux_fn, kdt = _fns_for(booster)
     cfg = gp.optim_cfg
     y64 = np.asarray(ds.label, np.float64)
     resid0 = y64 - booster._score[:n]
@@ -250,7 +302,8 @@ def train_device(booster, num_boost_round: int) -> None:
     elif cfg.init_cov_pars is not None:
         init = np.asarray(cfg.init_cov_pars, np.float64)
     else:
-        init = np.asarray(gp._default_init_cov_pars(resid0), np.float64)
+        init = np.asarray(gp._default_init_cov_pars(
+            resid0 if is_gaussian else y64), np.float64)
     theta0 = jnp.asarray(np.log(np.maximum(init, 1e-300)), kdt)
     maxit, ftol = int(cfg.maxit), float(cfg.delta_rel_conv)
 
@@ -288,20 +341,39 @@ def train_device(booster, num_boost_round: int) -> None:
         min_data_per_group=float(grower.min_data_per_group),
         max_cat_to_onehot=int(grower.max_cat_to_onehot))
 
+    def refit(th, y, F):
+        """One covariance refit at the current score + the tree gradient.
+
+        Gaussian: L-BFGS over the Vecchia NLL of the residual, with the
+        pseudo-gradient solve Psi^-1 r fused as the loop's final_fn; the
+        objective gradient is -Psi^-1 (y - F).
+        Non-Gaussian (LaGaBoost): L-BFGS over the iterative Laplace NLL at
+        fixed effects F (mode finding inside, custom-VJP Newton-CG), with
+        dNLL/dF fused as final_fn — the reference's mode-Newton +
+        Laplace-gradient flow (likelihoods.h:1843,
+        regression_objective.hpp:173-186) in ONE traced program.
+
+        NOTE: each per-round refit restarts L-BFGS curvature memory,
+        matching the TPU product path (lbfgs_device is also memory-less).
+        The host CPU loop with reuse_learning_rates_gp_model keeps (s, y)
+        memory across refits (lbfgs_host + cfg.lbfgs_reuse_mem), so a
+        CPU-forced fused run follows a slightly different refit trajectory
+        than the host loop — a documented divergence (ADVICE r4 #3); both
+        converge to the same optima and the parity tests compare the fused
+        loop against stepwise execution of the same primitives.
+        """
+        if is_gaussian:
+            resid = (y - F).astype(kdt)
+            th, v, k, aux = lbfgs_loop(vg_fn, maxit, ftol, kdt, aux_fn,
+                                       th, resid, neighbors)
+            return th, v, k, (-aux).astype(jnp.float32)
+        th, v, k, gF = lbfgs_loop(vg_fn, maxit, ftol, kdt, aux_fn,
+                                  th, y.astype(kdt), F.astype(kdt))
+        return th, v, k, gF.astype(jnp.float32)
+
     def one_round(i, carry):
         F, th, y, st = carry
-        resid = (y - F).astype(kdt)
-        # NOTE: each per-round refit restarts L-BFGS curvature memory,
-        # matching the TPU product path (lbfgs_device is also memory-less).
-        # The host CPU loop with reuse_learning_rates_gp_model keeps (s, y)
-        # memory across refits (lbfgs_host + cfg.lbfgs_reuse_mem), so a
-        # CPU-forced fused run follows a slightly different refit trajectory
-        # than the host loop — a documented divergence (ADVICE r4 #3); both
-        # converge to the same optima and the parity tests compare the fused
-        # loop against stepwise execution of the same primitives.
-        th, v, k, aux = lbfgs_loop(vg_fn, maxit, ftol, kdt, psi_fn,
-                                   th, resid, neighbors)
-        g = (-aux).astype(jnp.float32)
+        th, v, k, g = refit(th, y, F)
         out = _grow_tree_jit(
             binned, num_bins, g, ones_h, B, int(grower.num_leaves),
             int(grower.max_depth), row_mask, grower.lambda_l1,
@@ -355,7 +427,7 @@ def train_device(booster, num_boost_round: int) -> None:
             return F, th, st
 
         # strong refs keep the id() keys valid
-        _FUSED_RUNNERS[key] = (vg_fn, psi_fn, binned, run)
+        _FUSED_RUNNERS[key] = (vg_fn, aux_fn, binned, run)
         while len(_FUSED_RUNNERS) > _FUSED_RUNNERS_MAX:
             _FUSED_RUNNERS.popitem(last=False)
 

@@ -1,6 +1,7 @@
 """Fit driver for Vecchia-approximated models (Gaussian + Laplace)."""
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -9,6 +10,77 @@ import numpy as np
 
 from gpboost_tpu import likelihoods as lk
 from gpboost_tpu.models import optimizers
+
+
+def ng_iter_kwargs(cfg, n: int) -> dict:
+    """Iterative Vecchia-Laplace settings derived from the optimizer config
+    (single source for the host fit, the whole-fit-on-device driver, and the
+    fused LaGaBoost loop)."""
+    return dict(
+        num_rand_vec_trace=max(cfg.num_rand_vec_trace, 200),
+        lanczos_steps=min(int(cfg.cg_max_num_it_tridiag), 100, n),
+        cg_tol=cfg.cg_delta_conv, cg_max_iter=cfg.cg_max_num_it,
+        seed_rand_vec_trace=cfg.seed_rand_vec_trace,
+        preconditioner=cfg.cg_preconditioner_type,
+        piv_chol_rank=cfg.piv_chol_rank)
+
+
+def ng_device_vg(model, n_cov: int, n_aux: int, aux_fixed, fam):
+    """Operand-parameterized non-Gaussian Vecchia-Laplace objective for the
+    whole-fit-on-device drivers.
+
+    Returns ``(vg, grad_F)`` with ``vg(theta, y, fp) -> (nll, d nll/d theta)``
+    and ``grad_F(theta, y, fp) -> d nll/d F`` — the LaGaBoost pseudo
+    gradients (``regression_objective.hpp:173-186``). ``y`` and the fixed
+    effects are TRACED operands, so ONE compiled L-BFGS driver serves every
+    per-boosting-iteration refit, and the fused device training loop
+    (``boosting/device_loop.py``) can call the same functions inside its
+    round loop. Cached on the VecchiaGP instance (stable ids key the
+    compiled-runner caches)."""
+    vec = model._approx
+    cfg = model.optim_cfg
+    kw = ng_iter_kwargs(cfg, vec.n)
+    key = (n_cov, n_aux,
+           None if aux_fixed is None
+           else tuple(np.asarray(aux_fixed, np.float64).tolist()),
+           tuple(sorted((k, str(v)) for k, v in kw.items())),
+           str(model.dtype))
+    cache = getattr(vec, "_ng_vg_cache", None)
+    if cache is not None and cache[0] == key:
+        return cache[1], cache[2]
+    aux_j = (None if aux_fixed is None
+             else jnp.asarray(np.asarray(aux_fixed, np.float64), vec.dtype))
+
+    def _nll(theta, y_op, fp_op):
+        cov = jnp.exp(theta[:n_cov])
+        aux = (lk.aux_from_optim_scale(fam, theta[n_cov:n_cov + n_aux])
+               if n_aux else aux_j)
+        return vec.nll_laplace_iterative(cov, y_op, aux, fp_op, **kw)
+
+    vg = jax.jit(jax.value_and_grad(_nll))
+    grad_F = jax.jit(jax.grad(_nll, argnums=2))
+    vec._ng_vg_cache = (key, vg, grad_F)
+    return vg, grad_F
+
+
+def ng_device_fit_eligible(model, cfg, is_het: bool, has_coef: bool,
+                           use_iterative: bool) -> bool:
+    """Whole-fit-on-device eligibility for the NG Vecchia-Laplace fit: the
+    matrix-free iterative objective with no host-interactive pieces (no
+    coefficient alternation, no ARD neighbor redetermination, no mesh
+    padding, no heteroscedastic stacking)."""
+    vec = model._approx
+    return (not is_het and not has_coef and use_iterative
+            and getattr(vec, "z", None) is None
+            and getattr(vec, "_shard_nb", None) is None
+            and getattr(model, "_mesh", None) is None
+            and vec.cov_fn.is_isotropic
+            and hasattr(vec, "nll_laplace_iterative")
+            and cfg.optimizer_cov in ("lbfgs",
+                                      "lbfgs_linesearch_nocedal_wright")
+            and cfg.estimate_cov_par_index is None and not cfg.std_dev
+            and (jax.default_backend() == "tpu"
+                 or os.environ.get("GPBOOST_TPU_FORCE_DEVICE_LOOP") == "1"))
 
 
 def fit(model, data, fixed_effects: Optional[jnp.ndarray] = None):
@@ -205,7 +277,15 @@ def fit(model, data, fixed_effects: Optional[jnp.ndarray] = None):
                      # sharded (SPMD) Vecchia-Laplace fit; the dense path
                      # would run replicated with [n, n] matrices
                      or (getattr(vec, "_shard_nb", None) is not None
-                         and not is_het))
+                         and not is_het)
+                     # large n: the dense Laplace path materializes [n, n];
+                     # the matrix-free CG + SLQ path plays the role of the
+                     # reference's SPARSE Cholesky at scale
+                     # (re_model_template.h matrix_inversion_method; ours
+                     # auto-routes where the reference's sparse factors do)
+                     or (not is_het and y_np.shape[0] > 8192
+                         and hasattr(vec, "nll_laplace_iterative")
+                         and getattr(vec, "z", None) is None))
     if hasattr(vec, "ensure_neighbors"):
         # ARD kernels: determine neighbors in the scaled space of the inits
         vec.ensure_neighbors(np.exp(theta0[:n_cov]))
@@ -246,7 +326,20 @@ def fit(model, data, fixed_effects: Optional[jnp.ndarray] = None):
         v, g = vgrad(jnp.asarray(theta, dtype=jnp.float64))
         return float(v), np.asarray(g, dtype=np.float64)
 
-    if cfg.optimizer_cov in ("lbfgs", "lbfgs_linesearch_nocedal_wright"):
+    if ng_device_fit_eligible(model, cfg, is_het, has_coef, use_iterative):
+        # whole-fit-on-device NG Vecchia-Laplace: mode finding (custom-VJP
+        # Newton-CG) + SLQ logdet + L-BFGS all inside ONE lax.while_loop
+        # dispatch — the host-driven loop pays a blocking tunnel round trip
+        # per objective evaluation (reference flow being replaced:
+        # OptimLinRegrCoefCovPar driving FindModePostRandEffCalcMLLVecchia,
+        # likelihoods.h:2765)
+        vg_dev, _ = ng_device_vg(model, n_cov, n_aux, aux_fixed, fam)
+        fp_j = (jnp.zeros(vec.n, model.dtype) if fixed_effects is None
+                else jnp.asarray(fixed_effects, model.dtype))
+        result = optimizers.lbfgs_device(
+            vg_dev, theta0, cfg, model.dtype,
+            jnp.asarray(y, model.dtype), fp_j)
+    elif cfg.optimizer_cov in ("lbfgs", "lbfgs_linesearch_nocedal_wright"):
         result = optimizers.lbfgs(vg, theta0, cfg)
     elif cfg.optimizer_cov == "nelder_mead":
         result = optimizers.nelder_mead(lambda t: vg(t)[0], theta0, cfg)

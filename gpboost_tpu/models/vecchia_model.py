@@ -1238,8 +1238,20 @@ class VecchiaGP:
         w = -fam.d2_loc(yp, loc, aux)
         return b, w, Q
 
-    def grad_F_laplace(self, cov_pars, y, aux_pars, fixed_part):
-        """d NLL / dF for LaGaBoost with Vecchia (autodiff)."""
+    def grad_F_laplace(self, cov_pars, y, aux_pars, fixed_part,
+                       iterative: Optional[bool] = None, **iter_kwargs):
+        """d NLL / dF for LaGaBoost with Vecchia (autodiff;
+        ``regression_objective.hpp:173-186``). Routes through the dense
+        Laplace NLL at small n and the matrix-free iterative one past the
+        dense-feasibility envelope (same rule as the fit driver)."""
+        if iterative is None:
+            iterative = self.n > 8192 and self.z is None
+        if iterative:
+            def f(fe):
+                return self.nll_laplace_iterative(cov_pars, y, aux_pars, fe,
+                                                  **iter_kwargs)
+            return jax.grad(f)(fixed_part)
+
         def f(fe):
             return self.nll_laplace(cov_pars, y, aux_pars, fe)
         return jax.grad(f)(fixed_part)

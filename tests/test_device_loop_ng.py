@@ -1,0 +1,177 @@
+"""Fused (whole-training-loop-on-device) LaGaBoost — the non-Gaussian
+extension of boosting/device_loop.py (VERDICT round-4 #1c).
+
+Per round the fused program runs: L-BFGS over the iterative Vecchia-Laplace
+NLL at the current score (mode finding via custom-VJP Newton-CG inside),
+dNLL/dF fused as the loop's final_fn, jitted tree growth on that gradient,
+and the score update — reference flow ``likelihoods.h:1843`` driven from
+``regression_objective.hpp:173-186``. Held to a step-by-step host
+orchestration of the SAME primitives, plus end-to-end quality/eligibility.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gpboost_tpu as gpb
+from gpboost_tpu.boosting import device_loop
+
+N = 500
+R = 4
+
+PARAMS = {"objective": "binary", "num_leaves": 15, "learning_rate": 0.1,
+          "min_data_in_leaf": 10, "verbose": -1}
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(11)
+    coords = rng.uniform(size=(N, 2))
+    X = rng.uniform(size=(N, 3))
+    F = 1.5 * np.sin(5 * X[:, 0]) + X[:, 1]
+    F = F - F.mean()
+    lat = np.sin(4 * coords[:, 0]) + np.cos(3 * coords[:, 1])
+    p = 1.0 / (1.0 + np.exp(-(F + lat)))
+    y = rng.binomial(1, p).astype(np.float64)
+    return coords, X, y
+
+
+def _make_gp(coords):
+    gp = gpb.GPModel(gp_coords=coords, cov_function="exponential",
+                     gp_approx="vecchia", num_neighbors=8,
+                     vecchia_ordering="none",
+                     likelihood="bernoulli_logit",
+                     matrix_inversion_method="iterative")
+    gp.set_optim_params({"optimizer_cov": "lbfgs", "maxit": 10,
+                         "init_cov_pars": [1.0, 0.1]})
+    return gp
+
+
+def _train_fused(coords, X, y, monkeypatch, rounds=R):
+    monkeypatch.setenv("GPBOOST_TPU_FORCE_DEVICE_LOOP", "1")
+    gp = _make_gp(coords)
+    bst = gpb.train(dict(PARAMS), gpb.Dataset(X, label=y), gp_model=gp,
+                    num_boost_round=rounds)
+    return bst, gp
+
+
+def test_ng_fused_matches_stepwise_orchestration(data, monkeypatch):
+    from gpboost_tpu.boosting.tree import _grow_tree_jit
+    from gpboost_tpu.models.optimizers import lbfgs_loop
+
+    coords, X, y = data
+    bst, gp = _train_fused(coords, X, y, monkeypatch)
+    assert len(bst.trees) == R
+    assert bst.device_training_info_["cov_nll"].shape == (R,)
+
+    # step-by-step replication with the same primitives
+    gp2 = _make_gp(coords)
+    ds = gpb.Dataset(X, label=y)
+    monkeypatch.setenv("GPBOOST_TPU_NO_DEVICE_LOOP", "1")
+    monkeypatch.setenv("GPBOOST_TPU_FORCE_DEVICE_LOOP", "0")
+    from gpboost_tpu.boosting.booster import Booster
+    b2 = Booster(params=dict(PARAMS), train_set=ds, gp_model=gp2)
+    b2.gp_model = gp2
+    vg, grad_F, dt = device_loop._fns_for(b2)
+    cfg = gp2.optim_cfg
+    th = jnp.asarray(np.log(np.asarray(cfg.init_cov_pars)), dt)
+    F = jnp.asarray(b2._score[:N], jnp.float64)
+    yj = jnp.asarray(y)
+    lr = PARAMS["learning_rate"]
+    g2 = b2.grower
+    num_bins = jnp.asarray(np.asarray(ds.num_bins))
+    efb = getattr(ds, "efb", None)
+    efb_maps = (None if efb is None else
+                (efb.src_col, efb.src_bin, efb.default_bin, efb.fix_mask))
+    step = jax.jit(lambda t, yo, fo: lbfgs_loop(
+        vg, int(cfg.maxit), float(cfg.delta_rel_conv), dt, grad_F,
+        t, yo, fo))
+    leaf_seq = []
+    for r in range(R):
+        th, v, k, gF = step(th, yj.astype(dt), F.astype(dt))
+        gr = jnp.asarray(gF, jnp.float32)
+        out = _grow_tree_jit(
+            ds.binned, num_bins, gr, jnp.ones(N, jnp.float32),
+            int(ds.max_num_bins), g2.num_leaves, g2.max_depth,
+            jnp.ones(N, bool), g2.lambda_l1, g2.lambda_l2,
+            float(g2.min_data_in_leaf), g2.min_sum_hessian_in_leaf,
+            g2.min_gain_to_split, efb_maps=efb_maps,
+            hist_B=0 if efb is None else int(efb.max_bins_hist),
+            hist_binned=None if efb is None else efb.binned_hist)
+        lv = out[4]
+        F = F + (lr * lv)[out[-1]].astype(F.dtype)
+        leaf_seq.append(np.asarray(lv))
+
+    # the CG + SLQ subgraphs compile with different fusion/reduction order
+    # inside the fori_loop than standalone, so agreement is tight but not
+    # bitwise (measured ~7e-7 leaf diff; the Gaussian loop IS bitwise,
+    # tests/test_device_loop.py)
+    np.testing.assert_allclose(np.asarray(bst._score[:N]), np.asarray(F),
+                               atol=1e-5)
+    for r in range(R):
+        np.testing.assert_allclose(
+            bst.trees[r].leaf_value, lr * leaf_seq[r], atol=1e-5)
+
+
+def test_ng_fused_quality_vs_host_loop(data, monkeypatch):
+    """Fused LaGaBoost reaches the same neighborhood as the host loop (same
+    primitives, different dispatch structure + memory-less refits)."""
+    coords, X, y = data
+    bst, gp = _train_fused(coords, X, y, monkeypatch, rounds=6)
+
+    monkeypatch.setenv("GPBOOST_TPU_FORCE_DEVICE_LOOP", "0")
+    monkeypatch.setenv("GPBOOST_TPU_NO_DEVICE_LOOP", "1")
+    gph = _make_gp(coords)
+    bsth = gpb.train(dict(PARAMS), gpb.Dataset(X, label=y), gp_model=gph,
+                     num_boost_round=6)
+    s_dev = np.asarray(bst._score[:N])
+    s_host = np.asarray(bsth._score[:N])
+    # same algorithm: scores track closely and cov pars agree loosely
+    assert np.sqrt(np.mean((s_dev - s_host) ** 2)) < 0.05 * np.std(s_host)
+    np.testing.assert_allclose(np.asarray(gp.cov_pars_),
+                               np.asarray(gph.cov_pars_), rtol=0.3)
+    # learned signal: training logloss beats the constant-score model
+    p0 = np.mean(y)
+    base = -np.mean(y * np.log(p0) + (1 - y) * np.log(1 - p0))
+    pd = 1.0 / (1.0 + np.exp(-s_dev))
+    ll = -np.mean(y * np.log(np.clip(pd, 1e-12, 1)) +
+                  (1 - y) * np.log(np.clip(1 - pd, 1e-12, 1)))
+    assert ll < 0.95 * base
+
+
+def test_ng_eligibility_gates(data, monkeypatch):
+    coords, X, y = data
+    monkeypatch.setenv("GPBOOST_TPU_FORCE_DEVICE_LOOP", "1")
+    calls = {"n": 0}
+    orig = device_loop.train_device
+
+    def spy(b, r):
+        calls["n"] += 1
+        return orig(b, r)
+
+    monkeypatch.setattr(device_loop, "train_device", spy)
+
+    # estimated aux pars (gamma shape) keep the host loop
+    yg = np.exp(np.clip(y + 0.5, 0.1, None))
+    gp = gpb.GPModel(gp_coords=coords, cov_function="exponential",
+                     gp_approx="vecchia", num_neighbors=8,
+                     likelihood="gamma", matrix_inversion_method="iterative")
+    gp.set_optim_params({"optimizer_cov": "lbfgs", "maxit": 3,
+                         "init_cov_pars": [1.0, 0.1]})
+    gpb.train(dict(PARAMS, objective="gamma"), gpb.Dataset(X, label=yg),
+              gp_model=gp, num_boost_round=2)
+    assert calls["n"] == 0
+    # dense (cholesky) inversion at small n keeps the host loop
+    gp = gpb.GPModel(gp_coords=coords, cov_function="exponential",
+                     gp_approx="vecchia", num_neighbors=8,
+                     likelihood="bernoulli_logit")
+    gp.set_optim_params({"optimizer_cov": "lbfgs", "maxit": 3,
+                         "init_cov_pars": [1.0, 0.1]})
+    gpb.train(dict(PARAMS), gpb.Dataset(X, label=y), gp_model=gp,
+              num_boost_round=2)
+    assert calls["n"] == 0
+    # the iterative bernoulli_logit case engages the fused loop
+    gp = _make_gp(coords)
+    gpb.train(dict(PARAMS), gpb.Dataset(X, label=y), gp_model=gp,
+              num_boost_round=2)
+    assert calls["n"] == 1
