@@ -548,15 +548,23 @@ class GPModel:
             "get_num_cg_steps is not implemented for this model structure")
 
     # ------------------------------------------------------------------
-    def use_mesh(self, mesh):
+    def use_mesh(self, mesh, halo: Optional[bool] = None):
         """Shard this model's row-parallel structure over a device mesh so
         ``fit``/``neg_log_likelihood`` run as SPMD programs (data-parallel
         rows, replicated parameters). Equivalent to constructing the model
         inside ``gpboost_tpu.use_mesh(mesh)``. Currently supported for the
         Vecchia approximation (the reference's distributed path likewise
-        targets large-data settings)."""
+        targets large-data settings).
+
+        ``halo``: force the no-replication layout (per-chip O(n/D) memory:
+        neighbor coordinates pre-gathered into row-sharded halos instead of
+        a replicated [n, d] table). Default auto-selects it past the
+        replication envelope (``GPBOOST_TPU_MESH_REPL_LIMIT_MB``, 2048)."""
         if self._approx is not None and hasattr(self._approx, "shard_over"):
-            self._approx.shard_over(mesh)
+            try:
+                self._approx.shard_over(mesh, halo=halo)
+            except TypeError:
+                self._approx.shard_over(mesh)
             return self
         if self._grouped_only:
             self._mesh = mesh

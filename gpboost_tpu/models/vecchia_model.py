@@ -11,6 +11,7 @@ O(n m); gradients by autodiff through the factor build (replacing
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Optional
 
@@ -220,6 +221,9 @@ class VecchiaGP:
         self.dtype = dtype
         self.mesh = None
         self._shard_nb = None
+        self._shard_nb_coords = None
+        self._halo = False
+        self._halo_vg = None
         # GP random coefficients (SVC): z[:, 0] = 1 is the base GP, further
         # columns multiply coefficient GPs with their own [var, range] pars
         self.z = None
@@ -289,7 +293,25 @@ class VecchiaGP:
         if par.active_mesh() is not None:
             self.shard_over(par.active_mesh())
 
-    def shard_over(self, mesh, axis: Optional[str] = None):
+    def _halo_auto(self, halo: Optional[bool]) -> bool:
+        """Decide the mesh layout: replicated gather tables (default) vs the
+        no-replication halo. Auto rule: replicating coords + y costs
+        n*(d+1)*8 B per chip; past ``GPBOOST_TPU_MESH_REPL_LIMIT_MB``
+        (default 2048) the halo layout drops the replicated tables from the
+        fit program (O(n/D) per chip). ``GPBOOST_TPU_MESH_HALO=1/0``
+        forces either layout."""
+        env = os.environ.get("GPBOOST_TPU_MESH_HALO")
+        if env is not None:
+            return env == "1"
+        if halo is not None:
+            return bool(halo)
+        limit_mb = float(os.environ.get("GPBOOST_TPU_MESH_REPL_LIMIT_MB",
+                                        2048))
+        d = int(self.coords_perm.shape[1])
+        return self.n * (d + 1) * 8 > limit_mb * 1e6
+
+    def shard_over(self, mesh, axis: Optional[str] = None,
+                   halo: Optional[bool] = None):
         """Shard the Gaussian-fit row structure over a device mesh.
 
         A padded copy of (neighbors, row coords, ordering permutation) with
@@ -311,6 +333,8 @@ class VecchiaGP:
         from gpboost_tpu import parallel as par
         self.mesh = mesh
         self._mesh_axis = axis
+        self._halo = (self._halo_auto(halo) if self.z is None
+                      and self.codes is None else False)
         self.coords = par.replicate(self.coords, mesh)
         self.coords_perm = par.replicate(self.coords_perm, mesh)
         if self.codes is not None:
@@ -323,9 +347,52 @@ class VecchiaGP:
             self.z_orig = par.replicate(self.z_orig, mesh)
             return self
         self._build_shard_arrays(mesh, axis)
-        if self._pallas_shape is not None:
+        if self._halo:
+            self._build_halo_vg()
+        elif self._pallas_shape is not None:
             self._build_pallas_mesh_jit()
         return self
+
+    def _build_halo_vg(self):
+        """Jitted pair for the PRODUCT-path halo fit (VERDICT r4 #2):
+
+        - ``_halo_prep(r)``: one residual-halo gather — the only program
+          that reads a replicated [n] vector; outputs are row-sharded
+          (r_row [n'], r_nb [n', m]).
+        - ``_halo_vg(th, r_row, r_nb)``: the per-evaluation value+grad —
+          consumes ONLY row-sharded arrays (neighbors, row coords, neighbor
+          coords, residual halos). No replicated [n, d] coordinate table or
+          [n] residual appears in this compiled program; XLA partitions the
+          factor build over rows and inserts the psum for the reductions.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        nb = self._shard_nb
+        row_coords = self._shard_row_coords
+        nbc = self._shard_nb_coords
+        w = self._shard_w
+        perm_pad = self._perm_pad
+        cov_fn = self.cov_fn
+        nugget_in = self.nugget_in_pars
+        ax = self._mesh_axis or "data"
+        row_sh = NamedSharding(self.mesh, P(ax))
+        halo_sh = NamedSharding(self.mesh, P(ax, None))
+
+        @partial(jax.jit, out_shardings=(row_sh, halo_sh))
+        def prep(r):
+            rp = jnp.asarray(r, self.dtype)[perm_pad]
+            return rp * w, jnp.where(nb >= 0, rp[jnp.maximum(nb, 0)], 0.0)
+
+        def _nll(t, r_row, r_nb):
+            cp = jnp.exp(t)
+            a, d = vops.build_factors(
+                cov_fn, cp[1:] if nugget_in else cp, None, nb,
+                cp[0] if nugget_in else None, nugget_in,
+                row_coords=row_coords, nb_coords=nbc)
+            return vops.vecchia_nll(a, d, nb, r_row, row_weight=w,
+                                    r_nb=r_nb)
+
+        self._halo_prep = prep
+        self._halo_vg = jax.jit(jax.value_and_grad(_nll))
 
     def _build_pallas_mesh_jit(self):
         """shard_map wrapper around the fused Pallas NLL+grad kernel: each
@@ -388,6 +455,16 @@ class VecchiaGP:
         self._shard_w = par.shard_rows(jnp.asarray(w, self.dtype), mesh,
                                        axis)
         self._perm_pad = par.replicate(jnp.asarray(perm), mesh)
+        if getattr(self, "_halo", False):
+            # no-replication layout: pre-gather each row's neighbor
+            # coordinates ONCE into a row-sharded [n', m, d] halo, so the
+            # fit program never touches a replicated [n, d] table
+            # (parallel/mesh.py module docstring, "past the envelope")
+            nbc = cp[np.maximum(nb, 0)]
+            self._shard_nb_coords = par.shard_rows(
+                jnp.asarray(nbc, self.dtype), mesh, axis)
+        else:
+            self._shard_nb_coords = None
 
     def _pallas_shape_code(self):
         """(matern-shape code, is_ard) for the fused factor kernel, or None
@@ -417,6 +494,13 @@ class VecchiaGP:
             # n=1e5, m=20)
             r = y if fp is None else y - fp
             return self._vg_pallas_jit(th, r, self.neighbors)
+        if getattr(self, "_halo_vg", None) is not None and self.mesh is not None:
+            # PRODUCT halo path: the evaluation program reads only
+            # row-sharded arrays; the residual halo gather runs as a
+            # separate small program per evaluation
+            r = y if fp is None else y - fp
+            r_row, r_nb = self._halo_prep(r)
+            return self._halo_vg(th, r_row, r_nb)
         if (getattr(self, "_vg_pallas_mesh_jit", None) is not None
                 and jax.default_backend() == "tpu"):
             # shard_map'd kernel: per-chip Pallas throughput + psum
@@ -475,6 +559,8 @@ class VecchiaGP:
                                              codes=self.codes_perm)
         if self.mesh is not None and self._shard_nb is not None:
             self._build_shard_arrays(self.mesh, self._mesh_axis)
+            if self._halo:
+                self._build_halo_vg()  # closures hold the old shard arrays
         self._ard_neighbors_pars = gp_pars
 
     def _pred_neighbors(self, gp_pars, coords_pred, codes_pred=None):
@@ -905,9 +991,17 @@ class VecchiaGP:
                      and not variance_reduction)
         if use_shard:
             nb = self._shard_nb
+            # halo layout: the factor build reads pre-gathered neighbor
+            # coords instead of the replicated table (mode-finder / logdet
+            # matvecs still gather globally — CG vectors change per
+            # iteration, so a per-iteration halo exchange would trade the
+            # replication for latency; coords are the dominant table)
             a, d = vops.build_factors(
-                self.cov_fn, cov_pars, self.coords_perm, nb, None, False,
-                row_coords=self._shard_row_coords)
+                self.cov_fn, cov_pars,
+                None if self._shard_nb_coords is not None
+                else self.coords_perm,
+                nb, None, False, row_coords=self._shard_row_coords,
+                nb_coords=self._shard_nb_coords)
             yp = y[self._perm_pad]
             Fp = (jnp.zeros(nb.shape[0], self.dtype) if fixed_part is None
                   else fixed_part[self._perm_pad])
@@ -1137,9 +1231,17 @@ class VecchiaGP:
         use_shard = self._shard_nb is not None and self.z is None
         if use_shard:
             nb = self._shard_nb
+            # halo layout: the factor build reads pre-gathered neighbor
+            # coords instead of the replicated table (mode-finder / logdet
+            # matvecs still gather globally — CG vectors change per
+            # iteration, so a per-iteration halo exchange would trade the
+            # replication for latency; coords are the dominant table)
             a, d = vops.build_factors(
-                self.cov_fn, cov_pars, self.coords_perm, nb, None, False,
-                row_coords=self._shard_row_coords)
+                self.cov_fn, cov_pars,
+                None if self._shard_nb_coords is not None
+                else self.coords_perm,
+                nb, None, False, row_coords=self._shard_row_coords,
+                nb_coords=self._shard_nb_coords)
             yp = y[self._perm_pad]
             Fp = (jnp.zeros(nb.shape[0], self.dtype) if fixed_part is None
                   else fixed_part[self._perm_pad])

@@ -952,15 +952,22 @@ def precision_matvec(a, neighbors, d_cond, v):
     return apply_Bt(a, neighbors, bv / d_cond)
 
 
-def vecchia_nll(a, d_cond, neighbors, r, row_weight=None):
+def vecchia_nll(a, d_cond, neighbors, r, row_weight=None, r_nb=None):
     """Gaussian Vecchia NLL for centered residual r.
 
     nll = 0.5 [ sum log D_i + sum (B r)_i^2 / D_i + n log 2pi ].
 
     ``row_weight`` (0/1) excludes padding rows — mesh-sharded layouts pad the
     row count to a device multiple and weight the pads out of the reduction.
+
+    ``r_nb`` [n, m]: PRE-GATHERED neighbor residuals (the halo layout, see
+    ``build_factors`` nb_coords): the B-apply then reads only row-local
+    arrays — no replicated global residual in the compiled program.
     """
-    br = apply_B(a, neighbors, r)
+    if r_nb is not None:
+        br = r - jnp.sum(a * jnp.where(neighbors >= 0, r_nb, 0.0), axis=1)
+    else:
+        br = apply_B(a, neighbors, r)
     per_row = jnp.log(d_cond) + br * br / d_cond + LOG_2PI
     if row_weight is not None:
         per_row = per_row * row_weight
