@@ -521,16 +521,18 @@ class Booster:
                 voting_ctx = self._voting_ctx
             # single-dispatch jitted grower on accelerators (covers
             # categoricals, extra_trees, path_smooth, max_delta_step,
-            # feature_fraction_bynode, interaction constraints); the
-            # host-driven grower handles monotone / CEGB / forced splits /
-            # voting (and stays the CPU default)
+            # feature_fraction_bynode, interaction constraints, monotone
+            # constraints, forced splits, CEGB); the host-driven grower
+            # handles voting and the CEGB x extra_trees/ffb combination
+            # (and stays the CPU default)
             force_fast = os.environ.get(
                 "GPBOOST_TPU_FORCE_FAST_GROWER") == "1"
             use_fast = ((jax.default_backend() != "cpu" or force_fast)
-                        and self._monotone is None
-                        and getattr(self, "_forced_splits", None) is None
-                        and self._cegb is None
-                        and voting_ctx is None)
+                        and voting_ctx is None
+                        and not (self._cegb is not None
+                                 and (self.grower.extra_trees
+                                      or self.grower.feature_fraction_bynode
+                                      < 1.0)))
             nan_mask = ds.has_nan if bool(np.any(ds.has_nan)) else None
             if nan_mask is not None and len(nan_mask) != n_feat_grower:
                 nan_mask = np.concatenate(
@@ -551,7 +553,10 @@ class Booster:
                         self.params.get("max_cat_threshold", 32)),
                     interaction_constraints=self._interaction_constraints,
                     rng=(self._extra_rng if self.grower.extra_trees
-                         else self._rng))
+                         else self._rng),
+                    monotone_constraints=self._monotone,
+                    forced_splits=getattr(self, "_forced_splits", None),
+                    cegb=self._cegb)
             else:
                 tree, row_leaf = grow_tree(
                     ds.binned, jnp.asarray(num_bins), jnp.asarray(g),

@@ -155,11 +155,9 @@ def eligible(booster, num_boost_round=0, fobj=None, callbacks=None) -> bool:
     if (booster.linear_tree or booster.leaves_newton_update
             or booster.line_search_step_length):
         return False
-    if (booster._monotone is not None
-            or getattr(booster, "_forced_splits", None)
-            or booster._cegb is not None
-            or booster._interaction_constraints):
-        return False
+    if booster._cegb is not None:
+        return False      # CEGB usage state crosses tree boundaries; the
+        # fused loop does not thread it through the round carry
     g = booster.grower
     if (g.extra_trees or g.feature_fraction_bynode < 1.0):
         return False        # per-leaf host-RNG draws
@@ -267,7 +265,12 @@ def _runner_key(booster, R: int):
             grower.max_cat_to_onehot,
             int(booster.params.get("max_cat_threshold", 32)),
             None if grower.feature_contri is None
-            else tuple(np.asarray(grower.feature_contri).tolist()))
+            else tuple(np.asarray(grower.feature_contri).tolist()),
+            None if booster._monotone is None
+            else tuple(np.asarray(booster._monotone).tolist()),
+            grower.monotone_constraints_method, grower.monotone_penalty,
+            str(getattr(booster, "_forced_splits", None)),
+            str(booster._interaction_constraints))
 
 
 def train_device(booster, num_boost_round: int) -> None:
@@ -328,7 +331,30 @@ def train_device(booster, num_boost_round: int) -> None:
                  else jnp.asarray(grower.feature_contri))
     row_mask = jnp.ones(n, bool)
     ones_h = jnp.ones(n, jnp.float32)
+    from gpboost_tpu.boosting.tree import flatten_forced_splits
+    ic = booster._interaction_constraints
+    ic_groups = None
+    if ic:
+        F_feat = int(binned.shape[1])
+        ic_np = np.zeros((len(ic), F_feat), bool)
+        for gi, grp in enumerate(ic):
+            for f in grp:
+                if int(f) < F_feat:
+                    ic_np[gi, int(f)] = True
+        ic_groups = jnp.asarray(ic_np)
+    mono = booster._monotone
+    mono_kwargs = {}
+    if mono is not None and bool(np.any(np.asarray(mono) != 0)):
+        mono_kwargs = dict(
+            mono_vec=jnp.asarray(mono, jnp.int32),
+            mono_intermediate=(grower.monotone_constraints_method
+                               in ("intermediate", "advanced")),
+            mono_penalty=float(grower.monotone_penalty))
     grow_kwargs = dict(
+        ic_groups=ic_groups,
+        forced_ops=flatten_forced_splits(
+            getattr(booster, "_forced_splits", None), grower.num_leaves),
+        **mono_kwargs,
         nan_mask=nan_mask_j, efb_maps=efb_maps, hist_B=hist_B,
         hist_binned=hist_binned, gain_mult=gain_mult,
         path_smooth=grower.path_smooth,

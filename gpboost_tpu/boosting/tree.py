@@ -1006,7 +1006,9 @@ def grow_tree(binned: jnp.ndarray, num_bins_per_feat: jnp.ndarray,
          static_argnames=("use_smoothing", "use_bounds", "use_extra",
                           "ffb_k", "max_cat_threshold", "cat_l2",
                           "cat_smooth", "min_data_per_group",
-                          "max_cat_to_onehot"))
+                          "max_cat_to_onehot", "mono_intermediate",
+                          "mono_penalty", "forced_ops", "cegb_tradeoff",
+                          "cegb_split_pen"))
 def _grow_tree_jit(binned, num_bins_per_feat, grad, hess,
                    max_num_bins: int, num_leaves: int, max_depth: int,
                    row_mask, l1, l2, min_data, min_hess, min_gain,
@@ -1019,7 +1021,14 @@ def _grow_tree_jit(binned, num_bins_per_feat, grad, hess,
                    max_cat_threshold: int = 32, cat_l2: float = 10.0,
                    cat_smooth: float = 10.0,
                    min_data_per_group: float = 100.0,
-                   max_cat_to_onehot: int = 4):
+                   max_cat_to_onehot: int = 4,
+                   mono_vec=None, mono_intermediate: bool = False,
+                   mono_penalty: float = 0.0,
+                   forced_ops: tuple = (),
+                   cegb_coupled=None, cegb_lazy=None,
+                   cegb_used0=None, cegb_data0=None,
+                   cegb_tradeoff: float = 1.0,
+                   cegb_split_pen: float = 0.0):
     """Whole-tree leaf-wise growth in ONE jitted program.
 
     The host-driven grower above dispatches ~15 device calls (with blocking
@@ -1045,16 +1054,33 @@ def _grow_tree_jit(binned, num_bins_per_feat, grad, hess,
       counter — replaces the host grower's numpy RNG calls;
     - ``ic_groups`` [G, F]: interaction constraints as per-node used-feature
       masks (serial_tree_learner.cpp GetAllowedFeatures role) — masking,
-      not host dicts.
+      not host dicts;
+    - ``mono_vec`` [F] (+ ``mono_intermediate``/``mono_penalty`` statics):
+      monotone constraints as per-node (lo, hi) bound ARRAYS in the carry —
+      basic midpoint bounds or intermediate actual-output bounds, with the
+      depth-dependent gain penalty (monotone_constraints.hpp:355);
+    - ``forced_ops``: static (leaf_id, feature, bin) prefix applied
+      root-first before best-first growth (forcedsplits_filename,
+      config.h:512) — unrolled, no dynamic control flow;
+    - ``cegb_*``: cost-effective gradient boosting — usage state
+      (``cegb_used0`` [F], ``cegb_data0`` [n, F] for lazy penalties)
+      carried through the loop and RETURNED (appended to the output tuple)
+      so it persists across trees; a freshly coupled-penalized feature
+      re-scores every other live leaf inside the loop, replicating the host
+      grower's rescore (cost_effective_gradient_boosting.hpp:93-109).
 
-    Monotone constraints / CEGB / forced splits / the voting learner stay on
-    the host grower.
+    Only the voting-parallel learner stays on the host grower.
     """
     n, F = binned.shape
     M = 2 * num_leaves - 1
     dtype = grad.dtype
     has_cat = cat_feature_mask is not None
     need_rng = use_extra or ffb_k > 0
+    use_mono = mono_vec is not None
+    use_cegb = cegb_used0 is not None
+    cegb_has_lazy = cegb_data0 is not None
+    NEG_INF = jnp.asarray(-jnp.inf, dtype)
+    POS_INF = jnp.asarray(jnp.inf, dtype)
     # EFB (see dataset.py EFBInfo): histograms build over bundle columns,
     # expanded to per-feature [F, B] only inside eval_leaf
     if hist_binned is None:
@@ -1081,7 +1107,9 @@ def _grow_tree_jit(binned, num_bins_per_feat, grad, hess,
             allowed = samp if allowed is None else allowed & samp
         return allowed
 
-    def eval_leaf(hist, pout_leaf, used_vec, ctr):
+    def eval_leaf(hist, pout_leaf, used_vec, ctr, lo=None, hi=None,
+                  depth_leaf=None, leaf_mask=None, cegb_used=None,
+                  cegb_data=None):
         """Best candidate split for one leaf: (f, bin/k, gain, ok,
         default_left, is_cat, cat_left_mask[B])."""
         hg, hh, hc = hist
@@ -1101,8 +1129,43 @@ def _grow_tree_jit(binned, num_bins_per_feat, grad, hess,
         if use_smoothing:
             kwargs.update(path_smooth=path_smooth,
                           parent_output=pout_leaf, use_smoothing=True)
-        if use_bounds:
-            kwargs.update(mono_lo=-mds, mono_hi=mds, use_bounds=True)
+        # output bounds: max_delta_step intersected with the leaf's monotone
+        # bounds (host grower's mono_kwargs assembly)
+        if use_bounds or (use_mono and mono_intermediate):
+            lo_e = lo if (use_mono and mono_intermediate) else NEG_INF
+            hi_e = hi if (use_mono and mono_intermediate) else POS_INF
+            if use_bounds:
+                lo_e = jnp.maximum(lo_e, -mds)
+                hi_e = jnp.minimum(hi_e, mds)
+            kwargs.update(mono_lo=lo_e, mono_hi=hi_e, use_bounds=True)
+        if use_mono:
+            kwargs["monotone"] = mono_vec
+            if mono_penalty > 0.0:
+                # ComputeMonotoneSplitGainPenalty (root split depth 0)
+                d = (depth_leaf - 1).astype(dtype)
+                factor = jnp.where(
+                    mono_penalty >= d + 1.0, 1e-15,
+                    jnp.where(mono_penalty <= 1.0,
+                              1.0 - mono_penalty / jnp.exp2(d) + 1e-15,
+                              1.0 - jnp.exp2(mono_penalty - 1.0 - d)
+                              + 1e-15))
+                kwargs["mono_penalty_mult"] = jnp.where(
+                    mono_vec != 0, factor, 1.0)
+        penalty = None
+        if use_cegb:
+            cnt_leaf = jnp.sum(leaf_mask.astype(dtype))
+            penalty = jnp.full((F,), cegb_tradeoff * cegb_split_pen
+                               * 0.0, dtype) + (cegb_tradeoff
+                                                * cegb_split_pen * cnt_leaf)
+            if cegb_coupled is not None:
+                penalty = penalty + cegb_tradeoff * jnp.where(
+                    cegb_used, 0.0, cegb_coupled.astype(dtype))
+            if cegb_has_lazy:
+                fresh = jnp.sum(
+                    (leaf_mask[:, None] & ~cegb_data).astype(dtype), axis=0)
+                penalty = penalty + (cegb_tradeoff
+                                     * cegb_lazy.astype(dtype) * fresh)
+            kwargs["penalty"] = penalty
         f, b, gain, ok, _, _, _, dl = find_best_split(
             hg, hh, hc, nb_num, l1, l2, min_data, min_hess, min_gain,
             nan_mask=nan_mask, extra_bins=extra_bins, gain_mult=gain_mult,
@@ -1114,7 +1177,8 @@ def _grow_tree_jit(binned, num_bins_per_feat, grad, hess,
             nb_cat = jnp.where(allowed, nb_cat, 0)
         fc, kc, gc, okc, order, _, _, _ = find_best_split_categorical(
             hg, hh, hc, nb_cat, cat_feature_mask, l1, l2, min_data,
-            min_hess, min_gain, max_cat_threshold, cat_l2=cat_l2,
+            min_hess, min_gain, max_cat_threshold, penalty=penalty,
+            cat_l2=cat_l2,
             cat_smooth=cat_smooth, min_data_per_group=min_data_per_group,
             max_cat_to_onehot=max_cat_to_onehot)
         cat_sel = okc & (~ok | (gc > gain))
@@ -1129,7 +1193,9 @@ def _grow_tree_jit(binned, num_bins_per_feat, grad, hess,
     used0 = jnp.zeros(F, bool) if ic_groups is not None else None
     hist0 = build_histogram(hist_binned, grad, hess, row_mask, hist_B)
     f0, b0, gain0, ok0, dl0, ic0, catm0 = eval_leaf(
-        hist0, jnp.zeros((), dtype), used0, 0)
+        hist0, jnp.zeros((), dtype), used0, 0,
+        lo=NEG_INF, hi=POS_INF, depth_leaf=jnp.asarray(1, jnp.int32),
+        leaf_mask=row_mask, cegb_used=cegb_used0, cegb_data=cegb_data0)
 
     z_f = jnp.zeros(M, dtype)
     z_i = jnp.zeros(M, jnp.int32)
@@ -1164,6 +1230,13 @@ def _grow_tree_jit(binned, num_bins_per_feat, grad, hess,
         state["bcat"] = jnp.zeros((M, max_num_bins), bool).at[0].set(catm0)
         state["iscat"] = jnp.zeros(M, bool)
         state["catmask"] = jnp.zeros((M, max_num_bins), bool)
+    if use_mono:
+        state["mlo"] = jnp.full(M, NEG_INF, dtype)
+        state["mhi"] = jnp.full(M, POS_INF, dtype)
+    if use_cegb:
+        state["cegb_used"] = cegb_used0
+        if cegb_has_lazy:
+            state["cegb_data"] = cegb_data0
 
     def cand_gains(s):
         ok = s["is_leaf"] & s["bok"]
@@ -1174,13 +1247,11 @@ def _grow_tree_jit(binned, num_bins_per_feat, grad, hess,
     def cond(s):
         return s["go"] & (s["num_leaves"] < num_leaves)
 
-    def body(s):
-        cg = cand_gains(s)
-        leaf = jnp.argmax(cg).astype(jnp.int32)
-        proceed = cg[leaf] > -jnp.inf
-        f_b = s["bf"][leaf]
-        b_b = s["bb"][leaf]
-        dl_b = s["bdl"][leaf]
+    def do_split(s, leaf, f_b, b_b, dl_b, cat_flag, catm_leaf, gain_rec,
+                 proceed):
+        """Apply one split to the carry: partition, child histograms +
+        candidate evals, monotone-bound / smoothing / cegb bookkeeping.
+        Shared by the best-first body and the unrolled forced prefix."""
         lid = s["next_node"]
         rid = lid + 1
         sel = (s["row_leaf"] == leaf) & row_mask
@@ -1190,10 +1261,17 @@ def _grow_tree_jit(binned, num_bins_per_feat, grad, hess,
             miss_right = nan_mask[f_b] & ~dl_b
             go_left &= ~(miss_right & (bvals == 0))
         if has_cat:
-            go_left = jnp.where(s["biscat"][leaf],
-                                s["bcat"][leaf][bvals], go_left)
+            go_left = jnp.where(cat_flag, catm_leaf[bvals], go_left)
         new_row_leaf = jnp.where(
             sel, jnp.where(go_left, lid, rid), s["row_leaf"])
+        # cegb usage marks happen on the PARENT rows before the children
+        # are scored (serial_tree_learner.cpp:571-575 order)
+        cegb_used_new = cegb_data_new = None
+        if use_cegb:
+            cegb_used_new = s["cegb_used"].at[f_b].set(True)
+            if cegb_has_lazy:
+                cegb_data_new = s["cegb_data"].at[:, f_b].set(
+                    s["cegb_data"][:, f_b] | sel)
         hist_l = jnp.stack(build_histogram(
             hist_binned, grad, hess, (new_row_leaf == lid) & row_mask,
             hist_B))
@@ -1204,11 +1282,12 @@ def _grow_tree_jit(binned, num_bins_per_feat, grad, hess,
         gs_r = jnp.sum(hist_r[0]) / HC
         hs_r = jnp.sum(hist_r[1]) / HC
         c_r = jnp.sum(hist_r[2]) / HC
-        if use_smoothing:
+        if use_smoothing or use_mono:
             def node_out(g, h, c):
                 o = -_threshold_l1(g, l1) / (h + l2 + 1e-15)
-                w = c / (c + path_smooth)
-                o = o * w + (1.0 - w) * s["pout"][leaf]
+                if use_smoothing:
+                    w = c / (c + path_smooth)
+                    o = o * w + (1.0 - w) * s["pout"][leaf]
                 if use_bounds:
                     o = jnp.clip(o, -mds, mds)
                 return o
@@ -1217,15 +1296,50 @@ def _grow_tree_jit(binned, num_bins_per_feat, grad, hess,
             po_r = node_out(gs_r, hs_r, c_r)
         else:
             po_l = po_r = jnp.zeros((), dtype)
+        # monotone bounds: clip the child outputs to the parent's bounds,
+        # then tighten the children on a monotone numeric split (basic =
+        # midpoint, intermediate/advanced = actual sibling outputs)
+        if use_mono:
+            lo = s["mlo"][leaf]
+            hi = s["mhi"][leaf]
+            l_c = jnp.clip(po_l, lo, hi)
+            r_c = jnp.clip(po_r, lo, hi)
+            dirn = mono_vec[f_b]
+            is_m = dirn != 0
+            if has_cat:
+                is_m &= ~cat_flag
+            if mono_intermediate:
+                bl_ref, br_ref = r_c, l_c
+            else:
+                bl_ref = br_ref = 0.5 * (l_c + r_c)
+            lo_l = jnp.where(dirn > 0, lo, jnp.maximum(lo, bl_ref))
+            hi_l = jnp.where(dirn > 0, jnp.minimum(hi, bl_ref), hi)
+            lo_r = jnp.where(dirn > 0, jnp.maximum(lo, br_ref), lo)
+            hi_r = jnp.where(dirn > 0, hi, jnp.minimum(hi, br_ref))
+            lo_l = jnp.where(is_m, lo_l, lo)
+            hi_l = jnp.where(is_m, hi_l, hi)
+            lo_r = jnp.where(is_m, lo_r, lo)
+            hi_r = jnp.where(is_m, hi_r, hi)
+            po_l, po_r = l_c, r_c   # smoothing chain stores parent-clipped
+        else:
+            lo_l = lo_r = NEG_INF
+            hi_l = hi_r = POS_INF
         if ic_groups is not None:
             uc = s["used"][leaf].at[f_b].set(True)
         else:
             uc = None
         ctr = s["ectr"] if need_rng else 0
+        eval_extra = dict(
+            cegb_used=cegb_used_new if use_cegb else None,
+            cegb_data=cegb_data_new if cegb_has_lazy else None)
         fl, bl, gl_, okl, dll, icl, cml = eval_leaf(
-            (hist_l[0], hist_l[1], hist_l[2]), po_l, uc, ctr)
+            (hist_l[0], hist_l[1], hist_l[2]), po_l, uc, ctr,
+            lo=lo_l, hi=hi_l, depth_leaf=s["depth"][leaf] + 1,
+            leaf_mask=(new_row_leaf == lid) & row_mask, **eval_extra)
         fr, br, gr_, okr, dlr, icr, cmr = eval_leaf(
-            (hist_r[0], hist_r[1], hist_r[2]), po_r, uc, ctr + 1)
+            (hist_r[0], hist_r[1], hist_r[2]), po_r, uc, ctr + 1,
+            lo=lo_r, hi=hi_r, depth_leaf=s["depth"][leaf] + 1,
+            leaf_mask=(new_row_leaf == rid) & row_mask, **eval_extra)
 
         def upd(arr, vals):
             return arr.at[jnp.stack([lid, rid])].set(jnp.stack(vals))
@@ -1242,7 +1356,7 @@ def _grow_tree_jit(binned, num_bins_per_feat, grad, hess,
             hist=s["hist"].at[lid].set(hist_l).at[rid].set(hist_r)
             .at[leaf].set(0.0),
             dleft=s["dleft"].at[leaf].set(dl_b),
-            sgain=s["sgain"].at[leaf].set(s["bgain"][leaf]),
+            sgain=s["sgain"].at[leaf].set(gain_rec),
             bf=upd(s["bf"], [fl, fr]), bb=upd(s["bb"], [bl, br]),
             bdl=upd(s["bdl"], [dll, dlr]),
             bgain=upd(s["bgain"], [gl_, gr_]),
@@ -1263,8 +1377,17 @@ def _grow_tree_jit(binned, num_bins_per_feat, grad, hess,
         if has_cat:
             new["biscat"] = upd(s["biscat"], [icl, icr])
             new["bcat"] = upd(s["bcat"], [cml, cmr])
-            new["iscat"] = s["iscat"].at[leaf].set(s["biscat"][leaf])
-            new["catmask"] = s["catmask"].at[leaf].set(s["bcat"][leaf])
+            new["iscat"] = s["iscat"].at[leaf].set(cat_flag)
+            new["catmask"] = s["catmask"].at[leaf].set(
+                catm_leaf if catm_leaf is not None
+                else jnp.zeros(max_num_bins, bool))
+        if use_mono:
+            new["mlo"] = upd(s["mlo"], [lo_l, lo_r])
+            new["mhi"] = upd(s["mhi"], [hi_l, hi_r])
+        if use_cegb:
+            new["cegb_used"] = cegb_used_new
+            if cegb_has_lazy:
+                new["cegb_data"] = cegb_data_new
         # no split left: keep the old state, stop (go must ALWAYS take the
         # new value or the loop would never terminate)
         merged = jax.tree_util.tree_map(
@@ -1272,7 +1395,73 @@ def _grow_tree_jit(binned, num_bins_per_feat, grad, hess,
         merged["go"] = proceed
         return merged
 
-    s = jax.lax.while_loop(cond, body, state)
+    def rescore_all(s):
+        """Re-score every live leaf's cached candidate from its histogram
+        with the CURRENT cegb state — the host grower's rescore when a
+        coupled-penalized feature first enters the model."""
+        def body_i(i, t):
+            hist_i = (t["hist"][i, 0], t["hist"][i, 1], t["hist"][i, 2])
+            pout_i = (t["pout"][i] if use_smoothing
+                      else jnp.zeros((), dtype))
+            used_i = t["used"][i] if ic_groups is not None else None
+            lo_i = t["mlo"][i] if use_mono else NEG_INF
+            hi_i = t["mhi"][i] if use_mono else POS_INF
+            mask_i = (t["row_leaf"] == i) & row_mask
+            f, b, g, ok, dl, ic_, cm = eval_leaf(
+                hist_i, pout_i, used_i, 0, lo=lo_i, hi=hi_i,
+                depth_leaf=t["depth"][i], leaf_mask=mask_i,
+                cegb_used=t["cegb_used"],
+                cegb_data=t.get("cegb_data"))
+            live = t["is_leaf"][i]
+
+            def u(a, v):
+                return a.at[i].set(jnp.where(live, v, a[i]))
+
+            t = dict(t)
+            t["bf"] = u(t["bf"], f)
+            t["bb"] = u(t["bb"], b)
+            t["bgain"] = u(t["bgain"], g)
+            t["bok"] = u(t["bok"], ok)
+            t["bdl"] = u(t["bdl"], dl)
+            if has_cat:
+                t["biscat"] = u(t["biscat"], ic_)
+                t["bcat"] = u(t["bcat"], cm)
+            return t
+
+        return jax.lax.fori_loop(0, M, body_i, s)
+
+    def body(s):
+        cg = cand_gains(s)
+        leaf = jnp.argmax(cg).astype(jnp.int32)
+        proceed = cg[leaf] > -jnp.inf
+        f_b = s["bf"][leaf]
+        b_b = s["bb"][leaf]
+        dl_b = s["bdl"][leaf]
+        cat_flag = (s["biscat"][leaf] if has_cat
+                    else jnp.zeros((), bool))
+        catm_leaf = s["bcat"][leaf] if has_cat else None
+        fresh = (use_cegb and cegb_coupled is not None
+                 and ~s["cegb_used"][f_b])
+        s2 = do_split(s, leaf, f_b, b_b, dl_b, cat_flag, catm_leaf,
+                      s["bgain"][leaf], proceed)
+        if use_cegb and cegb_coupled is not None:
+            s2 = jax.lax.cond(fresh & proceed, rescore_all,
+                              lambda t: t, s2)
+        return s2
+
+    # forced-splits prefix: a STATIC list of (leaf_id, feature, bin) applied
+    # unconditionally root-first (host grower apply_forced), unrolled —
+    # leaf ids are deterministic under the same next_node counter
+    s_run = state
+    for (leaf_py, f_py, b_py) in forced_ops:
+        s_run = do_split(
+            s_run, jnp.asarray(leaf_py, jnp.int32),
+            jnp.asarray(f_py, jnp.int32), jnp.asarray(b_py, jnp.int32),
+            jnp.asarray(True), jnp.zeros((), bool),
+            (jnp.zeros(max_num_bins, bool) if has_cat else None),
+            jnp.zeros((), dtype), jnp.asarray(True))
+
+    s = jax.lax.while_loop(cond, body, s_run)
     raw = -_threshold_l1(s["gsum"], l1) / (s["hsum"] + l2 + 1e-15)
     if use_smoothing:
         # non-root leaves take the output computed at creation (the host
@@ -1288,23 +1477,63 @@ def _grow_tree_jit(binned, num_bins_per_feat, grad, hess,
         leaf_value = jnp.where(s["is_leaf"], jnp.clip(raw, -mds, mds), 0.0)
     else:
         leaf_value = jnp.where(s["is_leaf"], raw, 0.0)
+    if use_mono:
+        # host grower: leaf values clipped to the node's monotone bounds
+        leaf_value = jnp.where(
+            s["is_leaf"], jnp.clip(leaf_value, s["mlo"], s["mhi"]), 0.0)
     iscat = s["iscat"] if has_cat else jnp.zeros(M, bool)
     catmask = (s["catmask"] if has_cat
                else jnp.zeros((M, max_num_bins), bool))
-    return (s["feature"], s["thresh"], s["left"], s["right"], leaf_value,
-            s["is_leaf"], s["cnt"], s["depth"], s["num_leaves"],
-            s["dleft"], s["sgain"], iscat, catmask, s["row_leaf"])
+    out = (s["feature"], s["thresh"], s["left"], s["right"], leaf_value,
+           s["is_leaf"], s["cnt"], s["depth"], s["num_leaves"],
+           s["dleft"], s["sgain"], iscat, catmask, s["row_leaf"])
+    if use_cegb:
+        return out + (s["cegb_used"],
+                      s["cegb_data"] if cegb_has_lazy
+                      else jnp.zeros((0, 0), bool))
+    return out
+
+
+def flatten_forced_splits(forced: Optional[dict],
+                          num_leaves: int) -> tuple:
+    """Resolve a forced-splits JSON tree (already bin-resolved, see
+    ``Booster._resolve_forced``) into the static (leaf_id, feature, bin)
+    prefix the jitted grower unrolls. Leaf ids follow the same next_node
+    counter as the growth loop (root-first order)."""
+    if not forced:
+        return ()
+    ops = []
+    counter = [1]
+
+    def walk(node, leaf_id):
+        if len(ops) + 1 >= num_leaves:
+            return
+        lid, rid = counter[0], counter[0] + 1
+        counter[0] += 2
+        ops.append((int(leaf_id), int(node["feature"]),
+                    int(node["threshold_bin"])))
+        if isinstance(node.get("left"), dict):
+            walk(node["left"], lid)
+        if isinstance(node.get("right"), dict):
+            walk(node["right"], rid)
+
+    walk(forced, 0)
+    return tuple(ops)
 
 
 def grow_tree_fast(binned, num_bins_per_feat, grad, hess, max_num_bins,
                    params: GrowerParams, row_mask=None, nan_mask=None,
                    efb=None, categorical_mask=None, max_cat_threshold=32,
-                   interaction_constraints=None, rng=None):
+                   interaction_constraints=None, rng=None,
+                   monotone_constraints=None, forced_splits=None,
+                   cegb: Optional["CEGBState"] = None):
     """Host wrapper for the jitted grower: returns (Tree, row_leaf) like
     :func:`grow_tree`. Covers numeric + categorical splits, path_smooth,
-    max_delta_step, extra_trees, feature_fraction_bynode, and interaction
-    constraints; monotone/CEGB/forced-splits/voting stay on the host
-    grower."""
+    max_delta_step, extra_trees, feature_fraction_bynode, interaction
+    constraints, monotone constraints (basic/intermediate/advanced +
+    penalty), forced splits, and CEGB; only voting stays on the host
+    grower. A given ``CEGBState`` is updated in place after the call (usage
+    state persists across trees, exactly like the host grower)."""
     n, F = binned.shape
     if row_mask is None:
         row_mask = jnp.ones(n, dtype=bool)
@@ -1335,6 +1564,31 @@ def grow_tree_fast(binned, num_bins_per_feat, grad, hess, max_num_bins,
         ic_groups = jnp.asarray(g_np)
     has_cat = (categorical_mask is not None
                and bool(np.any(categorical_mask)))
+    mono_kw = {}
+    if monotone_constraints is not None and bool(
+            np.any(np.asarray(monotone_constraints) != 0)):
+        mono_kw = dict(
+            mono_vec=jnp.asarray(monotone_constraints, jnp.int32),
+            mono_intermediate=(params.monotone_constraints_method
+                               in ("intermediate", "advanced")),
+            mono_penalty=float(params.monotone_penalty))
+    cegb_kw = {}
+    use_cegb = cegb is not None
+    if use_cegb:
+        if use_extra or ffb_k > 0:
+            raise NotImplementedError(
+                "the jitted grower does not combine CEGB with "
+                "extra_trees / feature_fraction_bynode")
+        cegb_kw = dict(
+            cegb_coupled=(None if cegb.coupled is None
+                          else jnp.asarray(cegb.coupled, jnp.float32)),
+            cegb_lazy=(None if cegb.lazy is None
+                       else jnp.asarray(cegb.lazy, jnp.float32)),
+            cegb_used0=jnp.asarray(cegb.feature_used_in_split),
+            cegb_data0=(None if cegb.lazy is None
+                        else cegb.feature_used_in_data),
+            cegb_tradeoff=float(cegb.tradeoff),
+            cegb_split_pen=float(cegb.penalty_split))
     out = _grow_tree_jit(
         binned, num_bins_per_feat, grad, hess, int(max_num_bins),
         int(params.num_leaves), int(params.max_depth), row_mask,
@@ -1356,7 +1610,14 @@ def grow_tree_fast(binned, num_bins_per_feat, grad, hess, max_num_bins,
         max_cat_threshold=int(max_cat_threshold),
         cat_l2=float(params.cat_l2), cat_smooth=float(params.cat_smooth),
         min_data_per_group=float(params.min_data_per_group),
-        max_cat_to_onehot=int(params.max_cat_to_onehot))
+        max_cat_to_onehot=int(params.max_cat_to_onehot),
+        forced_ops=flatten_forced_splits(forced_splits, params.num_leaves),
+        **mono_kw, **cegb_kw)
+    if use_cegb:
+        out, cegb_used_out, cegb_data_out = out[:14], out[14], out[15]
+        cegb.feature_used_in_split = np.asarray(cegb_used_out)
+        if cegb.lazy is not None:
+            cegb.feature_used_in_data = cegb_data_out
     # ONE device->host transfer for all outputs INCLUDING row_leaf
     # (separate np.asarray fetches each cost a full round trip over the
     # TPU tunnel; callers only ever consume row_leaf on the host)
