@@ -66,17 +66,26 @@ class ClusteredApprox:
         uniform FITC / full-scale-tapering sub-models."""
         from gpboost_tpu import parallel as par
         from gpboost_tpu.models.fitc_model import FITCGP
+        from gpboost_tpu.models.fsva_model import FSVAGP
         subs = self.subs
-        if not subs or not all(isinstance(s, FITCGP) for s in subs):
+        is_fsva = bool(subs) and all(isinstance(s, FSVAGP) for s in subs)
+        if not subs or not (is_fsva
+                            or all(isinstance(s, FITCGP) for s in subs)):
             raise NotImplementedError(
-                "cluster-axis mesh sharding requires FITC/FSA sub-models")
-        kinds = {s.gp_approx for s in subs}
+                "cluster-axis mesh sharding requires FITC/FSA/FSVA "
+                "sub-models")
+        kinds = ({"full_scale_vecchia"} if is_fsva
+                 else {s.gp_approx for s in subs})
         ks = {int(s.ind_points.shape[0]) for s in subs}
-        if len(kinds) != 1 or len(ks) != 1 or kinds == {"full_scale_vecchia"}:
+        if len(kinds) != 1 or len(ks) != 1:
             raise NotImplementedError(
-                "cluster-axis mesh sharding requires uniform fitc or "
-                "full_scale_tapering sub-models with equal inducing-point "
-                "counts")
+                "cluster-axis mesh sharding requires uniform sub-models "
+                "with equal inducing-point counts")
+        if is_fsva and any(s.neighbor_selection != "nearest" for s in subs):
+            raise NotImplementedError(
+                "cluster-axis mesh sharding with full_scale_vecchia "
+                "requires Euclidean neighbor selection (correlation-based "
+                "neighbors re-determine mid-fit)")
         self.mesh = mesh
         self._mesh_axis = axis
         kind = kinds.pop()
@@ -91,13 +100,23 @@ class ClusteredApprox:
         w_b = np.zeros((C_pad, n_max))
         idx_b = np.zeros((C_pad, n_max), np.int32)
         n_b = np.zeros(C_pad)
+        m_nb = (max(int(s.neighbors.shape[1]) for s in subs) if is_fsva
+                else 0)
+        nb_b = np.full((C_pad, n_max, max(m_nb, 1)), -1, np.int32)
         for c, (sub, ix) in enumerate(zip(subs, self.idx)):
             m = len(ix)
-            coords_b[c, :m] = np.asarray(sub.coords)
+            if is_fsva:
+                # FSVA rows live in the sub-model's PERMUTED order
+                coords_b[c, :m] = np.asarray(sub.coords_perm)
+                idx_b[c, :m] = ix[np.asarray(sub.perm)]
+                nbs = np.asarray(sub.neighbors)
+                nb_b[c, :m, :nbs.shape[1]] = nbs
+            else:
+                coords_b[c, :m] = np.asarray(sub.coords)
+                idx_b[c, :m] = ix
             coords_b[c, m:] = coords_b[c, :1]    # benign pad coordinates
             ind_b[c] = np.asarray(sub.ind_points)
             w_b[c, :m] = 1.0
-            idx_b[c, :m] = ix
             n_b[c] = m
         for c in range(C, C_pad):                # dummy pad clusters: NLL 0
             coords_b[c] = coords_b[0]
@@ -110,6 +129,8 @@ class ClusteredApprox:
         self._b_w = shard(w_b)
         self._b_idx = par.shard_rows(jnp.asarray(idx_b), mesh, axis)
         self._b_n = shard(n_b)
+        self._b_nb = (par.shard_rows(jnp.asarray(nb_b), mesh, axis)
+                      if is_fsva else None)
         self._batched = True
         self._vg_gaussian = jax.jit(jax.value_and_grad(
             lambda th, y, fp: self.nll_gaussian(jnp.exp(th), y, fp)))
@@ -121,6 +142,50 @@ class ClusteredApprox:
         r = y if fixed_part is None else y - fixed_part
         r_b = jnp.where(self._b_w > 0, r[self._b_idx], 0.0)
         sub0 = self.subs[0]
+        if self._b_kind == "full_scale_vecchia":
+            # per-cluster FSVA Woodbury NLL (fsva_model.nll_gaussian math)
+            # vmapped over the sharded cluster axis: pad rows get zeroed u
+            # rows + unit conditional variances, pad clusters contribute 0
+            import jax.scipy.linalg as jsl
+            from gpboost_tpu.models.fsva_model import JITTER
+            from gpboost_tpu.ops import vecchia as vops
+            from gpboost_tpu.ops.cov_fns import euclidean_distance
+            LOG_2PI = math.log(2.0 * math.pi)
+            cov_fn = sub0.cov_fn
+            gp_pars = cov_pars[1:]
+            k = int(sub0.ind_points.shape[0])
+
+            def one(c, ip, nb, rr, w, nn):
+                d_mm = euclidean_distance(ip, ip)
+                c_mm = cov_fn.cov_matrix(gp_pars, dist=d_mm) \
+                    + JITTER * gp_pars[0] * jnp.eye(k, dtype=c.dtype)
+                l_mm = jnp.linalg.cholesky(c_mm)
+                d_nm = euclidean_distance(c, ip)
+                u = cov_fn.cov_matrix(gp_pars, dist=d_nm)
+                v = jsl.solve_triangular(l_mm, u.T, lower=True)
+                a, dd = vops.build_factors_residual(
+                    cov_fn, gp_pars, c, nb, v, cov_pars[0], True)
+                u = u * w[:, None]
+                dd = jnp.where(w > 0, dd, 1.0)
+                li_r = vops.precision_matvec(a, nb, dd, rr)
+                li_u = jax.vmap(
+                    lambda col: vops.precision_matvec(a, nb, dd, col),
+                    in_axes=1, out_axes=1)(u)
+                M = jnp.matmul(l_mm, l_mm.T,
+                               precision=jax.lax.Precision.HIGHEST) \
+                    + u.T @ li_u
+                l_M = jnp.linalg.cholesky(M)
+                wv = u.T @ li_r
+                t = jsl.solve_triangular(l_M, wv, lower=True)
+                quad = jnp.dot(rr, li_r) - jnp.dot(t, t)
+                logdet = (jnp.sum(jnp.log(dd))
+                          + 2.0 * jnp.sum(jnp.log(jnp.diagonal(l_M)))
+                          - 2.0 * jnp.sum(jnp.log(jnp.diagonal(l_mm))))
+                return 0.5 * (quad + logdet + nn * LOG_2PI)
+
+            nll_c = jax.vmap(one)(self._b_coords, self._b_ind, self._b_nb,
+                                  r_b, self._b_w, self._b_n)
+            return jnp.sum(nll_c)
         if self._b_kind == "fitc":
             nll_c = jax.vmap(
                 lambda c, ip, rr, w, nn: fops.fitc_nll(

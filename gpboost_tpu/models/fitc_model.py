@@ -74,20 +74,30 @@ class FITCGP:
         self._vg_gaussian = jax.jit(jax.value_and_grad(
             lambda th, y, fp: self.nll_gaussian(jnp.exp(th), y, fp)))
         from gpboost_tpu import parallel as par
-        if par.active_mesh() is not None and gp_approx == "fitc":
+        if par.active_mesh() is not None and (
+                gp_approx == "fitc"
+                or (gp_approx == "full_scale_tapering"
+                    and likelihood == "gaussian"
+                    and not self._use_iterative)):
             self.shard_over(par.active_mesh())
 
     def shard_over(self, mesh, axis=None):
-        """Shard the FITC row panels over a device mesh: the [n, k]
-        cross-covariance build, the Lambda diagonal and the Woodbury
-        products partition over padded row shards (inducing-point [k, k]
-        work replicates) — the mesh analog of the reference's per-row OpenMP
-        loops (``re_model_template.h:7000-7100``). Gaussian ``fitc`` only;
-        FSA keeps replicated structure."""
-        if self.gp_approx != "fitc":
+        """Shard the row panels over a device mesh.
+
+        ``fitc``: the [n, k] cross-covariance build, the Lambda diagonal and
+        the Woodbury products partition over padded row shards
+        (inducing-point [k, k] work replicates) — the mesh analog of the
+        reference's per-row OpenMP loops (``re_model_template.h:7000-7100``).
+
+        ``full_scale_tapering``: the O(n^2) dense assembly (distances,
+        covariance transcendentals, taper product, Q panel) partitions over
+        row shards via ``fsa_psi_rows``; the Cholesky gathers — matching the
+        reference where the per-entry assembly is the OpenMP-parallel part.
+        Gaussian likelihood only (the reference's clustered/threaded scope)."""
+        if self.gp_approx not in ("fitc", "full_scale_tapering"):
             raise NotImplementedError(
-                "mesh sharding is implemented for gp_approx='fitc' "
-                f"(got {self.gp_approx!r})")
+                "mesh sharding is implemented for gp_approx='fitc' and "
+                f"'full_scale_tapering' (got {self.gp_approx!r})")
         from gpboost_tpu import parallel as par
         import numpy as _np
         self.mesh = mesh
@@ -102,6 +112,11 @@ class FITCGP:
             jnp.asarray(cpad, self.dtype), mesh, axis)
         self._shard_w = par.shard_rows(jnp.asarray(w, self.dtype), mesh,
                                        axis)
+        if self.gp_approx == "full_scale_tapering":
+            # replicated padded gather tables for the column side
+            self._pad_coords = par.replicate(
+                jnp.asarray(cpad, self.dtype), mesh)
+            self._pad_w = par.replicate(jnp.asarray(w, self.dtype), mesh)
         self.coords = par.replicate(self.coords, mesh)
         self.ind_points = par.replicate(self.ind_points, mesh)
         return self
@@ -150,6 +165,21 @@ class FITCGP:
                                  self.ind_points, r)
         if self._use_iterative:
             return self.nll_gaussian_iterative(cov_pars, y, fixed_part)
+        if self._shard_coords is not None:
+            # mesh FSA: row-sharded assembly, pad rows -> identity block
+            pad = self._shard_coords.shape[0] - self.n
+            r_pad = (jnp.concatenate([r, jnp.zeros(pad, r.dtype)])
+                     if pad else r)
+            psi = fops.fsa_psi_rows(
+                self.cov_fn, self.taper_range, self.taper_shape,
+                self.taper_mu, cov_pars, self._shard_coords,
+                self._pad_coords, self.ind_points, self._shard_w)
+            chol = jnp.linalg.cholesky(psi)
+            alpha = jax.scipy.linalg.solve_triangular(
+                chol, r_pad * self._pad_w, lower=True)
+            return 0.5 * (jnp.dot(alpha, alpha)
+                          + 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
+                          + self.n * LOG_2PI)
         psi = fops.fsa_psi(self.cov_fn, self.taper_range, self.taper_shape,
                            self.taper_mu, cov_pars, self.coords,
                            self.ind_points)

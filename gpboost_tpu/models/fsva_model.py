@@ -196,7 +196,8 @@ class FSVAGP:
         self.cov_fn = cov_fn
         self.likelihood = likelihood
         self.num_neighbors = min(num_neighbors, n - 1)
-        self.num_neighbors_pred = self.num_neighbors
+        # reference default: 2 * num_neighbors (re_model_template.h:299)
+        self.num_neighbors_pred = min(2 * self.num_neighbors, n)
         self.neighbor_selection = neighbor_selection
         self.perm = vops.apply_ordering(n, ordering, seed)
         self.inv_perm = np.argsort(self.perm)

@@ -188,7 +188,10 @@ class VecchiaGP:
         # prediction-side count is NOT capped at n-1: cond-all conditioning
         # sets include previously-ordered prediction points (the ops clamp
         # to the actually-available candidates)
-        self.num_neighbors_pred = num_neighbors_pred or num_neighbors
+        # reference default: num_neighbors_pred = 2 * num_neighbors
+        # (re_model_template.h:299)
+        self.num_neighbors_pred = num_neighbors_pred or min(
+            2 * num_neighbors, n)
         self.nugget_in_pars = nugget_in_pars
         if ordering in ("time", "time_random_space"):
             # reference errors when the kernel is not space-time

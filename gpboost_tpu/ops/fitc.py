@@ -163,6 +163,11 @@ def fsa_psi(cov_fn: CovFunction, taper_range: float, taper_shape: float,
     cov_pars = cov_pars_full[1:]
     n = coords.shape[0]
     d_nn = euclidean_distance(coords, coords)
+    # exact zero self-distance: the matmul distance trick leaves ~1e-8
+    # noise on the diagonal, which the taper slope amplifies and whose
+    # rounding is compile-context dependent (mesh vs single-device parity)
+    eye_n = jnp.eye(n, dtype=bool)
+    d_nn = jnp.where(eye_n, 0.0, d_nn)
     sigma = (cov_fn.cov_matrix(cov_pars, dist=d_nn) if cov_fn.is_isotropic
              else cov_fn.cov_matrix(cov_pars, coords1=coords,
                                     coords2=coords))
@@ -174,6 +179,41 @@ def fsa_psi(cov_fn: CovFunction, taper_range: float, taper_shape: float,
     Q = c_nm @ sol
     T = wendland_correlation(d_nn, taper_range, taper_shape, taper_mu)
     return Q + T * (sigma - Q) + nugget * jnp.eye(n, dtype=coords.dtype)
+
+
+def fsa_psi_rows(cov_fn: CovFunction, taper_range: float, taper_shape: float,
+                 taper_mu: float, cov_pars_full: jnp.ndarray,
+                 row_coords: jnp.ndarray, coords: jnp.ndarray,
+                 ind_points: jnp.ndarray, row_w: jnp.ndarray) -> jnp.ndarray:
+    """Row-panel FSA covariance for the mesh-sharded layout: the O(n^2)
+    assembly (distances, covariance transcendentals, taper product, Q panel)
+    partitions over ROW-sharded ``row_coords`` while ``coords`` stays the
+    replicated padded gather table; ``row_w`` weights padding rows out
+    (pad block -> identity), so the result equals the padded dense
+    ``fsa_psi`` exactly. The [n', n'] output is what the (gathering)
+    Cholesky consumes."""
+    nugget = cov_pars_full[0]
+    cov_pars = cov_pars_full[1:]
+    n = row_coords.shape[0]
+    d_rn = euclidean_distance(row_coords, coords)
+    # the row panel is index-aligned with the padded table, so its diagonal
+    # IS the self-distance — zero it exactly (see fsa_psi)
+    eye_n = jnp.eye(n, dtype=bool)
+    d_rn = jnp.where(eye_n, 0.0, d_rn)
+    sigma = (cov_fn.cov_matrix(cov_pars, dist=d_rn) if cov_fn.is_isotropic
+             else cov_fn.cov_matrix(cov_pars, coords1=row_coords,
+                                    coords2=coords))
+    c_rm = cov_fn.cov_between(cov_pars, row_coords, ind_points)
+    c_nm = cov_fn.cov_between(cov_pars, coords, ind_points)
+    c_mm = cov_fn.cov_between(cov_pars, ind_points,
+                              ind_points) + JITTER * cov_pars[0] * jnp.eye(
+        ind_points.shape[0], dtype=coords.dtype)
+    sol = jnp.linalg.solve(c_mm, c_nm.T)
+    Q = c_rm @ sol
+    T = wendland_correlation(d_rn, taper_range, taper_shape, taper_mu)
+    psi = Q + T * (sigma - Q) + nugget * jnp.eye(n, dtype=coords.dtype)
+    return (psi * (row_w[:, None] * row_w[None, :])
+            + jnp.diag(1.0 - row_w))
 
 
 # ---------------------------------------------------------------------------
