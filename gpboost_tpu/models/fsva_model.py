@@ -197,7 +197,7 @@ class FSVAGP:
         self.likelihood = likelihood
         self.num_neighbors = min(num_neighbors, n - 1)
         # reference default: 2 * num_neighbors (re_model_template.h:299)
-        self.num_neighbors_pred = min(2 * self.num_neighbors, n)
+        self.num_neighbors_pred = 2 * self.num_neighbors
         self.neighbor_selection = neighbor_selection
         self.perm = vops.apply_ordering(n, ordering, seed)
         self.inv_perm = np.argsort(self.perm)

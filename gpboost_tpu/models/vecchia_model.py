@@ -189,9 +189,10 @@ class VecchiaGP:
         # sets include previously-ordered prediction points (the ops clamp
         # to the actually-available candidates)
         # reference default: num_neighbors_pred = 2 * num_neighbors
-        # (re_model_template.h:299)
-        self.num_neighbors_pred = num_neighbors_pred or min(
-            2 * num_neighbors, n)
+        # (re_model_template.h:299; NOT capped at n — search pads short
+        # candidate sets with -1, and cond_all conditioning sets may
+        # exceed n)
+        self.num_neighbors_pred = num_neighbors_pred or 2 * num_neighbors
         self.nugget_in_pars = nugget_in_pars
         if ordering in ("time", "time_random_space"):
             # reference errors when the kernel is not space-time
