@@ -698,15 +698,28 @@ class GPModel:
                     and hasattr(self._approx, "nll_laplace_iterative")):
                 cfg = self.optim_cfg
                 kw = dict(preconditioner=cfg.cg_preconditioner_type,
-                          piv_chol_rank=cfg.piv_chol_rank)
-                return float(self._approx.nll_laplace_iterative(
-                    cov_pars, y_arr, ap, fe,
-                    num_rand_vec_trace=cfg.num_rand_vec_trace,
-                    lanczos_steps=min(int(cfg.cg_max_num_it_tridiag), 100,
-                                      int(y_arr.shape[0])),
-                    cg_tol=cfg.cg_delta_conv,
-                    cg_max_iter=cfg.cg_max_num_it,
-                    seed_rand_vec_trace=cfg.seed_rand_vec_trace, **kw))
+                          piv_chol_rank=cfg.piv_chol_rank,
+                          num_rand_vec_trace=cfg.num_rand_vec_trace,
+                          lanczos_steps=min(int(cfg.cg_max_num_it_tridiag),
+                                            100, int(y_arr.shape[0])),
+                          cg_tol=cfg.cg_delta_conv,
+                          cg_max_iter=cfg.cg_max_num_it,
+                          seed_rand_vec_trace=cfg.seed_rand_vec_trace)
+                # ONE compiled program per settings tuple: the unjitted
+                # call dispatches every CG/Lanczos op separately — ~3x
+                # slower even on CPU and tunnel-latency-bound on TPU
+                key = (id(self._approx), ap is None, fe is None,
+                       tuple(sorted((k, str(v)) for k, v in kw.items())))
+                if getattr(self, "_ng_iter_nll_key", None) != key:
+                    vec = self._approx
+
+                    def _nll_it(cp_, y_, ap_, fe_):
+                        return vec.nll_laplace_iterative(cp_, y_, ap_, fe_,
+                                                         **kw)
+
+                    self._ng_iter_nll_jit = jax.jit(_nll_it)
+                    self._ng_iter_nll_key = key
+                return float(self._ng_iter_nll_jit(cov_pars, y_arr, ap, fe))
             return float(self._approx.nll_laplace(cov_pars, y_arr, ap, fe))
         data = self._with_y(y)
         fe = None if fixed_effects is None else jnp.asarray(

@@ -59,26 +59,58 @@ def _precision_diag(a, neighbors, d):
         contrib.reshape(-1))
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _find_mode_cg(lik_name, a, d, neighbors, y, F, aux, row_w):
+def _mode_cg_tols(dtype):
+    """(cg tol, max_iter) for the mode-finder solves: f32 CG stalls below
+    ~1e-5 relative residual (the 1e-6 target then burns the full iteration
+    budget every Newton step — at n=1e5 that single program outran the TPU
+    watchdog); f64 keeps the tight tolerance."""
+    if dtype == jnp.float32:
+        return 1e-5, 400
+    return 1e-6, 1000
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _find_mode_cg(lik_name, banded, a, d, neighbors, y, F, aux, row_w):
     """Matrix-free posterior mode: solve Q b = d1(y, F+b) with Newton-CG.
     Implicit differentiation w.r.t. (a, d, F, aux) via one adjoint CG solve.
 
     ``row_w`` (0/1 per row) masks likelihood terms of padding rows — the
     mesh-sharded layout pads rows to a device multiple; padded rows have no
     neighbors (decoupled in Q) and zero weight, so their mode stays 0 and
-    the real-row solution is bit-identical to the unpadded one."""
-    return _find_mode_cg_impl(lik_name, a, d, neighbors, y, F, aux, row_w)
+    the real-row solution is bit-identical to the unpadded one.
+
+    ``banded``: a ``vops.BandedB`` spatial compute layout (nondiff static;
+    hashed by identity — cache it per model) for index-stream-free CG
+    matvecs; None keeps the scatter path (mesh layouts)."""
+    return _find_mode_cg_impl(lik_name, banded, a, d, neighbors, y, F, aux,
+                              row_w)
 
 
-def _find_mode_cg_impl(lik_name, a, d, neighbors, y, F, aux, row_w):
+def _mode_q_mv(a, neighbors, d, banded):
+    """Q-matvec for [n] or [n, k] operands: block-banded spatial layout
+    when available (``vops.BandedB`` — scatter/gather index streams cost
+    ~16 ms per 2M-edge apply on TPU; the block layout runs batched MXU
+    matmuls instead), else the scatter path."""
+    if banded is None:
+        def mv(v):
+            if v.ndim == 1:
+                return vops.precision_matvec(a, neighbors, d, v)
+            return jax.vmap(
+                lambda col: vops.precision_matvec(a, neighbors, d, col),
+                in_axes=1, out_axes=1)(v)
+        return mv
+    return vops.banded_q_mv(a, d, banded)
+
+
+def _find_mode_cg_impl(lik_name, banded, a, d, neighbors, y, F, aux,
+                       row_w):
     from gpboost_tpu import likelihoods as lk
     from gpboost_tpu.ops import cg as cgops
     fam = lk.get_family(lik_name)
     n = y.shape[0]
+    cg_tol, cg_maxit = _mode_cg_tols(d.dtype)
 
-    def q_mv(v):
-        return vops.precision_matvec(a, neighbors, d, v)
+    q_mv = _mode_q_mv(a, neighbors, d, banded)
 
     def obj(b):
         return (jnp.sum(fam.log_lik(y, F + b, aux) * row_w)
@@ -95,11 +127,10 @@ def _find_mode_cg_impl(lik_name, a, d, neighbors, y, F, aux, row_w):
         pre_d = jnp.maximum(diag_q + w, 1e-10)
 
         def amv(V):  # [n, k]
-            return (jax.vmap(q_mv, in_axes=1, out_axes=1)(V)
-                    + w[:, None] * V)
+            return q_mv(V) + w[:, None] * V
 
         delta, _ = cgops.pcg(amv, g, lambda r: r / pre_d[:, None],
-                             tol=1e-6, max_iter=1000)
+                             tol=cg_tol, max_iter=cg_maxit)
 
         def psi_at(t):
             return obj(b + t * delta)
@@ -128,12 +159,13 @@ def _find_mode_cg_impl(lik_name, a, d, neighbors, y, F, aux, row_w):
     return b
 
 
-def _find_mode_cg_fwd(lik_name, a, d, neighbors, y, F, aux, row_w):
-    b = _find_mode_cg_impl(lik_name, a, d, neighbors, y, F, aux, row_w)
+def _find_mode_cg_fwd(lik_name, banded, a, d, neighbors, y, F, aux, row_w):
+    b = _find_mode_cg_impl(lik_name, banded, a, d, neighbors, y, F, aux,
+                           row_w)
     return b, (a, d, neighbors, y, F, aux, row_w, b)
 
 
-def _find_mode_cg_bwd(lik_name, res, v):
+def _find_mode_cg_bwd(lik_name, banded, res, v):
     from gpboost_tpu import likelihoods as lk
     from gpboost_tpu.ops import cg as cgops
     fam = lk.get_family(lik_name)
@@ -142,18 +174,20 @@ def _find_mode_cg_bwd(lik_name, res, v):
     w = -fam.d2_loc(y, loc, aux) * row_w
     diag_q = _precision_diag(a, neighbors, d)
     pre_d = jnp.maximum(diag_q + w, 1e-10)
+    q_mv = _mode_q_mv(a, neighbors, d, banded)
+    cg_tol, cg_maxit = _mode_cg_tols(d.dtype)
+    adj_tol = cg_tol * (1e-2 if d.dtype != jnp.float32 else 1.0)
 
     def amv(V):  # [n, k]
-        qv = jax.vmap(lambda col: vops.precision_matvec(a, neighbors, d, col),
-                      in_axes=1, out_axes=1)(V)
-        return qv + w[:, None] * V
+        return q_mv(V) + w[:, None] * V
 
     lam, _ = cgops.pcg(amv, v, lambda r: r / pre_d[:, None],
-                       tol=1e-8, max_iter=1000)
+                       tol=adj_tol, max_iter=cg_maxit)
 
     def g(a_, d_, F_, aux_):
         d1 = fam.d_loc(y, F_ + b, aux_) * row_w
-        return vops.precision_matvec(a_, neighbors, d_, b) - d1
+        mv = _mode_q_mv(a_, neighbors, d_, banded)
+        return mv(b) - d1
 
     _, vjp = jax.vjp(g, a, d, F, aux)
     ga, gd, gF, gaux = vjp(-lam)
@@ -296,6 +330,23 @@ class VecchiaGP:
         from gpboost_tpu import parallel as par
         if par.active_mesh() is not None:
             self.shard_over(par.active_mesh())
+
+    def _banded(self, nb):
+        """Cached banded spatial compute layout (``vops.BandedB``) for
+        index-stream-free mode-finder matvecs; keyed by the neighbor
+        array's identity so ARD redetermination invalidates it. None when
+        the layout doesn't apply (dims > 3)."""
+        key = id(nb)
+        cached = getattr(self, "_banded_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        try:
+            banded = vops.BandedB(np.asarray(nb),
+                                  np.asarray(self.coords_perm))
+        except (ValueError, OverflowError):
+            banded = None
+        self._banded_cache = (key, banded)
+        return banded
 
     def _halo_auto(self, halo: Optional[bool]) -> bool:
         """Decide the mesh layout: replicated gather tables (default) vs the
@@ -1018,22 +1069,23 @@ class VecchiaGP:
                   else fixed_part[self.perm])
             row_w = jnp.ones(self.n, self.dtype)
         n_tot = nb.shape[0]
+        # banded spatial layout for the SINGLE-RHS mode-finder/quad
+        # matvecs (index streams cost ~16 ms per 2M-edge apply on TPU);
+        # multi-RHS (SLQ probes) keeps the scatter path whose index cost
+        # amortizes across the RHS lanes. Mesh layouts stay scatter.
+        band = None if use_shard else self._banded(nb)
+        q_mv = _mode_q_mv(a, nb, d, band)
 
-        def q_mv(V):
-            if V.ndim == 1:
-                return vops.precision_matvec(a, nb, d, V)
-            return jax.vmap(lambda col: vops.precision_matvec(a, nb, d, col),
-                            in_axes=1, out_axes=1)(V)
-
-        b = _find_mode_cg(self.likelihood, a, d, nb, yp, Fp, aux, row_w)
+        b = _find_mode_cg(self.likelihood, band, a, d, nb, yp, Fp, aux,
+                          row_w)
         loc = Fp + b
         w = -fam.d2_loc(yp, loc, aux) * row_w
         loglik = jnp.sum(fam.log_lik(yp, loc, aux) * row_w)
-        quad = jnp.dot(b, vops.precision_matvec(a, nb, d, b))
+        quad = jnp.dot(b, q_mv(b))
         # A = Q + W matvec (differentiable through a, d, w)
         def a_mv(V):
             if V.ndim == 1:
-                return vops.precision_matvec(a, nb, d, V) + w * V
+                return q_mv(V) + w * V
             return q_mv(V) + w[:, None] * V
 
         # preconditioner selection (cg_preconditioner_type,
@@ -1258,7 +1310,9 @@ class VecchiaGP:
                   else fixed_part[self.perm])
             row_w = jnp.ones(self.n, self.dtype)
         n_tot = nb.shape[0]
-        b = _find_mode_cg(self.likelihood, a, d, nb, yp, Fp, aux, row_w)
+        band = None if use_shard else self._banded(nb)
+        b = _find_mode_cg(self.likelihood, band, a, d, nb, yp, Fp, aux,
+                          row_w)
         w = jnp.maximum(-fam.d2_loc(yp, Fp + b, aux), 1e-10) * row_w
         b_orig = b[:self.n][self.inv_perm]
         cp = jnp.asarray(coords_pred, self.dtype)

@@ -945,6 +945,238 @@ def apply_Bt(a: jnp.ndarray, neighbors: jnp.ndarray, v: jnp.ndarray):
     return out
 
 
+class BandedB:
+    """Block-banded spatial-layout representation of the Vecchia factor
+    B = I - A for FAST matvecs (the Laplace mode finder's CG loops).
+
+    TPU reality (measured, v5e): ANY XLA gather/scatter streams ~8 ns per
+    index — a 2M-edge B or B' apply costs ~16 ms regardless of formulation
+    (scatter-add, 2-index gather, sorted segment_sum all the same), so a
+    Newton-CG mode finder at n=1e5 spent ~30 ms PER CG ITERATION on index
+    traffic. The fix is structural: relabel the linear system by a HILBERT
+    (space-filling) order — a pure permutation similarity, numerically
+    identical CG iterates — under which almost every edge connects rows
+    within a narrow index band. A is then stored BLOCK-BANDED DENSE
+    ([n/Bk, nbk, Bk, Bk] blocks) and applied with batched MXU matmuls —
+    no index streams in the iteration; the few out-of-band edges go
+    through a small exact scatter. Block VALUES are rebuilt from ``a``
+    once per evaluation (one static-index scatter), amortized over
+    hundreds of CG iterations.
+
+    The model/approximation is untouched: ``neighbors`` stay defined by
+    the Vecchia ordering; this is only the compute layout.
+    """
+
+    BK = 128          # layout block size (MXU tile)
+
+    def __init__(self, neighbors, coords, coverage=0.995, max_halo=4):
+        import numpy as np
+        nb = np.asarray(neighbors)
+        n, m = nb.shape
+        self.n, self.m = n, m
+        c = np.asarray(coords)
+        pos = (_hilbert_positions_2d(c) if c.shape[1] == 2
+               else _morton_positions(c))
+        self.pos = pos.astype(np.int32)                 # model row -> layout
+        rows_model = np.argsort(pos)
+        self.rows_model = rows_model.astype(np.int32)   # layout -> model row
+        BK = self.BK
+        nblocks = -(-n // BK)
+        self.n_pad = nblocks * BK
+        self.nblocks = nblocks
+        rj, kk = np.nonzero(nb >= 0)
+        ci = nb[rj, kk]
+        r_l = pos[rj]
+        c_l = pos[ci]
+        br, bc = r_l // BK, c_l // BK
+        db = bc - br
+        absb = np.abs(db)
+        halo = int(np.quantile(absb, coverage)) if len(absb) else 1
+        halo = int(min(max(halo, 1), max_halo))
+        self.halo = halo
+        self.nbk = 2 * halo + 1
+        if nblocks * self.nbk * BK * BK >= 2 ** 31:
+            raise OverflowError("block-banded index space exceeds int32")
+        in_band = absb <= halo
+        self.blk_flat = (((br[in_band] * self.nbk + (db[in_band] + halo))
+                          * BK + (r_l[in_band] % BK)) * BK
+                         + (c_l[in_band] % BK)).astype(np.int32)
+        self.blk_slot = (rj[in_band] * m + kk[in_band]).astype(np.int32)
+        out = ~in_band
+        self.out_tgt = r_l[out].astype(np.int32)
+        self.out_src = c_l[out].astype(np.int32)
+        self.out_slot = (rj[out] * m + kk[out]).astype(np.int32)
+        self.outlier_frac = float(out.sum()) / max(len(absb), 1)
+
+
+def _hilbert_positions_2d(coords, bits=16):
+    """Hilbert-curve layout positions for 2-D coordinates (vectorized
+    xy2d): pos[model_row] = position along the curve. Much better index
+    locality than Morton (no quadrant-boundary jumps)."""
+    import numpy as np
+    c = np.asarray(coords, np.float64)
+    n = c.shape[0]
+    span = np.maximum(c.max(axis=0) - c.min(axis=0), 1e-300)
+    q = np.floor((c - c.min(axis=0)) / span * ((1 << bits) - 1)).astype(
+        np.int64)
+    x, y = q[:, 0].copy(), q[:, 1].copy()
+    d = np.zeros(n, np.int64)
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate quadrant
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        x_f = np.where(flip, s - 1 - x, x)
+        y_f = np.where(flip, s - 1 - y, y)
+        x_new = np.where(swap, y_f, x_f)
+        y_new = np.where(swap, x_f, y_f)
+        x, y = x_new, y_new
+        s >>= 1
+    order = np.argsort(d, kind="stable")
+    pos = np.empty(n, np.int64)
+    pos[order] = np.arange(n)
+    return pos
+
+
+def _morton_positions(coords):
+    """Morton (Z-curve) layout positions for up to 3-D coordinates:
+    pos[model_row] = position in the space-filling order."""
+    import numpy as np
+    c = np.asarray(coords, np.float64)
+    n, d = c.shape
+    if d > 3:
+        raise ValueError("morton layout supports up to 3 dimensions")
+    span = np.maximum(c.max(axis=0) - c.min(axis=0), 1e-300)
+    q = np.floor((c - c.min(axis=0)) / span * ((1 << 16) - 1)).astype(
+        np.uint64)
+    code = np.zeros(n, np.uint64)
+    for bit in range(16):
+        for dim in range(d):
+            code |= ((q[:, dim] >> np.uint64(bit)) & np.uint64(1)) \
+                << np.uint64(bit * d + dim)
+    order = np.argsort(code, kind="stable")
+    pos = np.empty(n, np.int64)
+    pos[order] = np.arange(n)
+    return pos
+
+
+def banded_q_mv(a, d_cond, banded: "BandedB"):
+    """``(B' D^-1 B) v`` with the block-banded layout ([n] or [n, k] v).
+
+    Returns ``mv(v)`` operating in MODEL order (layout transforms inside).
+    Block values are built from ``a`` once here — call per evaluation,
+    reuse across CG iterations. Differentiable w.r.t. (a, d_cond)."""
+    n, BK = banded.n, banded.BK
+    nblocks, nbk, halo = banded.nblocks, banded.nbk, banded.halo
+    n_pad = banded.n_pad
+    Ablk = jnp.zeros(nblocks * nbk * BK * BK, a.dtype).at[
+        banded.blk_flat].set(a.reshape(-1)[banded.blk_slot]).reshape(
+            nblocks, nbk, BK, BK)
+    out_vals = a.reshape(-1)[banded.out_slot]
+    rows_model = banded.rows_model
+    pos = banded.pos
+    d_l = jnp.concatenate(
+        [d_cond[rows_model],
+         jnp.ones(n_pad - n, d_cond.dtype)]) if n_pad != n \
+        else d_cond[rows_model]
+    has_out = len(banded.out_tgt) > 0
+
+    def a_apply(vl):                       # vl [n_pad, k]
+        k = vl.shape[1]
+        Vb = vl.reshape(nblocks, BK, k)
+        Vp = jnp.pad(Vb, ((halo, halo), (0, 0), (0, 0)))
+        Vnb = jnp.stack([Vp[o:o + nblocks] for o in range(nbk)], axis=1)
+        out = jnp.einsum('boij,bojk->bik', Ablk, Vnb,
+                         precision=jax.lax.Precision.HIGHEST)
+        out = out.reshape(n_pad, k)
+        if has_out:
+            out = out.at[banded.out_tgt].add(
+                out_vals[:, None] * vl[banded.out_src])
+        return out
+
+    def at_apply(u):                       # u [n_pad, k]
+        k = u.shape[1]
+        Ub = u.reshape(nblocks, BK, k)
+        contrib = jnp.einsum('boij,bik->bojk', Ablk, Ub,
+                             precision=jax.lax.Precision.HIGHEST)
+        outp = jnp.zeros((nblocks + 2 * halo, BK, k), u.dtype)
+        for o in range(nbk):
+            outp = outp.at[o:o + nblocks].add(contrib[:, o])
+        out = outp[halo:halo + nblocks].reshape(n_pad, k)
+        if has_out:
+            out = out.at[banded.out_src].add(
+                out_vals[:, None] * u[banded.out_tgt])
+        return out
+
+    def mv(v):
+        single = v.ndim == 1
+        v2 = v[:, None] if single else v
+        vl = v2[rows_model]
+        if n_pad != n:
+            vl = jnp.pad(vl, ((0, n_pad - n), (0, 0)))
+        bv = vl - a_apply(vl)
+        u = bv / d_l[:, None]
+        btu = u - at_apply(u)
+        out = btu[pos]
+        return out[:, 0] if single else out
+
+    return mv
+
+
+def build_incoming(neighbors) -> tuple:
+    """Transpose the neighbor structure: for each row i, the (source row j,
+    slot k) pairs with ``neighbors[j, k] == i``, padded to the max
+    in-degree with -1. Host-side, once per neighbor set.
+
+    TPU rationale: ``apply_Bt``'s scatter-add is near-serialized on the
+    VPU (~20 ms per matvec at n=1e5 — it dominated every CG iteration of
+    the Laplace mode finder); with the incoming arrays the transpose apply
+    becomes pure GATHERS, the same trick as the one-hot-matmul histogram.
+    Returns (inc_row [n, K], inc_slot [n, K]) int32.
+    """
+    import numpy as np
+    nb = np.asarray(neighbors)
+    n, m = nb.shape
+    rows, slots = np.nonzero(nb >= 0)
+    targets = nb[rows, slots]
+    order = np.argsort(targets, kind="stable")
+    targets, rows, slots = targets[order], rows[order], slots[order]
+    counts = np.bincount(targets, minlength=n)
+    K = max(int(counts.max(initial=0)), 1)
+    inc_row = np.full((n, K), -1, np.int32)
+    inc_slot = np.zeros((n, K), np.int32)
+    # position within each target's group
+    pos = np.arange(len(targets)) - np.repeat(
+        np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
+    inc_row[targets, pos] = rows
+    inc_slot[targets, pos] = slots
+    # NUMPY outputs on purpose: this may run at trace time (cached on the
+    # model), and jnp constants created inside one trace must not leak
+    # into another
+    return inc_row, inc_slot
+
+
+def apply_Bt_gather(a: jnp.ndarray, inc_row: jnp.ndarray,
+                    inc_slot: jnp.ndarray, v: jnp.ndarray):
+    """(B' v) via the pre-transposed incoming structure — gathers only
+    (see :func:`build_incoming`)."""
+    src = jnp.maximum(inc_row, 0)
+    coef = a[src, inc_slot]
+    vals = jnp.where(inc_row >= 0, coef * v[src], 0.0)
+    return v - jnp.sum(vals, axis=1)
+
+
+def precision_matvec_gather(a, neighbors, inc_row, inc_slot, d_cond, v):
+    """(B' D^-1 B) v with the gather-based transpose apply — the TPU fast
+    path for the iterative Laplace / CG machinery (same math as
+    :func:`precision_matvec`)."""
+    bv = apply_B(a, neighbors, v)
+    return apply_Bt_gather(a, inc_row, inc_slot, bv / d_cond)
+
+
 @jax.jit
 def precision_matvec(a, neighbors, d_cond, v):
     """(B' D^-1 B) v — matrix-free Vecchia precision product, O(n m)."""
