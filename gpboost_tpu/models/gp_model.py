@@ -708,10 +708,15 @@ class GPModel:
                 # ONE compiled program per settings tuple: the unjitted
                 # call dispatches every CG/Lanczos op separately — ~3x
                 # slower even on CPU and tunnel-latency-bound on TPU
-                key = (id(self._approx), ap is None, fe is None,
+                key = (ap is None, fe is None,
                        tuple(sorted((k, str(v)) for k, v in kw.items())))
-                if getattr(self, "_ng_iter_nll_key", None) != key:
+                # identity check by reference, not id(): a replaced approx
+                # can recycle the freed object's id and serve a stale jit
+                if (getattr(self, "_ng_iter_nll_key", None) != key
+                        or getattr(self, "_ng_iter_nll_approx", None)
+                        is not self._approx):
                     vec = self._approx
+                    self._ng_iter_nll_approx = vec
 
                     def _nll_it(cp_, y_, ap_, fe_):
                         return vec.nll_laplace_iterative(cp_, y_, ap_, fe_,

@@ -402,6 +402,44 @@ def lbfgs_loop(vg_fn, maxit: int, ftol: float, dt, final_fn, t0, *ops):
     import jax
     import jax.numpy as jnp
 
+    body, cond = _lbfgs_machinery(vg_fn, maxit, ftol, dt, ops)
+    init = _lbfgs_init(vg_fn, dt, t0, ops)
+    t, v, *_rest = jax.lax.while_loop(cond, body, init)
+    k = _rest[4]
+    extra = (jnp.zeros((), dt) if final_fn is None
+             else final_fn(t, *ops))
+    return t, v, k, extra
+
+
+_LBFGS_MEM = 8
+
+
+def _lbfgs_init(vg_fn, dt, t0, ops):
+    """Initial while_loop carry for the hand-rolled L-BFGS: one objective
+    evaluation + empty curvature memory."""
+    import jax.numpy as jnp
+    MEM = _LBFGS_MEM
+    p = t0.shape[0]
+    v0, g0 = vg_fn(t0, *ops)
+    v0 = jnp.asarray(v0, dt)
+    g0 = jnp.asarray(g0, dt)
+    S = jnp.zeros((MEM, p), dt)
+    Y = jnp.zeros((MEM, p), dt)
+    rho = jnp.zeros((MEM,), dt)
+    return (t0, v0, g0, S, Y, rho, jnp.asarray(0, jnp.int32),
+            jnp.asarray(jnp.inf, dt), jnp.asarray(False))
+
+
+def _lbfgs_machinery(vg_fn, maxit: int, ftol: float, dt, ops):
+    """(body, cond) of the L-BFGS ``lax.while_loop`` over the carry
+    ``(t, v, g, S, Y, rho, k, prev_v, stalled)`` — shared by the
+    one-dispatch driver (:func:`lbfgs_loop`) and the CHUNKED driver
+    (:func:`_device_lbfgs_chunk_runner`), which re-dispatches the same
+    carry a few iterations at a time so one program never outruns the
+    TPU runtime's execution watchdog on expensive objectives."""
+    import jax
+    import jax.numpy as jnp
+
     # Hand-rolled L-BFGS (two-loop recursion) + Armijo backtracking, written
     # so the objective kernel is instantiated exactly TWICE in the compiled
     # graph (outer step + linesearch body). The off-the-shelf optax zoom
@@ -409,19 +447,11 @@ def lbfgs_loop(vg_fn, maxit: int, ftol: float, dt, final_fn, t0, *ops):
     # the cold XLA compile up to ~20 min over the TPU tunnel for the fused
     # Pallas Vecchia kernel; this loop compiles in minutes and runs the same
     # ~0.5 s steady-state.
-    MEM = 8
+    MEM = _LBFGS_MEM
     C1 = 1e-4
     MAX_HALVINGS = 30
 
     if True:
-        p = t0.shape[0]
-        v0, g0 = vg_fn(t0, *ops)
-        v0 = jnp.asarray(v0, dt)
-        g0 = jnp.asarray(g0, dt)
-        S = jnp.zeros((MEM, p), dt)
-        Y = jnp.zeros((MEM, p), dt)
-        rho = jnp.zeros((MEM,), dt)
-
         def two_loop(g, S, Y, rho, k):
             # standard two-loop recursion over the valid window
             def bwd(i, carry):
@@ -500,13 +530,7 @@ def lbfgs_loop(vg_fn, maxit: int, ftol: float, dt, final_fn, t0, *ops):
             return ((k == 0) | (rel >= ftol)) & (k < maxit) \
                 & jnp.isfinite(v) & (~stalled)
 
-        init = (t0, v0, g0, S, Y, rho, jnp.asarray(0, jnp.int32),
-                jnp.asarray(jnp.inf, dt), jnp.asarray(False))
-        t, v, *_rest = jax.lax.while_loop(cond, body, init)
-        k = _rest[4]
-        extra = (jnp.zeros((), dt) if final_fn is None
-                 else final_fn(t, *ops))
-        return t, v, k, extra
+        return body, cond
 
 
 def _device_lbfgs_runner(vg_fn, maxit: int, ftol: float, dt,
@@ -532,6 +556,90 @@ def _device_lbfgs_runner(vg_fn, maxit: int, ftol: float, dt,
     # hold strong references so the id() keys stay valid
     _DEVICE_LBFGS_RUNNERS[key] = (vg_fn, final_fn, run)
     return run
+
+
+def _device_lbfgs_chunk_runner(vg_fn, maxit: int, ftol: float, dt,
+                               steps: int):
+    """Compiled (init, chunk) pair for the CHUNKED device L-BFGS: ``init``
+    evaluates the objective once and builds the loop carry; ``chunk`` runs
+    AT MOST ``steps`` L-BFGS iterations of the same while_loop and returns
+    ``(carry, trips)``. The host re-dispatches until the convergence
+    condition (checked host-side on the fetched carry scalars) fails —
+    bounding single-program runtime on objectives whose one evaluation
+    costs tens of seconds (the 100k-point iterative Vecchia-Laplace vg ran
+    the TPU worker into its execution watchdog as ONE dispatch)."""
+    key = ("chunk", id(vg_fn), maxit, ftol, dt, steps)
+    hit = _DEVICE_LBFGS_RUNNERS.get(key)
+    if hit is not None:
+        return hit[-2], hit[-1]
+
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def init(t0, *ops):
+        return _lbfgs_init(vg_fn, dt, t0, ops)
+
+    @jax.jit
+    def chunk(carry, *ops):
+        body, cond = _lbfgs_machinery(vg_fn, maxit, ftol, dt, ops)
+
+        def body2(c):
+            inner, j = c
+            return body(inner), j + 1
+
+        def cond2(c):
+            inner, j = c
+            return cond(inner) & (j < steps)
+
+        inner, j = jax.lax.while_loop(
+            cond2, body2, (carry, jnp.asarray(0, jnp.int32)))
+        return inner, j
+
+    _DEVICE_LBFGS_RUNNERS[key] = (vg_fn, init, chunk)
+    return init, chunk
+
+
+def lbfgs_device_chunked(vg_fn: Callable, theta0: np.ndarray,
+                         cfg: OptimConfig, dtype=None, *op_args,
+                         chunk_iters: int = 1,
+                         final_fn: Optional[Callable] = None) -> OptimResult:
+    """Device L-BFGS dispatched ``chunk_iters`` iterations at a time.
+
+    Same math and stopping rule as :func:`lbfgs_device` (the carry round
+    trip is device-resident; only four scalars are fetched per chunk for
+    the host-side convergence check), at ~one tunnel round trip per chunk
+    of iterations. Use for objectives expensive enough that a whole-fit
+    program would exceed the accelerator's execution watchdog."""
+    import jax.numpy as jnp
+
+    dt = dtype or jnp.float64
+    maxit = int(cfg.maxit)
+    ftol = float(cfg.delta_rel_conv)
+    steps = max(int(chunk_iters), 1)
+    init, chunk = _device_lbfgs_chunk_runner(vg_fn, maxit, ftol, dt, steps)
+    t0 = jnp.asarray(np.asarray(theta0, np.float64), dt)
+    carry = init(t0, *op_args)
+    while True:
+        carry, _trips = chunk(carry, *op_args)
+        # host-side replica of the loop condition (fetches scalars only)
+        v = float(carry[1])
+        k = int(carry[6])
+        prev_v = float(carry[7])
+        stalled = bool(carry[8])
+        rel = abs(v - prev_v) / max(max(abs(v), abs(prev_v)), 1.0)
+        if (not (k == 0 or rel >= ftol) or k >= maxit
+                or not np.isfinite(v) or stalled):
+            break
+    t_fin, v_fin = carry[0], carry[1]
+    extra = None
+    if final_fn is not None:
+        import jax
+        extra = np.asarray(jax.jit(final_fn)(t_fin, *op_args))
+    return OptimResult(params=np.exp(np.asarray(t_fin, np.float64)),
+                       nll=float(v_fin), num_it=k,
+                       converged=bool(k < maxit),
+                       history=[float(v_fin)], aux=extra)
 
 
 def gd_device(vg_fn: Callable, theta0: np.ndarray, cfg: OptimConfig,

@@ -17,7 +17,9 @@ def ng_iter_kwargs(cfg, n: int) -> dict:
     (single source for the host fit, the whole-fit-on-device driver, and the
     fused LaGaBoost loop)."""
     return dict(
-        num_rand_vec_trace=max(cfg.num_rand_vec_trace, 200),
+        num_rand_vec_trace=max(cfg.num_rand_vec_trace,
+                               int(os.environ.get(
+                                   "GPBOOST_TPU_NG_MIN_PROBES", "200"))),
         lanczos_steps=min(int(cfg.cg_max_num_it_tridiag), 100, n),
         cg_tol=cfg.cg_delta_conv, cg_max_iter=cfg.cg_max_num_it,
         seed_rand_vec_trace=cfg.seed_rand_vec_trace,
@@ -336,9 +338,19 @@ def fit(model, data, fixed_effects: Optional[jnp.ndarray] = None):
         vg_dev, _ = ng_device_vg(model, n_cov, n_aux, aux_fixed, fam)
         fp_j = (jnp.zeros(vec.n, model.dtype) if fixed_effects is None
                 else jnp.asarray(fixed_effects, model.dtype))
-        result = optimizers.lbfgs_device(
-            vg_dev, theta0, cfg, model.dtype,
-            jnp.asarray(y, model.dtype), fp_j)
+        # one vg of the 100k-point iterative Laplace costs 10s of seconds
+        # of device time: a whole-fit single dispatch outruns the TPU
+        # execution watchdog (observed worker crash) — dispatch a few
+        # L-BFGS iterations at a time instead (0 = single dispatch)
+        chunk = int(os.environ.get("GPBOOST_TPU_NG_DEVICE_CHUNK", "1"))
+        if chunk > 0:
+            result = optimizers.lbfgs_device_chunked(
+                vg_dev, theta0, cfg, model.dtype,
+                jnp.asarray(y, model.dtype), fp_j, chunk_iters=chunk)
+        else:
+            result = optimizers.lbfgs_device(
+                vg_dev, theta0, cfg, model.dtype,
+                jnp.asarray(y, model.dtype), fp_j)
     elif cfg.optimizer_cov in ("lbfgs", "lbfgs_linesearch_nocedal_wright"):
         result = optimizers.lbfgs(vg, theta0, cfg)
     elif cfg.optimizer_cov == "nelder_mead":

@@ -336,16 +336,21 @@ class VecchiaGP:
         index-stream-free mode-finder matvecs; keyed by the neighbor
         array's identity so ARD redetermination invalidates it. None when
         the layout doesn't apply (dims > 3)."""
-        key = id(nb)
+        import os
+        if os.environ.get("GPBOOST_TPU_NO_BANDED", "") == "1":
+            return None
         cached = getattr(self, "_banded_cache", None)
-        if cached is not None and cached[0] == key:
+        # hold the neighbor array itself (identity via `is`, not id()):
+        # a replaced array can recycle the freed object's id, and a stale
+        # layout silently mis-routes matvec values
+        if cached is not None and cached[0] is nb:
             return cached[1]
         try:
             banded = vops.BandedB(np.asarray(nb),
                                   np.asarray(self.coords_perm))
         except (ValueError, OverflowError):
             banded = None
-        self._banded_cache = (key, banded)
+        self._banded_cache = (nb, banded)
         return banded
 
     def _halo_auto(self, halo: Optional[bool]) -> bool:
