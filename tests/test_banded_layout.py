@@ -118,3 +118,46 @@ def test_banded_none_for_high_dim():
         nb[i, :k] = rng.choice(i, size=k, replace=False)
     with pytest.raises(ValueError):
         vops.BandedB(nb, coords)
+
+
+def test_ng_iterative_nll_banded_on_off_agree():
+    """End-to-end: the iterative Laplace NLL with the banded mode-finder
+    layout engaged (default) equals the scatter-path value
+    (GPBOOST_TPU_NO_BANDED=1) — the layout is a permutation similarity of
+    the same linear systems, so values agree to solver tolerance."""
+    import os
+    from gpboost_tpu import GPModel
+    from gpboost_tpu.utils.rng import sim_rand_unif
+
+    n = 600
+    x = sim_rand_unif(n * 2, init_c=0.3)
+    coords = np.column_stack([x[:n], x[n:]])
+    rng = np.random.default_rng(11)
+    y = (rng.uniform(size=n) < 0.5).astype(np.float64)
+    kw = dict(num_rand_vec_trace=50, lanczos_steps=30, cg_tol=1e-10,
+              cg_max_iter=400, seed_rand_vec_trace=7)
+
+    def one(disable):
+        if disable:
+            os.environ["GPBOOST_TPU_NO_BANDED"] = "1"
+        else:
+            os.environ.pop("GPBOOST_TPU_NO_BANDED", None)
+        try:
+            m = GPModel(gp_coords=coords, cov_function="exponential",
+                        gp_approx="vecchia", num_neighbors=15,
+                        likelihood="bernoulli_logit")
+            vec = m._approx
+            if disable:
+                assert vec._banded(vec.neighbors) is None
+            else:
+                band = vec._banded(vec.neighbors)
+                assert band is not None and band.n == n
+            cp = jnp.asarray([1.2, 0.15])
+            return float(vec.nll_laplace_iterative(
+                cp, jnp.asarray(y), None, None, **kw))
+        finally:
+            os.environ.pop("GPBOOST_TPU_NO_BANDED", None)
+
+    v_band = one(False)
+    v_scat = one(True)
+    assert abs(v_band - v_scat) < 1e-6, (v_band, v_scat)

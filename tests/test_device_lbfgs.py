@@ -117,3 +117,30 @@ def test_device_lbfgs_final_fn_fused_output():
     # without final_fn, aux stays None
     res2 = lbfgs_device(_quad_vg, np.zeros(4), cfg, jnp.float64, A, b)
     assert res2.aux is None
+
+
+def test_device_lbfgs_chunked_matches_single_dispatch():
+    """The chunked driver (a few iterations per dispatch, host-side
+    convergence replica) runs the SAME while_loop machinery as the
+    one-dispatch driver — identical iterates, so identical optimum,
+    iteration count, and final_fn output, for any chunk size."""
+    rng = np.random.default_rng(7)
+    A = jnp.asarray(rng.standard_normal((8, 5)))
+    b = jnp.asarray(rng.standard_normal(8))
+
+    def final(t, A_, b_):
+        return A_ @ t - b_
+
+    cfg = OptimConfig(maxit=200, delta_rel_conv=1e-12)
+    ref = optimizers.lbfgs_device(_quad_vg, np.zeros(5), cfg, jnp.float64,
+                                  A, b, final_fn=final)
+    for steps in (1, 3, 64):
+        res = optimizers.lbfgs_device_chunked(
+            _quad_vg, np.zeros(5), cfg, jnp.float64, A, b,
+            chunk_iters=steps, final_fn=final)
+        np.testing.assert_allclose(res.params, ref.params, rtol=0,
+                                   atol=1e-14)
+        assert res.num_it == ref.num_it
+        assert abs(res.nll - ref.nll) < 1e-14
+        np.testing.assert_allclose(res.aux, ref.aux, rtol=0, atol=1e-12)
+        assert res.converged
