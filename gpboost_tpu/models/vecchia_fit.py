@@ -339,11 +339,32 @@ def fit(model, data, fixed_effects: Optional[jnp.ndarray] = None):
         fp_j = (jnp.zeros(vec.n, model.dtype) if fixed_effects is None
                 else jnp.asarray(fixed_effects, model.dtype))
         # one vg of the 100k-point iterative Laplace costs 10s of seconds
-        # of device time: a whole-fit single dispatch outruns the TPU
-        # execution watchdog (observed worker crash) — dispatch a few
-        # L-BFGS iterations at a time instead (0 = single dispatch)
-        chunk = int(os.environ.get("GPBOOST_TPU_NG_DEVICE_CHUNK", "1"))
-        if chunk > 0:
+        # of device time, and a compiled L-BFGS ITERATION contains up to
+        # 31 of them (init + Armijo halvings inside the linesearch
+        # while_loop) — both the whole-fit single dispatch AND a
+        # 1-iteration chunk ran the TPU worker into its execution
+        # watchdog at n=1e5 (observed crashes). Past the auto threshold
+        # the linesearch moves to the HOST (scipy L-BFGS-B over the same
+        # jitted device objective): each dispatch is bounded by exactly
+        # ONE vg evaluation, and the ~0.7 s tunnel round trip per eval is
+        # noise against the eval itself at that scale.
+        # GPBOOST_TPU_NG_DEVICE_CHUNK: "auto" (default), "host", an
+        # iteration count for the chunked driver, or 0 = single dispatch.
+        chunk_env = os.environ.get("GPBOOST_TPU_NG_DEVICE_CHUNK", "auto")
+        host_n = int(os.environ.get("GPBOOST_TPU_NG_HOST_LS_N", "20000"))
+        host_ls = (chunk_env == "host"
+                   or (chunk_env == "auto" and int(y_np.shape[0]) > host_n))
+        chunk = 1 if chunk_env in ("auto", "host") else int(chunk_env)
+        if host_ls:
+            vg_jit = jax.jit(vg_dev)
+            y_j = jnp.asarray(y, model.dtype)
+
+            def vg_host(theta):
+                v, g = vg_jit(jnp.asarray(theta, model.dtype), y_j, fp_j)
+                return float(v), np.asarray(g, np.float64)
+
+            result = optimizers.lbfgs(vg_host, theta0, cfg)
+        elif chunk > 0:
             result = optimizers.lbfgs_device_chunked(
                 vg_dev, theta0, cfg, model.dtype,
                 jnp.asarray(y, model.dtype), fp_j, chunk_iters=chunk)
